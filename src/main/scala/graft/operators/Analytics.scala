@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytics operators over the TPC-H-ish tables.
+  *
+  * These exercise the declarative Spark surface the engine is built on:
+  * hash aggregate with partial/final phases, broadcast vs shuffle join
+  * selection, window ranking, set ops, rollup. Everything stays in
+  * `org.apache.spark.sql.functions` so Catalyst keeps predicate
+  * pushdown, column pruning and whole-stage codegen.
+  *
+  * Scale notes (100 TB): aggregates are map-side partial; dimension
+  * joins (`nation`, `region`, `customer`) are explicitly broadcast;
+  * fact-fact joins shuffle on their keys and rely on AQE for skew.
+  *
+  * Double-valued aggregates are rounded to fixed decimals so results
+  * are insensitive to floating-point summation order (which differs
+  * between partition counts and engines).
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary (full scan + hash agg). */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue per region/nation: fact table joined to broadcast dims. */
+  def q2RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val c = customer(s, dir)
+    val n = nation(s, dir)
+    val r = region(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-3 orders per customer by price (window ranking).
+    * Ties broken deterministically by order key. */
+  def q3TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Selective filter + projection — checks parquet pushdown/pruning. */
+  def q4SelectiveFilter(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        // No rounding: a single multiply on the same input doubles is
+        // bit-identical in any engine; round() semantics are not.
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Global top-100 orders (sort + limit; TakeOrderedAndProject). */
+  def q5TopOrders(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Hourly event rollup (time bucketing + agg over the stream table). */
+  def q6EventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** Customers without orders (anti join / NOT EXISTS). */
+  def q7CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_custkey"))
+    val c = customer(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Rollup over nation x market segment (grouping sets). */
+  def q8RollupSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir)
+    val n = nation(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Order counts per priority per status (fact self-agg + pivot-free). */
+  def q9OrderPriorityCounts(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Part/supplier shuffle join with agg: volume per brand. */
+  def q10BrandVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val p  = part(s, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"  -> (q1PricingSummary _),
+    "q2_revenue_by_nation" -> (q2RevenueByNation _),
+    "q3_top_orders_per_customer" -> (q3TopOrdersPerCustomer _),
+    "q4_selective_filter" -> (q4SelectiveFilter _),
+    "q5_top_orders"       -> (q5TopOrders _),
+    "q6_events_hourly"    -> (q6EventsHourly _),
+    "q7_customers_without_orders" -> (q7CustomersWithoutOrders _),
+    "q8_rollup_segments"  -> (q8RollupSegments _),
+    "q9_order_priority"   -> (q9OrderPriorityCounts _),
+    "q10_brand_volume"    -> (q10BrandVolume _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q3_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q4_selective_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * (1 - l_discount) AS net_price
+         FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q5_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q6_events_hourly" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q7_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         ORDER BY c_custkey""",
+    "q8_rollup_segments" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)
+         ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "q9_order_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(avg(o_totalprice), 2) AS avg_price
+         FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q10_brand_volume" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1"""
+  )
+}

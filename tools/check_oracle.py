@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: check_oracle.py <verifyOutDir> <sfDir>
+For each <name> subdir (Spark parquet result) with an entry in
+oracle_sql.json: run the SQL in DuckDB against the sf parquet tables,
+sort both results by all columns (columns ordered by name), and
+compare values.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"  [FAIL-sql ] {name}: {e}")
+            n_fail += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"  [FAIL-cols] {name}: spark={list(g.columns)} duck={list(e.columns)}")
+            n_fail += 1
+        elif len(g) != len(e):
+            print(f"  [FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
+            n_fail += 1
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False,
+                                              check_exact=False, rtol=1e-6, atol=1e-6)
+                print(f"  [pass] {name}: rows={len(g)}")
+                n_pass += 1
+            except AssertionError as ex:
+                print(f"  [FAIL-vals] {name}: {str(ex).splitlines()[0]}")
+                for line in str(ex).splitlines()[:6]:
+                    print("       ", line)
+                n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
