@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Geometry, GeometryFactory, GeometryCollection, Polygon, Point, LineString, MultiPolygon, MultiPoint, MultiLineString}
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader}
+
+/** JTS plumbing shared by the geometry expressions.
+  *
+  * JTS readers/writers are not thread-safe; Spark evaluates expressions
+  * on many task threads inside one executor JVM, so each thread gets its
+  * own instances. (Reference behavior being re-expressed: per-partition
+  * WKTReader in DS-JedAI `utils/readers/Reader.scala:85-112`.)
+  */
+object Jts {
+  val factory = new GeometryFactory()
+  private val wktR = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wkbR = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  private val wkbW = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter())
+  def parseWkt(s: String): Geometry = wktR.get().read(s)
+  def fromWkb(b: Array[Byte]): Geometry = wkbR.get().read(b)
+  def toWkb(g: Geometry): Array[Byte] = wkbW.get().write(g)
+
+  /** Encode a tile coordinate pair into one long (cheap shuffle key). */
+  @inline def encodeTile(tx: Long, ty: Long): Long = (tx << 32) | (ty & 0xFFFFFFFFL)
+}
+
+/** Parse WKT to WKB bytes. Returns null (→ row filterable) for
+  * unparseable, empty, or GeometryCollection input — matching the
+  * reference's load-time validity filter (DS-JedAI
+  * `utils/readers/Reader.scala:59-61`: invalid/empty/collection rows
+  * are dropped before linking).
+  */
+case class StGeomFromWkt(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    try {
+      val g = Jts.parseWkt(v.asInstanceOf[UTF8String].toString)
+      if (g == null || g.isEmpty || g.getClass == classOf[GeometryCollection] || !g.isValid) null
+      else Jts.toWkb(g)
+    } catch { case _: Exception => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Envelope of a WKB geometry as struct<minx,miny,maxx,maxy>. */
+case class StEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StEnvelope.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val env = Jts.fromWkb(v.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+    new GenericInternalRow(Array[Any](env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+object StEnvelope {
+  val schema: StructType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+}
+
+/** Number of coordinates (verification-cost proxy; DS-JedAI weights
+  * use it as ISP, `model/weightedPairs/WeightedPairFactory.scala:112`). */
+case class StNumPoints(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Jts.fromWkb(v.asInstanceOf[Array[Byte]]).getNumPoints
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class StArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    Jts.fromWkb(v.asInstanceOf[Array[Byte]]).getArea
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Full DE-9IM verification: one JTS `relate` per pair, all ten
+  * topological booleans extracted from the single IntersectionMatrix
+  * (mirrors DS-JedAI `model/IM.scala:6-39`). Emitting them all at once
+  * means downstream relation-count aggregation is plain sum(when(..)).
+  */
+case class StIm(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StIm.schema
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val g1 = Jts.fromWkb(l.asInstanceOf[Array[Byte]])
+    val g2 = Jts.fromWkb(r.asInstanceOf[Array[Byte]])
+    val im = g1.relate(g2)
+    val d1 = g1.getDimension; val d2 = g2.getDimension
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(im.toString),
+      !im.isDisjoint,
+      im.isContains,
+      im.isWithin,
+      im.isCovers,
+      im.isCoveredBy,
+      im.isCrosses(d1, d2),
+      im.isOverlaps(d1, d2),
+      im.isTouches(d1, d2),
+      im.isEquals(d1, d2)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+object StIm {
+  val schema: StructType = StructType(Seq(
+    StructField("de9im", StringType, nullable = false),
+    StructField("intersects", BooleanType, nullable = false),
+    StructField("contains", BooleanType, nullable = false),
+    StructField("within", BooleanType, nullable = false),
+    StructField("covers", BooleanType, nullable = false),
+    StructField("coveredby", BooleanType, nullable = false),
+    StructField("crosses", BooleanType, nullable = false),
+    StructField("overlaps", BooleanType, nullable = false),
+    StructField("touches", BooleanType, nullable = false),
+    StructField("equals", BooleanType, nullable = false)))
+}
+
+/** Single-relation verification (DS-JedAI `linkers/GIAnt.scala:19-25`).
+  * `relation` is bound at plan time so the JTS dispatch is a stable
+  * branch, not per-row string matching.
+  */
+case class StPredicate(left: Expression, right: Expression, relation: String)
+    extends BinaryExpression with CodegenFallback {
+  import graft.model.Relation
+  private val rel = Relation.of(relation)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val g1 = Jts.fromWkb(l.asInstanceOf[Array[Byte]])
+    val g2 = Jts.fromWkb(r.asInstanceOf[Array[Byte]])
+    rel.eval(g1, g2)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r, relation)
+}
+
+/** Tile ids (encoded long) covered by an MBR on the θ grid.
+  * children: minx, miny, maxx, maxy (+ literal θx, θy).
+  * Tile index of a coordinate is floor(c/θ) — the refinement filter in
+  * the join recomputes the same floor on the reference point, making
+  * replicated pairs emit exactly once (DS-JedAI
+  * `linkers/LinkerT.scala:30-41`).
+  */
+case class TileCover(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) return null
+    val Seq(minx, miny, maxx, maxy, tx, ty) = vs.map(_.asInstanceOf[Double])
+    val x0 = math.floor(minx / tx).toLong; val x1 = math.floor(maxx / tx).toLong
+    val y0 = math.floor(miny / ty).toLong; val y1 = math.floor(maxy / ty).toLong
+    val n = ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt
+    val out = new Array[Long](n)
+    var i = 0; var x = x0
+    while (x <= x1) { var y = y0; while (y <= y1) { out(i) = Jts.encodeTile(x, y); i += 1; y += 1 }; x += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
+}
+
+/** Column-API wrappers. */
+object GeomFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column => mk, expression => ex}
+  def st_geomfromwkt(wkt: Column): Column = mk(StGeomFromWkt(ex(wkt)))
+  def st_envelope(geom: Column): Column = mk(StEnvelope(ex(geom)))
+  def st_numpoints(geom: Column): Column = mk(StNumPoints(ex(geom)))
+  def st_area(geom: Column): Column = mk(StArea(ex(geom)))
+  def st_im(l: Column, r: Column): Column = mk(StIm(ex(l), ex(r)))
+  def st_predicate(l: Column, r: Column, relation: String): Column =
+    mk(StPredicate(ex(l), ex(r), relation))
+  def tile_cover(minx: Column, miny: Column, maxx: Column, maxy: Column,
+                 thetaX: Double, thetaY: Double): Column =
+    mk(TileCover(Seq(ex(minx), ex(miny), ex(maxx), ex(maxy),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaY))))
+}
