@@ -1,0 +1,344 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline text operators over the `documents` table:
+  * exact + fuzzy deduplication (hash, fingerprint, n-gram Jaccard,
+  * MinHash, SimHash), token statistics, quality scoring, and
+  * language-ID. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (split/transform/aggregate/filter
+  * higher-order functions) — no Scala UDFs in the hot path — so plans
+  * stay inside whole-stage codegen and scale by shuffle-on-key only
+  * where a groupBy/self-join is semantically required.
+  *
+  * Determinism contract for the DuckDB oracles: word hashes are the
+  * first 15 hex digits of md5(word) (same in any engine), folded into
+  * a 31-bit universe for overflow-free MinHash permutation arithmetic.
+  */
+object TextOps {
+
+  /** Tokenize: trim + single-space split. Trimming first keeps Spark's
+    * and DuckDB's regexp-split edge semantics (leading/trailing empty
+    * tokens) out of the picture. */
+  private def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  private val P = 2147483647L // 2^31-1, MinHash modulus
+
+  /** 60-bit md5 word hash folded mod P — SQL-expressible everywhere. */
+  private def wordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long") % P
+
+  /** dd1: exact-hash dedup — canonical doc per full-text md5 group. */
+  def dd1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("h"))
+
+  /** dd2: fingerprint dedup — normalize (lowercase, collapse runs of
+    * whitespace), fingerprint = md5 of the first 64 chars; groups with
+    * more than one member are near-duplicate clusters. */
+  def dd2FingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    documents(s, dir)
+      .groupBy(md5(substring(norm, 1, 64)).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("fp"))
+  }
+
+  /** dd3: n-gram Jaccard near-dup pairs. Blocking key = fingerprint of
+    * the first 32 normalized chars (the scale path: candidates only
+    * form within a block, never all-pairs); verification = exact
+    * Jaccard over distinct tokens via array_intersect/array_union. */
+  def dd3JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val docs = documents(s, dir).select(
+      col("doc_id"),
+      md5(substring(norm, 1, 32)).as("block"),
+      array_distinct(tokens(col("text"))).as("words"))
+    val a = docs.select(col("block"), col("doc_id").as("id_a"), col("words").as("w_a"))
+    val b = docs.select(col("block"), col("doc_id").as("id_b"), col("words").as("w_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
+        size(array_union(col("w_a"), col("w_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** MinHash permutation parameters (fixed, public knowledge: any
+    * pairwise-independent family (a*x+b) mod P works). */
+  private val minhashParams: Seq[(Long, Long)] = Seq(
+    (7L, 3L), (13L, 11L), (29L, 17L), (53L, 31L),
+    (97L, 61L), (193L, 127L), (389L, 251L), (769L, 509L))
+
+  /** 3-word shingles — the MinHash universe. Unigrams are useless on a
+    * small shared vocabulary (every pair collides); shingles make both
+    * the signature and the LSH buckets selective. */
+  private def shingles(text: Column): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(0), size(w) - 3), i => concat_ws(" ",
+      element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
+  }
+
+  /** dd4: MinHash signatures — 8 permutations of the distinct-shingle
+    * set. One explode + one groupBy; partial aggregation keeps the
+    * shuffle tiny (8 longs per doc regardless of doc size). */
+  def dd4MinhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val exploded = documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("w"))
+      .withColumn("h", wordHash(col("w")))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd5: MinHash-LSH near-dup pairs — band the 8-value signature into
+    * 4 bands of 2; docs sharing any band bucket become candidates;
+    * verify with exact Jaccard. This is the 100 TB dedup path: cost is
+    * bounded by bucket sizes, never all-pairs. */
+  def dd5LshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = dd4MinhashSignatures(s, dir)
+    val words = documents(s, dir)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("words"))
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      concat_ws(":", lit(0), col("mh0"), col("mh1")),
+      concat_ws(":", lit(1), col("mh2"), col("mh3")),
+      concat_ws(":", lit(2), col("mh4"), col("mh5")),
+      concat_ws(":", lit(3), col("mh6"), col("mh7")))))
+      .select(col("doc_id"), col("col").as("bucket"))
+    val l = bands.select(col("bucket"), col("doc_id").as("id_a"))
+    val r = bands.select(col("bucket"), col("doc_id").as("id_b"))
+    val cand = l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val wa = words.select(col("doc_id").as("id_a"), col("words").as("w_a"))
+    val wb = words.select(col("doc_id").as("id_b"), col("words").as("w_b"))
+    cand.join(wa, "id_a").join(wb, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
+        size(array_union(col("w_a"), col("w_b"))).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd6: SimHash — 16-bit frequency-weighted signature from the word
+    * hashes; each bit is the sign of a per-bit +1/-1 vote sum. */
+  def dd6Simhash(s: SparkSession, dir: String): DataFrame = {
+    val exploded = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", wordHash(col("w")))
+    val bitVotes = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val votes = exploded.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val sig = (0 until 16).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ta1: token statistics per document. */
+  def ta1TokenStats(s: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    documents(s, dir).select(
+      col("doc_id"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_uniq"),
+      (size(array_distinct(w)).cast("double") / size(w).cast("double"))
+        .as("uniq_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  /** ta2: quality signals — stopword ratio, mean token length,
+    * alphabetic character ratio (heuristics of large-corpus quality
+    * filtering). Ratios are int/int double divisions: bit-identical in
+    * any engine, so they need no rounding. */
+  def ta2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val nStop = size(filter(w, x => array_contains(lit(stopwords.toArray), x)))
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+    documents(s, dir).select(
+      col("doc_id"),
+      (nStop.cast("double") / size(w).cast("double")).as("stop_ratio"),
+      (length(col("text")).cast("double") / size(w).cast("double")).as("mean_tok_len"),
+      (alpha.cast("double") / length(col("text")).cast("double")).as("alpha_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker vocabularies for the n-gram language heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "fast", "slow"),
+    "de" -> Seq("table", "window", "stream"),
+    "es" -> Seq("data", "query", "row"),
+    "fr" -> Seq("agg", "join", "group"))
+
+  /** ta3: language-ID by marker-word frequency, deterministic
+    * tie-break by marker-list order then "und". (The synthetic corpus
+    * has no real language signal; what the gate checks is that a
+    * frequency-argmax classifier is computed identically at scale.) */
+  def ta3LangId(s: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(w, x => array_contains(lit(ms.toArray), x)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // earlier markers win ties (CASE evaluation order, same as oracle)
+    val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    documents(s, dir).select(col("doc_id"), pred.as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> (dd1ExactDedup _),
+    "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
+    "dd3_jaccard_pairs" -> (dd3JaccardPairs _),
+    "dd4_minhash_signatures" -> (dd4MinhashSignatures _),
+    "dd5_lsh_pairs" -> (dd5LshPairs _),
+    "dd6_simhash" -> (dd6Simhash _),
+    "ta1_token_stats" -> (ta1TokenStats _),
+    "ta2_quality_score" -> (ta2QualityScore _),
+    "ta3_langid" -> (ta3LangId _)
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val wordsCte =
+    """words AS (
+         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents)"""
+
+  // 3-word shingle sets (DuckDB lists are 1-based; mirrors `shingles`).
+  private val shinglesCte =
+    s"""$wordsCte,
+       sh AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sset
+         FROM words WHERE len(w) >= 3)"""
+
+  private val hashExpr =
+    s"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P"
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dd2_fingerprint_dedup" ->
+      """SELECT md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64)) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n_members
+         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "dd3_jaccard_pairs" ->
+      s"""WITH docs AS (
+           SELECT doc_id,
+             md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 32)) AS block,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS words
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
+         FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.5
+         ORDER BY 1, 2""",
+    "dd4_minhash_signatures" -> {
+      val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $P) AS mh$i"
+      }.mkString(", ")
+      s"""WITH $shinglesCte,
+          tok AS (SELECT doc_id, unnest(sset) AS word FROM sh),
+          hashed AS (SELECT doc_id, $hashExpr AS h FROM tok)
+          SELECT doc_id, $mins FROM hashed GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "dd5_lsh_pairs" -> {
+      val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"min((h * $a + $b) % $P) AS mh$i"
+      }.mkString(", ")
+      val bandList = (0 until 4).map { bi =>
+        s"'$bi:' || mh${2 * bi} || ':' || mh${2 * bi + 1}"
+      }.mkString("[", ", ", "]")
+      s"""WITH $shinglesCte,
+          tok AS (SELECT doc_id, unnest(sset) AS word FROM sh),
+          hashed AS (SELECT doc_id, $hashExpr AS h FROM tok),
+          sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+          bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                   ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          scored AS (SELECT id_a, id_b,
+              CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
+            FROM cand JOIN sh sa ON sa.doc_id = id_a
+                      JOIN sh sb ON sb.doc_id = id_b)
+          SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+          ORDER BY 1, 2"""
+    },
+    "dd6_simhash" -> {
+      val votes = (0 until 16).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+      }.mkString(", ")
+      val sig = (0 until 16).map { j =>
+        s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $wordsCte,
+          tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+          hashed AS (SELECT doc_id, $hashExpr AS h FROM tok),
+          v AS (SELECT doc_id, $votes FROM hashed GROUP BY doc_id)
+          SELECT doc_id, $sig AS simhash FROM v ORDER BY doc_id"""
+    },
+    "ta1_token_stats" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents)
+         SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq,
+           CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS uniq_ratio
+         FROM words ORDER BY doc_id""",
+    "ta2_quality_score" -> {
+      val stops = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(w, x -> list_contains($stops, x))) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE) AS stop_ratio,
+           CAST(length(text) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_tok_len,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio
+         FROM base ORDER BY doc_id"""
+    },
+    "ta3_langid" -> {
+      val scoreExprs = langMarkers.map { case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(w, x -> list_contains($lst, x))) AS s_$lang"
+      }.mkString(", ")
+      val bestExpr = langMarkers.map { case (l, _) => s"s_$l" }
+        .reduce((a, b) => s"greatest($a, $b)")
+      val caseExpr = langMarkers.map { case (l, _) =>
+        s"WHEN s_$l = best AND best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+          scored AS (SELECT doc_id, $scoreExprs FROM words),
+          best AS (SELECT doc_id, *, $bestExpr AS best FROM scored)
+          SELECT doc_id, $caseExpr AS lang_pred FROM best ORDER BY doc_id"""
+    }
+  )
+}

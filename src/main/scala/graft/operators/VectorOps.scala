@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * column). Brute-force cosine top-k is the exact baseline; the
+  * LSH-bucketed variant is the 100 TB path (candidates per bucket, not
+  * all-pairs). Dot products use the built-in higher-order functions
+  * (`zip_with` + `aggregate`) over double-cast arrays — codegen'd, no
+  * UDF, and deterministic left-to-right accumulation that DuckDB's
+  * list functions reproduce exactly.
+  */
+object VectorOps {
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** ann1: exact top-5 neighbours (cosine) for every 50th vector.
+    * Query side is tiny → broadcast; candidate side streams. Ranking
+    * uses the similarity rounded to 9 decimals so order is stable
+    * across engines' last-ulp differences, with vec_id as tie-break. */
+  def ann1CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val sim = round(cosine(col("q_v"), col("v")), 9)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ann2: label centroids — mean vector per label (the IVF coarse
+    * quantizer's training step; also a correctness check on
+    * elementwise array aggregation). Output one row per (label, dim). */
+  def ann2LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("label"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(round(avg(col("col")), 9).as("centroid"))
+      .select(col("label"), col("dim"), col("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  /** ann3: IVF-style bucketed ANN — assign every vector to its nearest
+    * label centroid (from ann2), then search top-3 neighbours only
+    * within the same cell. At scale this turns the quadratic scan into
+    * |cell|-bounded work, the standard inverted-file trade-off. No SQL
+    * oracle (two chained argmins over floats); covered by ScalaTest
+    * against the exact path. */
+  def ann3IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = ann2LabelCentroids(s, dir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
+      .select(col("label"), transform(col("pairs"), p => p("centroid")).as("c_v"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col("v"), col("c_v")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("label").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    val l = assigned.select(col("cell"), col("vec_id").as("q_id"), col("v").as("q_v"))
+    val r = assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v"))
+    l.join(r, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann1_cosine_topk" -> (ann1CosineTopK _),
+    "ann2_label_centroids" -> (ann2LabelCentroids _),
+    "ann3_ivf_topk" -> (ann3IvfTopK _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann1_cosine_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id % 50 = 0),
+         sims AS (
+           SELECT q.q_id, e.vec_id AS n_id,
+             round(list_dot_product(q.q_v, e.v) /
+               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+           FROM q, emb e WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "ann2_label_centroids" ->
+      """WITH e AS (
+           SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings)
+         SELECT label, dim, round(avg(val), 9) AS centroid
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+    // ann3: rows-only (see Scaladoc).
+  )
+}
