@@ -54,15 +54,15 @@ object GeoQueries {
       xmin, lit(" "), ymax, lit(", "),
       xmin, lit(" "), ymin, lit("))"))
 
-  private def partBoxes(s: SparkSession, dir: String): DataFrame =
+  private[operators] def partBoxes(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(partBoxWkt(part(s, dir)), col("id"), col("wkt"))
-  private def supplierBoxes(s: SparkSession, dir: String): DataFrame =
+  private[operators] def supplierBoxes(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(supplierBoxWkt(supplier(s, dir)), col("id"), col("wkt"))
-  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+  private[operators] def customerPoints(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(customerPointWkt(customer(s, dir)), col("id"), col("wkt"))
 
   // Shared oracle CTEs mirroring the derivations above.
-  private val geomCtes =
+  private[operators] val geomCtes =
     """WITH sb AS (
          SELECT p_partkey AS id,
                 (p_partkey*13)%980 AS xmin, (p_partkey*29)%980 AS ymin,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import SpatialJoin.Theta
+
+/** Progressive (budget-limited) interlinking — the capability of
+  * DS-JedAI's progressive algorithm family (the linkers/progressive
+  * package): weight every candidate pair by how promising it is,
+  * verify only the best `budget` pairs.
+  *
+  * The weighting functions (reference:
+  * `model/weightedPairs/WeightedPairFactory.scala:87-112`) are pure
+  * closed forms over the MBR columns and θ — expressed here as Column
+  * arithmetic so they stay inside whole-stage codegen; no JTS call and
+  * no geometry deserialization happens until the budgeted verification.
+  *
+  * Ranking/budgeting uses declarative windows + limit, which Catalyst
+  * executes as per-partition top-k (TakeOrdered) — the scalable
+  * equivalent of the reference's per-partition bounded priority queues
+  * (`model/structures/ComparisonPQ.scala`).
+  */
+object Progressive {
+
+  /** Tile-range helpers over candidate-pair columns. */
+  private def tmin(c: Column, theta: Double) = floor(c / theta)
+  private def tmax(c: Column, theta: Double) = floor(c / theta)
+
+  /** Add weight columns to a `SpatialJoin.candidatePairs` output.
+    * CF = common θ-tiles; JS = tile Jaccard; MBRO = MBR IoU. */
+  def withWeights(pairs: DataFrame, theta: Theta): DataFrame = {
+    val sx0 = tmin(col("s_minx"), theta.x); val sx1 = tmax(col("s_maxx"), theta.x)
+    val sy0 = tmin(col("s_miny"), theta.y); val sy1 = tmax(col("s_maxy"), theta.y)
+    val tx0 = tmin(col("t_minx"), theta.x); val tx1 = tmax(col("t_maxx"), theta.x)
+    val ty0 = tmin(col("t_miny"), theta.y); val ty1 = tmax(col("t_maxy"), theta.y)
+    val cf = (least(sx1, tx1) - greatest(sx0, tx0) + 1) *
+             (least(sy1, ty1) - greatest(sy0, ty0) + 1)
+    val tilesS = (sx1 - sx0 + 1) * (sy1 - sy0 + 1)
+    val tilesT = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    val ix = least(col("s_maxx"), col("t_maxx")) - greatest(col("s_minx"), col("t_minx"))
+    val iy = least(col("s_maxy"), col("t_maxy")) - greatest(col("s_miny"), col("t_miny"))
+    val ia = ix * iy
+    val areaS = (col("s_maxx") - col("s_minx")) * (col("s_maxy") - col("s_miny"))
+    val areaT = (col("t_maxx") - col("t_minx")) * (col("t_maxy") - col("t_miny"))
+    pairs
+      .withColumn("w_cf", cf)
+      .withColumn("w_js", cf / (tilesS + tilesT - cf))
+      .withColumn("w_mbro", ia / (areaS + areaT - ia))
+  }
+
+  /** ProgressiveGIAnt: global budget top-k by weight, then verify in
+    * weight order (reference `ProgressiveGIAnt.scala:25-42`; the
+    * global orderBy+limit is the declarative form of its prorated
+    * per-partition PQs). Deterministic ties via the id pair. */
+  def progressiveVerify(source: DataFrame, target: DataFrame, weight: String,
+                        budget: Int, relation: String = "intersects"): DataFrame = {
+    val theta = SpatialJoin.computeTheta(source)
+    val ranked = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+      .orderBy(col(weight).desc, col("s_id").asc, col("t_id").asc)
+      .limit(budget)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(weight).desc, col("s_id").asc, col("t_id").asc)))
+    ranked
+      .withColumn("qualifies",
+        graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
+      .select(col("rank"), col("s_id"), col("t_id"), col(weight), col("qualifies"))
+  }
+
+  /** TopKPairs: keep the k best candidates of every target entity
+    * (reference `TopKPairs.scala:25-76`, window form). */
+  def topKPerTarget(source: DataFrame, target: DataFrame, weight: String,
+                    k: Int): DataFrame = {
+    val theta = SpatialJoin.computeTheta(source)
+    val w = Window.partitionBy(col("t_id"))
+      .orderBy(col(weight).desc, col("s_id").asc)
+    withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("t_id"), col("s_id"), col(weight), col("rk"))
+  }
+
+  /** ReciprocalTopK: a pair survives only if it is in the top-k of BOTH
+    * its source and its target (reference `ReciprocalTopK.scala:26-69`):
+    * two ranking windows, conjunctive filter. */
+  def reciprocalTopK(source: DataFrame, target: DataFrame, weight: String,
+                     k: Int): DataFrame = {
+    val theta = SpatialJoin.computeTheta(source)
+    val byTarget = Window.partitionBy(col("t_id"))
+      .orderBy(col(weight).desc, col("s_id").asc)
+    val bySource = Window.partitionBy(col("s_id"))
+      .orderBy(col(weight).desc, col("t_id").asc)
+    withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+      .withColumn("rk_t", row_number().over(byTarget))
+      .withColumn("rk_s", row_number().over(bySource))
+      .filter(col("rk_t") <= k && col("rk_s") <= k)
+      .select(col("s_id"), col("t_id"), col(weight))
+  }
+
+  /** Deterministic "random" scheduling (reference
+    * `RandomScheduling.scala`): weight = md5 of the id pair, so the
+    * baseline stays reproducible and oracle-checkable. */
+  def randomWeight: Column =
+    conv(substring(md5(concat_ws(":", col("s_id"), col("t_id"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Progressive-recall curve (PGR, reference
+    * `DistributedProgressiveInterlinking.scala:229-257`): rank all
+    * candidates by weight, running count of qualifying pairs, sampled
+    * at 10 checkpoints. */
+  def pgrCurve(source: DataFrame, target: DataFrame, weight: String,
+               relation: String = "intersects"): DataFrame = {
+    val theta = SpatialJoin.computeTheta(source)
+    val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
+    val ranked = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+      .withColumn("qualifies",
+        graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
+      .withColumn("rank", row_number().over(Window.orderBy(ordering: _*)))
+      .withColumn("cum_qp", sum(when(col("qualifies"), 1L).otherwise(0L)).over(
+        Window.orderBy(ordering: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = ranked.count()
+    val step = math.max(1L, (n + 9) / 10)
+    ranked.filter(col("rank") % step === 0 || col("rank") === n)
+      .select(col("rank"), col("cum_qp"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-gate queries for the progressive interlinking family, over
+  * the same derived integer rectangles as [[GeoQueries]]. θ and every
+  * weighting function are exact rational arithmetic on integer-valued
+  * doubles, so the DuckDB oracles replicate them bit-for-bit.
+  */
+object ProgressiveQueries {
+  import GeoQueries.{partBoxes, supplierBoxes}
+
+  def pr1ProgressiveMbro(s: SparkSession, dir: String): DataFrame =
+    Progressive.progressiveVerify(partBoxes(s, dir), supplierBoxes(s, dir),
+      "w_mbro", budget = 200, relation = "contains")
+      .orderBy(col("rank"))
+
+  def pr2TopKPerTarget(s: SparkSession, dir: String): DataFrame =
+    Progressive.topKPerTarget(partBoxes(s, dir), supplierBoxes(s, dir), "w_cf", k = 3)
+      .orderBy(col("t_id"), col("rk"))
+
+  def pr3ReciprocalTopK(s: SparkSession, dir: String): DataFrame =
+    Progressive.reciprocalTopK(partBoxes(s, dir), supplierBoxes(s, dir), "w_js", k = 5)
+      .orderBy(col("s_id"), col("t_id"))
+
+  def pr4PgrCurve(s: SparkSession, dir: String): DataFrame =
+    Progressive.pgrCurve(partBoxes(s, dir), supplierBoxes(s, dir), "w_js", "contains")
+      .orderBy(col("rank"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr1_progressive_mbro" -> (pr1ProgressiveMbro _),
+    "pr2_topk_per_target" -> (pr2TopKPerTarget _),
+    "pr3_reciprocal_topk" -> (pr3ReciprocalTopK _),
+    "pr4_pgr_curve" -> (pr4PgrCurve _)
+  )
+
+  // --- oracle plumbing ---
+
+  // θ over the source boxes (all widths/heights >= 1, so the engine's
+  // positive-extent guard is a no-op); exact integer sums → exact double.
+  private val candCte =
+    s"""${GeoQueries.geomCtes},
+       theta AS (
+         SELECT CAST(sum(xmax - xmin) AS DOUBLE) / count(*) AS tx,
+                CAST(sum(ymax - ymin) AS DOUBLE) / count(*) AS ty
+         FROM sb),
+       cand AS (
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,
+           (least(floor(s.xmax/th.tx), floor(t.xmax/th.tx))
+            - greatest(floor(s.xmin/th.tx), floor(t.xmin/th.tx)) + 1)
+           * (least(floor(s.ymax/th.ty), floor(t.ymax/th.ty))
+              - greatest(floor(s.ymin/th.ty), floor(t.ymin/th.ty)) + 1) AS cf,
+           (floor(s.xmax/th.tx) - floor(s.xmin/th.tx) + 1)
+           * (floor(s.ymax/th.ty) - floor(s.ymin/th.ty) + 1) AS tiles_s,
+           (floor(t.xmax/th.tx) - floor(t.xmin/th.tx) + 1)
+           * (floor(t.ymax/th.ty) - floor(t.ymin/th.ty) + 1) AS tiles_t,
+           CAST((least(s.xmax,t.xmax) - greatest(s.xmin,t.xmin))
+                * (least(s.ymax,t.ymax) - greatest(s.ymin,t.ymin)) AS DOUBLE) AS ia,
+           CAST((s.xmax-s.xmin)*(s.ymax-s.ymin)
+                + (t.xmax-t.xmin)*(t.ymax-t.ymin) AS DOUBLE) AS areas,
+           (s.xmin <= t.xmin AND s.ymin <= t.ymin AND
+            s.xmax >= t.xmax AND s.ymax >= t.ymax) AS contains_q
+         FROM sb s, tb t, theta th
+         WHERE s.xmin <= t.xmax AND s.xmax >= t.xmin
+           AND s.ymin <= t.ymax AND s.ymax >= t.ymin),
+       weighted AS (
+         SELECT s_id, t_id, contains_q, cf,
+           cf / (tiles_s + tiles_t - cf) AS w_js,
+           ia / (areas - ia) AS w_mbro,
+           cf AS w_cf
+         FROM cand)"""
+
+  val oracles: Map[String, String] = Map(
+    "pr1_progressive_mbro" ->
+      s"""$candCte,
+         ranked AS (
+           SELECT row_number() OVER (ORDER BY w_mbro DESC, s_id ASC, t_id ASC) AS rank,
+                  s_id, t_id, w_mbro, contains_q AS qualifies
+           FROM weighted)
+         SELECT rank, s_id, t_id, w_mbro, qualifies FROM ranked
+         WHERE rank <= 200 ORDER BY rank""",
+    "pr2_topk_per_target" ->
+      s"""$candCte,
+         ranked AS (
+           SELECT t_id, s_id, w_cf,
+             row_number() OVER (PARTITION BY t_id ORDER BY w_cf DESC, s_id ASC) AS rk
+           FROM weighted)
+         SELECT t_id, s_id, w_cf, rk FROM ranked WHERE rk <= 3
+         ORDER BY t_id, rk""",
+    "pr3_reciprocal_topk" ->
+      s"""$candCte,
+         ranked AS (
+           SELECT s_id, t_id, w_js,
+             row_number() OVER (PARTITION BY t_id ORDER BY w_js DESC, s_id ASC) AS rk_t,
+             row_number() OVER (PARTITION BY s_id ORDER BY w_js DESC, t_id ASC) AS rk_s
+           FROM weighted)
+         SELECT s_id, t_id, w_js FROM ranked WHERE rk_t <= 5 AND rk_s <= 5
+         ORDER BY s_id, t_id""",
+    "pr4_pgr_curve" ->
+      s"""$candCte,
+         ranked AS (
+           SELECT row_number() OVER (ORDER BY w_js DESC, s_id ASC, t_id ASC) AS rank,
+             sum(CASE WHEN contains_q THEN 1 ELSE 0 END)
+               OVER (ORDER BY w_js DESC, s_id ASC, t_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qp
+           FROM weighted),
+         n AS (SELECT count(*) AS n FROM weighted),
+         stepped AS (SELECT greatest(1, (n + 9) // 10) AS step, n FROM n)
+         SELECT rank, cum_qp FROM ranked, stepped
+         WHERE rank % step = 0 OR rank = n ORDER BY rank"""
+  )
+}
