@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextOps, VectorOps}
+
+/** Invariant tests for the dedup/ANN operators that have no SQL oracle
+  * (probabilistic candidate generation), run on the sf0.001 testdata.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("LSH pairs are a subset of brute-force high-Jaccard pairs and " +
+       "a superset of identical-shingle-set pairs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .collect()
+      .map { r =>
+        val w = r.getSeq[String](1)
+        val sh = w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+        (r.getLong(0), sh)
+      }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+      if j >= 0.8
+    } yield (a, b)).toSet
+    val identical = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b && sa == sb
+    } yield (a, b)).toSet
+    val lsh = TextOps.dd5LshPairs(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH reported non-near-dup pairs: ${(lsh -- brute).take(5)}")
+    assert(identical.subsetOf(lsh), "identical shingle sets must share all buckets")
+  }
+
+  test("IVF top-k similarities are bounded by exact brute-force top-k") {
+    // For each query vector, the IVF cell-restricted best similarity can
+    // never exceed the global brute-force best.
+    val ivf = VectorOps.ann3IvfTopK(spark, dir)
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    ivf.foreach { case (q, simIvf) =>
+      val best = emb.collect { case (id, v) if id != q => cos(emb(q), v) }.max
+      assert(simIvf <= best + 1e-9, s"IVF sim for $q exceeds exact best")
+    }
+    assert(ivf.nonEmpty)
+  }
+
+  test("minhash signature collision rate approximates Jaccard for dup pairs") {
+    // For every LSH-confirmed near-dup pair, the fraction of matching
+    // minhash components should not contradict the Jaccard estimate
+    // wildly (coarse sanity: >= 1 of 8 components match).
+    val sig = TextOps.dd4MinhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toVector).toMap
+    val pairs = TextOps.dd5LshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      val m = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+      assert(m >= 1, s"pair ($a,$b) confirmed by LSH but no matching components")
+    }
+  }
+}

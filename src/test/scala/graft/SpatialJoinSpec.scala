@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import graft.operators.SpatialJoin
+
+/** Differential tests of the spatial join against a brute-force JTS
+  * oracle on randomly generated arbitrary geometries (polygons with
+  * irregular star shapes, linestrings, points) — the pattern the
+  * rectangle-based driver gate cannot cover. Fixed seed, pure JVM
+  * generation (no reference-corpus data).
+  */
+object TestGeoms {
+  private val gf = new GeometryFactory()
+
+  /** Star-shaped polygon around a center: always simple and valid. */
+  def starPolygon(rnd: scala.util.Random, cx: Double, cy: Double, rBase: Double): String = {
+    val n = 5 + rnd.nextInt(8)
+    val pts = (0 until n).map { i =>
+      val ang = 2 * math.Pi * i / n
+      val r = rBase * (0.5 + rnd.nextDouble())
+      new Coordinate(cx + r * math.cos(ang), cy + r * math.sin(ang))
+    }
+    val ring = (pts :+ pts.head).toArray
+    gf.createPolygon(ring).toText
+  }
+
+  def lineString(rnd: scala.util.Random, cx: Double, cy: Double, r: Double): String = {
+    val n = 3 + rnd.nextInt(5)
+    var x = cx; var y = cy
+    val pts = (0 until n).map { _ =>
+      x += (rnd.nextDouble() - 0.5) * r; y += (rnd.nextDouble() - 0.5) * r
+      new Coordinate(x, y)
+    }
+    gf.createLineString(pts.toArray).toText
+  }
+
+  def point(rnd: scala.util.Random, cx: Double, cy: Double): String =
+    gf.createPoint(new Coordinate(cx, cy)).toText
+
+  /** Mixed corpus of n geometries in a world x world space. */
+  def corpus(seed: Long, n: Int, world: Double): Seq[(String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val cx = rnd.nextDouble() * world
+      val cy = rnd.nextDouble() * world
+      val wkt = rnd.nextInt(10) match {
+        case 0 | 1      => point(rnd, cx, cy)
+        case 2 | 3 | 4  => lineString(rnd, cx, cy, world / 20)
+        case _          => starPolygon(rnd, cx, cy, world / 25)
+      }
+      (s"g$i", wkt)
+    }
+  }
+}
+
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  import org.locationtech.jts.io.WKTReader
+
+  private def entitiesDf(rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
+  }
+
+  private val source = TestGeoms.corpus(seed = 11, n = 90, world = 100)
+  private val target = TestGeoms.corpus(seed = 23, n = 70, world = 100)
+
+  /** Brute-force oracle: all MBR-intersecting pairs with their DE-9IM. */
+  private def bruteForce(): Map[(String, String), String] = {
+    val rd = new WKTReader()
+    val ss = source.map { case (id, w) => (id, rd.read(w)) }
+    val tt = target.map { case (id, w) => (id, rd.read(w)) }
+    (for {
+      (sid, sg) <- ss
+      (tid, tg) <- tt
+      if sg.getEnvelopeInternal.intersects(tg.getEnvelopeInternal)
+    } yield (sid, tid) -> sg.relate(tg).toString).toMap
+  }
+
+  test("de9im matches brute-force JTS oracle on arbitrary geometries") {
+    val got = SpatialJoin.de9im(entitiesDf(source), entitiesDf(target))
+      .select("s_id", "t_id", "de9im").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val expected = bruteForce()
+    assert(expected.nonEmpty, "oracle should produce candidate pairs")
+    assert(got.keySet === expected.keySet,
+      s"pair sets differ: missing=${(expected.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    got.foreach { case (k, im) => assert(im === expected(k), s"DE-9IM differs for $k") }
+  }
+
+  test("replication produces no duplicate pairs (reference-point dedup)") {
+    val pairs = SpatialJoin.de9im(entitiesDf(source), entitiesDf(target))
+      .groupBy("s_id", "t_id").count().filter(col("count") > 1).count()
+    assert(pairs === 0)
+  }
+
+  test("single-relation join equals the relation's oracle subset") {
+    val rd = new WKTReader()
+    val expected = (for {
+      (sid, sg) <- source.map { case (id, w) => (id, rd.read(w)) }
+      (tid, tg) <- target.map { case (id, w) => (id, rd.read(w)) }
+      if sg.intersects(tg)
+    } yield (sid, tid)).toSet
+    val got = SpatialJoin.relate(entitiesDf(source), entitiesDf(target), "intersects")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+
+  test("entities drops invalid WKT, empty and GeometryCollection rows") {
+    import spark.implicits._
+    val rows = Seq(
+      ("ok",  "POINT(1 2)"),
+      ("bad", "POLYGON((borked"),
+      ("gc",  "GEOMETRYCOLLECTION(POINT(1 1), LINESTRING(0 0, 1 1))"),
+      ("bow", "POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))"), // self-intersecting
+      ("emp", "POLYGON EMPTY"))
+    val kept = SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("ok"))
+  }
+
+  test("theta falls back for zero-extent (point-only) sources") {
+    val pts = (0 until 10).map(i => (s"p$i", s"POINT($i $i)"))
+    val th = SpatialJoin.computeTheta(entitiesDf(pts))
+    assert(th.x === 1.0 && th.y === 1.0)
+  }
+}
