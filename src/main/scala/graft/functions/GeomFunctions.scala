@@ -171,10 +171,26 @@ case class TileCover(children: Seq[Expression]) extends Expression with CodegenF
     copy(cs)
 }
 
+/** Optimizer barrier: a semantic no-op marked non-deterministic so
+  * Catalyst neither collapses the projection that computes `child` nor
+  * pushes filters through it. Used around the WKT parse in the entity
+  * loader — without it, inferred not-null constraints from downstream
+  * joins get pushed into the scan filter and inline the full parse
+  * expression once per referenced column (~9 redundant parses/row).
+  */
+case class ExprBarrier(child: Expression) extends UnaryExpression with CodegenFallback {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Column-API wrappers. */
 object GeomFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column => mk, expression => ex}
   def st_geomfromwkt(wkt: Column): Column = mk(StGeomFromWkt(ex(wkt)))
+  def barrier(c: Column): Column = mk(ExprBarrier(ex(c)))
   def st_envelope(geom: Column): Column = mk(StEnvelope(ex(geom)))
   def st_numpoints(geom: Column): Column = mk(StNumPoints(ex(geom)))
   def st_area(geom: Column): Column = mk(StArea(ex(geom)))

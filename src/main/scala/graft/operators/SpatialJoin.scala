@@ -36,11 +36,13 @@ object SpatialJoin {
 
   case class Theta(x: Double, y: Double)
 
-  /** Standard geometry-relation schema: id, geom (WKB), minx..maxy. */
+  /** Standard geometry-relation schema: id, geom (WKB), minx..maxy.
+    * The parse is wrapped in an optimizer barrier so it is evaluated
+    * exactly once per row (see [[graft.functions.ExprBarrier]]). */
   def entities(df: DataFrame, id: Column, wkt: Column): DataFrame =
-    df.select(id.cast("string").as("id"), st_geomfromwkt(wkt).as("geom"))
+    df.select(id.cast("string").as("id"), barrier(st_geomfromwkt(wkt)).as("geom"))
       .filter(col("geom").isNotNull)
-      .withColumn("env", st_envelope(col("geom")))
+      .withColumn("env", barrier(st_envelope(col("geom"))))
       .select(col("id"), col("geom"),
         col("env.minx").as("minx"), col("env.miny").as("miny"),
         col("env.maxx").as("maxx"), col("env.maxy").as("maxy"))

@@ -64,9 +64,9 @@ object TextOps {
     val b = docs.select(col("block"), col("doc_id").as("id_b"), col("words").as("w_b"))
     a.join(b, "block")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
+      .withColumn("jaccard", graft.functions.GeomFunctions.barrier(
         size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
-        size(array_union(col("w_a"), col("w_b"))).cast("double"))
+        size(array_union(col("w_a"), col("w_b"))).cast("double")))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -78,22 +78,32 @@ object TextOps {
     (7L, 3L), (13L, 11L), (29L, 17L), (53L, 31L),
     (97L, 61L), (193L, 127L), (389L, 251L), (769L, 509L))
 
-  /** 3-word shingles — the MinHash universe. Unigrams are useless on a
-    * small shared vocabulary (every pair collides); shingles make both
-    * the signature and the LSH buckets selective. */
-  private def shingles(text: Column): Column = {
-    val w = tokens(text)
+  /** 3-word shingles from a *materialized* token-array column. The
+    * token split must be an attribute, not an inline expression: a
+    * lambda body referencing an inline split would re-evaluate it for
+    * every element_at of every shingle (~3x shingle-count splits per
+    * document). Unigrams are useless on a small shared vocabulary
+    * (every pair collides); shingles make both the signature and the
+    * LSH buckets selective. */
+  private def shinglesOf(w: Column): Column =
     transform(sequence(lit(0), size(w) - 3), i => concat_ws(" ",
       element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))
+
+  /** documents with a distinct-shingle-set column. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    documents(s, dir)
+      .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("sset"))
   }
 
   /** dd4: MinHash signatures — 8 permutations of the distinct-shingle
     * set. One explode + one groupBy; partial aggregation keeps the
     * shuffle tiny (8 longs per doc regardless of doc size). */
   def dd4MinhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val exploded = documents(s, dir)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text")))).as("w"))
+    val exploded = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("sset")).as("w"))
       .withColumn("h", wordHash(col("w")))
     val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"mh$i")
@@ -108,9 +118,8 @@ object TextOps {
     * bounded by bucket sizes, never all-pairs. */
   def dd5LshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = dd4MinhashSignatures(s, dir)
-    val words = documents(s, dir)
-      .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("words"))
+    val words = docShingles(s, dir)
+      .select(col("doc_id"), col("sset").as("words"))
     val bands = sig.select(col("doc_id"), posexplode(array(
       concat_ws(":", lit(0), col("mh0"), col("mh1")),
       concat_ws(":", lit(1), col("mh2"), col("mh3")),
@@ -125,9 +134,9 @@ object TextOps {
     val wa = words.select(col("doc_id").as("id_a"), col("words").as("w_a"))
     val wb = words.select(col("doc_id").as("id_b"), col("words").as("w_b"))
     cand.join(wa, "id_a").join(wb, "id_b")
-      .withColumn("jaccard",
+      .withColumn("jaccard", graft.functions.GeomFunctions.barrier(
         size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
-        size(array_union(col("w_a"), col("w_b"))).cast("double"))
+        size(array_union(col("w_a"), col("w_b"))).cast("double")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -151,10 +160,17 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** documents with a materialized token-array column (one split/row). */
+  private def docTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    documents(s, dir)
+      .select(col("doc_id"), col("text"), barrier(tokens(col("text"))).as("w"))
+  }
+
   /** ta1: token statistics per document. */
   def ta1TokenStats(s: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
-    documents(s, dir).select(
+    val w = col("w")
+    docTokens(s, dir).select(
       col("doc_id"),
       size(w).as("n_tokens"),
       size(array_distinct(w)).as("n_uniq"),
@@ -170,10 +186,10 @@ object TextOps {
     * filtering). Ratios are int/int double divisions: bit-identical in
     * any engine, so they need no rounding. */
   def ta2QualityScore(s: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
+    val w = col("w")
     val nStop = size(filter(w, x => array_contains(lit(stopwords.toArray), x)))
     val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-    documents(s, dir).select(
+    docTokens(s, dir).select(
       col("doc_id"),
       (nStop.cast("double") / size(w).cast("double")).as("stop_ratio"),
       (length(col("text")).cast("double") / size(w).cast("double")).as("mean_tok_len"),
@@ -193,16 +209,19 @@ object TextOps {
     * has no real language signal; what the gate checks is that a
     * frequency-argmax classifier is computed identically at scale.) */
   def ta3LangId(s: SparkSession, dir: String): DataFrame = {
-    val w = tokens(col("text"))
-    val scores = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(w, x => array_contains(lit(ms.toArray), x)))
-    }
+    import graft.functions.GeomFunctions.barrier
+    val scored = docTokens(s, dir).select(col("doc_id") +: langMarkers.map {
+      case (lang, ms) =>
+        barrier(size(filter(col("w"), x => array_contains(lit(ms.toArray), x))))
+          .as(s"s_$lang")
+    }: _*)
+    val scores = langMarkers.map { case (lang, _) => lang -> col(s"s_$lang") }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // earlier markers win ties (CASE evaluation order, same as oracle)
     val pred = scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lit(lang)).otherwise(acc)
     }
-    documents(s, dir).select(col("doc_id"), pred.as("lang_pred"))
+    scored.select(col("doc_id"), pred.as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 

@@ -17,12 +17,9 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native primitive-loop cosine (see [[graft.functions.ArrCosineSim]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.arr_cosine(a, b)
 
   /** ann1: exact top-5 neighbours (cosine) for every 50th vector.
     * Query side is tiny → broadcast; candidate side streams. Ranking
