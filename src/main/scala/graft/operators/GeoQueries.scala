@@ -58,6 +58,18 @@ object GeoQueries {
     SpatialJoin.entities(partBoxWkt(part(s, dir)), col("id"), col("wkt"))
   private[operators] def supplierBoxes(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(supplierBoxWkt(supplier(s, dir)), col("id"), col("wkt"))
+
+  /** Deterministic per-entity dates for the spatio-temporal join. */
+  private def derivedDate(key: Column): Column =
+    date_add(to_date(lit("1995-06-01")), (key % 10).cast("int"))
+  private def partBoxesTemporal(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.entities(
+      partBoxWkt(part(s, dir)).withColumn("ts", derivedDate(col("id"))),
+      col("id"), col("wkt"), "ts" -> col("ts"))
+  private def supplierBoxesTemporal(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.entities(
+      supplierBoxWkt(supplier(s, dir)).withColumn("ts", derivedDate(col("id"))),
+      col("id"), col("wkt"), "ts" -> col("ts"))
   private[operators] def customerPoints(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(customerPointWkt(customer(s, dir)), col("id"), col("wkt"))
 
@@ -106,11 +118,19 @@ object GeoQueries {
         col("within"), col("equals"), col("touches"), col("overlaps"))
       .orderBy(col("s_id"), col("t_id"))
 
+  /** Spatio-temporal join: intersecting boxes whose derived dates are
+    * within ±2 days (the reference's SpatioTemporalEntity predicate). */
+  def sp5TemporalJoin(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.temporalRelate(partBoxesTemporal(s, dir),
+      supplierBoxesTemporal(s, dir), "intersects", maxDays = 2)
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
     "sp3_relation_counts" -> (sp3RelationCounts _),
-    "sp4_de9im_pairs"    -> (sp4De9imPairs _)
+    "sp4_de9im_pairs"    -> (sp4De9imPairs _),
+    "sp5_temporal_join"  -> (sp5TemporalJoin _)
   )
 
   // Rectangle topology in SQL:
@@ -159,6 +179,14 @@ object GeoQueries {
            sum(CASE WHEN $sqlTouches THEN 1 ELSE 0 END) AS touches,
            sum(CASE WHEN $sqlEquals THEN 1 ELSE 0 END) AS equals
          FROM sb s, tb t WHERE $sqlIntersects""",
+    "sp5_temporal_join" ->
+      s"""$geomCtes
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
+         FROM sb s, tb t
+         WHERE $sqlIntersects
+           AND abs(date_diff('day', DATE '1995-06-01' + CAST(t.id % 10 AS INT),
+                             DATE '1995-06-01' + CAST(s.id % 10 AS INT))) < 2
+         ORDER BY 1, 2""",
     "sp4_de9im_pairs" ->
       s"""$geomCtes
          SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,

@@ -39,13 +39,16 @@ object SpatialJoin {
   /** Standard geometry-relation schema: id, geom (WKB), minx..maxy.
     * The parse is wrapped in an optimizer barrier so it is evaluated
     * exactly once per row (see [[graft.functions.ExprBarrier]]). */
-  def entities(df: DataFrame, id: Column, wkt: Column): DataFrame =
-    df.select(id.cast("string").as("id"), barrier(st_geomfromwkt(wkt)).as("geom"))
+  def entities(df: DataFrame, id: Column, wkt: Column,
+               extra: (String, Column)*): DataFrame =
+    df.select(id.cast("string").as("id") +: barrier(st_geomfromwkt(wkt)).as("geom") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
       .filter(col("geom").isNotNull)
       .withColumn("env", barrier(st_envelope(col("geom"))))
-      .select(col("id"), col("geom"),
-        col("env.minx").as("minx"), col("env.miny").as("miny"),
-        col("env.maxx").as("maxx"), col("env.maxy").as("maxy"))
+      .select(col("id") +: col("geom") +:
+        col("env.minx").as("minx") +: col("env.miny").as("miny") +:
+        col("env.maxx").as("maxx") +: col("env.maxy").as("maxy") +:
+        extra.map { case (n, _) => col(n) }: _*)
 
   /** θ = average SOURCE envelope extent per axis (zero-extent inputs —
     * points / axis-parallel lines — fall back to 1.0, mirroring the
@@ -105,6 +108,24 @@ object SpatialJoin {
   def relate(source: DataFrame, target: DataFrame, relation: String): DataFrame = {
     val theta = computeTheta(source)
     candidatePairs(source, target, theta)
+      .filter(st_predicate(col("s_geom"), col("t_geom"), relation))
+      .select(col("s_id"), col("t_id"))
+  }
+
+  /** Spatio-temporal single-relation join — the reference's
+    * SpatioTemporalEntity semantics (DS-JedAI
+    * `model/entities/SpatioTemporalEntity.scala:18-28`): a pair
+    * qualifies only when the dates are within `maxDays` days
+    * (exclusive) AND the spatial relation holds. Both entity inputs
+    * must carry a `ts` date column (via `entities(.., "ts" -> col)`).
+    * The temporal predicate is applied BEFORE verification, like the
+    * reference's approximateIntersection composition — a band/as-of
+    * join in relational terms. */
+  def temporalRelate(source: DataFrame, target: DataFrame, relation: String,
+                     maxDays: Int = 2): DataFrame = {
+    val theta = computeTheta(source)
+    candidatePairs(source, target, theta)
+      .filter(abs(datediff(col("s_ts"), col("t_ts"))) < maxDays)
       .filter(st_predicate(col("s_geom"), col("t_geom"), relation))
       .select(col("s_id"), col("t_id"))
   }

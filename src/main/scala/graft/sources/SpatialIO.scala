@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SpatialJoin
+import graft.functions.GeomFunctions._
+
+/** Geometry dataset readers/writers — the reference's IO surface
+  * (DS-JedAI `utils/readers/Reader.scala` S1-S6 and `utils/Utils.scala`
+  * S7-S9) re-expressed on `spark.read`/`df.write`.
+  *
+  * All readers produce the standard entity schema of
+  * [[SpatialJoin.entities]] (id, geom WKB, minx..maxy) with the
+  * reference's load semantics: unparseable WKT, empty geometries and
+  * GeometryCollections are dropped (`Reader.scala:59-61`). Directory
+  * inputs and globs come free from Spark's file index (reference S1
+  * recursed manually).
+  */
+object SpatialIO {
+
+  /** Delimited WKT file (CSV/TSV, no header, positional columns) —
+    * reference S2 `loadDelimitedFile` (`Reader.scala:85-112`). Rows
+    * with fewer columns than needed are skipped (mode DROPMALFORMED
+    * matches the reference's token-count guard, `Reader.scala:96`). */
+  def readDelimitedWkt(spark: SparkSession, path: String, idField: Int,
+                       geomField: Int, delimiter: String = ","): DataFrame = {
+    val raw = spark.read
+      .option("delimiter", delimiter)
+      .option("header", "false")
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
+    val needed = math.max(idField, geomField) + 1
+    val ok = raw.filter(col(s"_c$idField").isNotNull && col(s"_c$geomField").isNotNull)
+    SpatialJoin.entities(ok, col(s"_c$idField"),
+      // the reference strips optional double quotes around the WKT
+      regexp_replace(col(s"_c$geomField"), "^\"|\"$", ""))
+  }
+
+  /** RDF N-Triples with WKT literals — reference S3 `loadRdfAsTextual`
+    * (`Reader.scala:120-140`): keep triples whose predicate matches,
+    * strip IRI brackets and literal quotes/datatype suffix. */
+  def readNTriples(spark: SparkSession, path: String,
+                   geometryPredicate: String =
+                     "<http://strdf.di.uoa.gr/ontology#hasGeometry>"): DataFrame = {
+    val lines = spark.read.text(path)
+    val parts = split(col("value"), " ", 3)
+    val triple = lines.select(
+      parts.getItem(0).as("s"),
+      parts.getItem(1).as("p"),
+      parts.getItem(2).as("o"))
+      .filter(col("p") === geometryPredicate)
+    val wkt = regexp_replace(
+      regexp_replace(col("o"), "\\^\\^.*$|\\s*\\.\\s*$", ""), "^\"|\"$", "")
+    val id = regexp_replace(col("s"), "^<|>$", "")
+    SpatialJoin.entities(triple.select(id.as("id"), wkt.as("wkt")),
+      col("id"), col("wkt"))
+  }
+
+  /** GeoJSON FeatureCollection (one feature object per line or a
+    * single document) — reference S5. Uses Spark's JSON reader plus a
+    * small JVM conversion of the geometry member back to WKT. */
+  def readGeoJson(spark: SparkSession, path: String, idProperty: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // Explicit schema: `geometry` is declared StringType so the JSON
+    // parser hands back the raw geometry subtree untouched — schema
+    // inference would otherwise unify Point/Polygon coordinate shapes
+    // into a lossy common type.
+    val schema = StructType(Seq(StructField("features", ArrayType(StructType(Seq(
+      StructField("type", StringType),
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("geometry", StringType)))))))
+    val features = spark.read
+      .option("multiLine", "true")
+      .schema(schema)
+      .json(path)
+      .select(explode(col("features")).as("f"))
+      .select(
+        element_at(col("f.properties"), idProperty).as("id"),
+        col("f.geometry").as("gj"))
+    SpatialJoin.entities(features, col("id"), geojsonToWkt(col("gj")))
+  }
+
+  /** Minimal GeoJSON-geometry → WKT conversion via JTS (Point,
+    * LineString, Polygon, Multi*). Expressed as a scalar expression. */
+  private def geojsonToWkt(gj: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => mk, expression => ex}
+    mk(graft.functions.GeoJsonToWkt(ex(gj)))
+  }
+
+  /** Qualifying-pair export, CSV with header — reference S7
+    * `Utils.exportCSV`. */
+  def writePairsCsv(pairs: DataFrame, path: String): Unit =
+    pairs.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** GeoSPARQL N-Triples export — reference S8 `Utils.exportRDF`: one
+    * `geo:sf<Relation>` triple per true relation of each verified pair. */
+  def writeRdf(de9im: DataFrame, path: String): Unit = {
+    val rels = Seq("contains", "within", "covers", "coveredby", "crosses",
+      "overlaps", "touches", "equals", "intersects")
+    val triples = rels.map { r =>
+      val name = "sf" + r.capitalize
+      when(col(r), concat(lit("<"), col("s_id"),
+        lit(s"> <http://www.opengis.net/ont/geosparql#$name> <"),
+        col("t_id"), lit("> .")))
+    }
+    de9im
+      .select(explode(array(triples: _*)).as("triple"))
+      .filter(col("triple").isNotNull)
+      .write.mode("overwrite").text(path)
+  }
+}
