@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, GeoQueries, ProgressiveQueries, TextOps, VectorOps}
+import graft.operators.{Analytics, GeoQueries, Multimodal, ProgressiveQueries, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ GeoQueries.queries ++ ProgressiveQueries.queries ++
-      TextOps.queries ++ VectorOps.queries
+      TextOps.queries ++ VectorOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ GeoQueries.oracles ++ ProgressiveQueries.oracles ++
-      TextOps.oracles ++ VectorOps.oracles
+      TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles
 }

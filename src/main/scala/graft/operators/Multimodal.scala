@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media is
+  * an opaque `binary` payload plus a typed metadata struct; decode /
+  * feature-extraction runs as typed `mapPartitions` over batches of
+  * rows (the Scala analogue of `mapInPandas` batch UDFs).
+  *
+  * The decode step itself is a STUB — this container ships no
+  * image/audio codecs — implemented as a deterministic byte-statistics
+  * extractor so the real parts (schema, batching, partitioning, output
+  * contract) are exercised and oracle-checkable end to end. Swapping
+  * in a real codec changes only the body of [[decodeBatch]].
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata as a typed column bundle. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte],
+                      width: Int, height: Int, channels: Int)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
+                           max_byte: Int, min_byte: Int)
+
+  /** Synthesize deterministic 16-byte "images" from the documents
+    * table (md5 of the text), with a fixed 4x4x1 metadata struct —
+    * the stand-in for reading real image bytes + EXIF-ish metadata. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    documents(s, dir).select(
+      col("doc_id"),
+      unhex(md5(col("text"))).as("payload"),
+      lit(4).as("width"), lit(4).as("height"), lit(1).as("channels"))
+      .as[MediaRow]
+  }
+
+  /** The batch "decode": per partition, iterate rows and extract
+    * features from the payload bytes. Real codecs plug in here. */
+  def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val b = r.payload.map(_ & 0xFF)
+      MediaFeatures(r.doc_id, b.length,
+        b.sum.toDouble / b.length, b.max, b.min)
+    }
+
+  /** mm1: feature extraction over the media payloads. */
+  def mm1MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions(decodeBatch)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_features" -> (mm1MediaFeatures _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Decode the same md5 payload byte-by-byte in SQL.
+    "mm1_media_features" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents)
+         SELECT doc_id, len(b) AS n_bytes,
+           CAST(list_sum(b) AS DOUBLE) / len(b) AS mean_byte,
+           list_max(b) AS max_byte, list_min(b) AS min_byte
+         FROM bytes ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ProgressiveTyped, SpatialJoin, Progressive}
+
+class ProgressiveTypedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  private def entitiesDf(rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
+  }
+
+  private val source = TestGeoms.corpus(seed = 5, n = 80, world = 60)
+  private val target = TestGeoms.corpus(seed = 9, n = 60, world = 60)
+
+  private def allCandidatePairs(): Set[(String, String)] = {
+    val src = entitiesDf(source); val tgt = entitiesDf(target)
+    SpatialJoin.candidatePairs(src, tgt, SpatialJoin.computeTheta(src))
+      .select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("dynamic progressive with exhaustive budget finds the same " +
+       "qualifying set as the batch join") {
+    val got = ProgressiveTyped.dynamicProgressive(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      budget = 1000000, relation = "intersects")
+      .collect()
+    val qualifying = got.filter(_.qualifies).map(p => (p.s_id, p.t_id)).toSet
+    val expected = SpatialJoin.relate(entitiesDf(source), entitiesDf(target),
+      "intersects").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(qualifying === expected)
+    // every candidate verified exactly once
+    assert(got.length === allCandidatePairs().size)
+    assert(got.map(p => (p.s_id, p.t_id)).distinct.length === got.length)
+  }
+
+  test("dynamic progressive respects the budget") {
+    val budget = 10
+    val got = ProgressiveTyped.dynamicProgressive(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      budget = budget, relation = "intersects").collect()
+    assert(got.length <= budget)
+    assert(got.nonEmpty)
+  }
+
+  test("dynamic boosting verifies neighbours of matches earlier than " +
+       "static order when boosts fire") {
+    // With a never-qualifying relation, no boosts fire: verification
+    // order within each partition must be exactly weight-descending.
+    val got = ProgressiveTyped.dynamicProgressive(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      budget = 1000000, relation = "equals").collect()
+    assert(got.count(_.qualifies) === 0)
+    val src = entitiesDf(source); val tgt = entitiesDf(target)
+    val theta = SpatialJoin.computeTheta(src)
+    val weights = Progressive.withWeights(
+      SpatialJoin.candidatePairs(src, tgt, theta), theta)
+      .select("s_id", "t_id", "w_js").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    got.groupBy(_.part).values.foreach { part =>
+      val inOrder = part.sortBy(_.verify_order).map(p => weights((p.s_id, p.t_id)))
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b },
+        "verification order must be weight-descending when no boosts fire")
+    }
+  }
+
+  test("early stopping verifies everything when precision level is zero") {
+    val got = ProgressiveTyped.earlyStopping(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      relation = "intersects", batchSize = 10,
+      precisionLevel = 0.0, maxViolations = 1).collect()
+    assert(got.length === allCandidatePairs().size)
+  }
+
+  test("early stopping stops early on a decaying match stream") {
+    val got = ProgressiveTyped.earlyStopping(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      relation = "intersects", batchSize = 5,
+      precisionLevel = 1.5, maxViolations = 1).collect()
+    // precision bar above 1x first batch: every batch after the first
+    // violates, each partition stops after its second batch.
+    val total = allCandidatePairs().size
+    assert(got.length < total, s"expected early stop, verified all $total")
+  }
+}
