@@ -49,6 +49,65 @@ object Progressive {
       .withColumn("w_mbro", ia / (areaS + areaT - ia))
   }
 
+  /** Pearson χ² weight (reference
+    * `WeightedPairFactory.scala:96-104`): the 2x2 contingency table of
+    * tile co-occurrence vs `totalTiles` (the θ-grid size over the
+    * global extent), in closed form — the 2x2 χ² statistic needs no
+    * stats library. ISP (inverse sum of points,
+    * `WeightedPairFactory.scala:112`) needs `s_npoints`/`t_npoints`
+    * columns (see [[withPointCounts]]). */
+  def withChi2Weight(pairs: DataFrame, theta: Theta, totalTiles: Double): DataFrame = {
+    val sx0 = tmin(col("s_minx"), theta.x); val sx1 = tmax(col("s_maxx"), theta.x)
+    val sy0 = tmin(col("s_miny"), theta.y); val sy1 = tmax(col("s_maxy"), theta.y)
+    val tx0 = tmin(col("t_minx"), theta.x); val tx1 = tmax(col("t_maxx"), theta.x)
+    val ty0 = tmin(col("t_miny"), theta.y); val ty1 = tmax(col("t_maxy"), theta.y)
+    val cf = (least(sx1, tx1) - greatest(sx0, tx0) + 1) *
+             (least(sy1, ty1) - greatest(sy0, ty0) + 1)
+    val tilesS = (sx1 - sx0 + 1) * (sy1 - sy0 + 1)
+    val tilesT = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    val n = lit(totalTiles)
+    val o11 = cf
+    val o12 = tilesS - cf
+    val o21 = tilesT - cf
+    val o22 = n - tilesS - tilesT + cf
+    def e(rm: Column, cm: Column) = rm * cm / n
+    val e11 = e(tilesS, tilesT); val e12 = e(tilesS, n - tilesT)
+    val e21 = e(n - tilesS, tilesT); val e22 = e(n - tilesS, n - tilesT)
+    def term(o: Column, ex: Column) = when(ex > 0, (o - ex) * (o - ex) / ex).otherwise(0.0)
+    pairs.withColumn("w_x2",
+      term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22))
+  }
+
+  /** Total θ-grid tile count over the source's global extent
+    * (reference `GridPartitioner.scala:85-93` computeTotalBlocks). */
+  def totalTiles(source: DataFrame, theta: Theta): Double = {
+    // floor() yields LongType in Spark SQL
+    val r = source.agg(
+      min(floor(col("minx") / theta.x)), max(floor(col("maxx") / theta.x)),
+      min(floor(col("miny") / theta.y)), max(floor(col("maxy") / theta.y))).head()
+    ((r.getLong(1) - r.getLong(0) + 1) * (r.getLong(3) - r.getLong(2) + 1)).toDouble
+  }
+
+  /** ISP weight: 1 / (numPoints(s) + numPoints(t)) — favours cheap
+    * verifications. Requires entities loaded with a npoints column. */
+  def ispWeight: Column =
+    lit(1.0) / (col("s_npoints") + col("t_npoints"))
+
+  /** Weighting schemes (reference `Constants.scala:172-185` +
+    * the four WeightedPairT orderings): orderings over one or two
+    * weight columns. SIMPLE = main only; COMPOSITE = secondary breaks
+    * ties; HYBRID = product. Ties always resolve by id pair for
+    * determinism. */
+  def schemeOrdering(scheme: String, main: String, secondary: String = ""): Seq[Column] =
+    scheme.toUpperCase match {
+      case "SIMPLE"    => Seq(col(main).desc, col("s_id").asc, col("t_id").asc)
+      case "COMPOSITE" => Seq(col(main).desc, col(secondary).desc,
+                              col("s_id").asc, col("t_id").asc)
+      case "HYBRID"    => Seq((col(main) * col(secondary)).desc,
+                              col("s_id").asc, col("t_id").asc)
+      case other => throw new IllegalArgumentException(s"unknown scheme: $other")
+    }
+
   /** ProgressiveGIAnt: global budget top-k by weight, then verify in
     * weight order (reference `ProgressiveGIAnt.scala:25-42`; the
     * global orderBy+limit is the declarative form of its prorated

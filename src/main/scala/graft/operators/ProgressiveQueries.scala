@@ -29,11 +29,42 @@ object ProgressiveQueries {
     Progressive.pgrCurve(partBoxes(s, dir), supplierBoxes(s, dir), "w_js", "contains")
       .orderBy(col("rank"))
 
+  /** Pearson-χ² weighted budget (the reference papers' best-quality
+    * weighting), full closed form both sides. */
+  def pr5Chi2TopK(s: SparkSession, dir: String): DataFrame = {
+    val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
+    val theta = SpatialJoin.computeTheta(src)
+    val n = Progressive.totalTiles(src, theta)
+    val ranked = Progressive.withChi2Weight(
+      SpatialJoin.candidatePairs(src, tgt, theta), theta, n)
+      .orderBy(col("w_x2").desc, col("s_id").asc, col("t_id").asc)
+      .limit(100)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("w_x2").desc, col("s_id").asc, col("t_id").asc)))
+    ranked.select(col("rank"), col("s_id"), col("t_id"), col("w_x2"))
+  }
+
+  /** HYBRID weighting scheme: rank by the product of two weights. */
+  def pr6HybridScheme(s: SparkSession, dir: String): DataFrame = {
+    val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
+    val theta = SpatialJoin.computeTheta(src)
+    val ordering = Progressive.schemeOrdering("HYBRID", "w_js", "w_mbro")
+    Progressive.withWeights(SpatialJoin.candidatePairs(src, tgt, theta), theta)
+      .withColumn("w_hybrid", col("w_js") * col("w_mbro"))
+      .orderBy(ordering: _*)
+      .limit(150)
+      .select(col("s_id"), col("t_id"), col("w_hybrid"))
+      .orderBy(col("s_id"), col("t_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_progressive_mbro" -> (pr1ProgressiveMbro _),
     "pr2_topk_per_target" -> (pr2TopKPerTarget _),
     "pr3_reciprocal_topk" -> (pr3ReciprocalTopK _),
-    "pr4_pgr_curve" -> (pr4PgrCurve _)
+    "pr4_pgr_curve" -> (pr4PgrCurve _),
+    "pr5_chi2_topk" -> (pr5Chi2TopK _),
+    "pr6_hybrid_scheme" -> (pr6HybridScheme _)
   )
 
   // --- oracle plumbing ---
@@ -97,6 +128,48 @@ object ProgressiveQueries {
              row_number() OVER (PARTITION BY s_id ORDER BY w_js DESC, t_id ASC) AS rk_s
            FROM weighted)
          SELECT s_id, t_id, w_js FROM ranked WHERE rk_t <= 5 AND rk_s <= 5
+         ORDER BY s_id, t_id""",
+    "pr5_chi2_topk" ->
+      s"""$candCte,
+         tot AS (
+           SELECT (max(floor(xmax/th.tx)) - min(floor(xmin/th.tx)) + 1)
+                * (max(floor(ymax/th.ty)) - min(floor(ymin/th.ty)) + 1) AS n
+           FROM sb, theta th),
+         x2 AS (
+           SELECT s_id, t_id,
+             (CASE WHEN tiles_s * tiles_t / tot.n > 0
+                THEN (cf - tiles_s * tiles_t / tot.n)
+                   * (cf - tiles_s * tiles_t / tot.n)
+                   / (tiles_s * tiles_t / tot.n) ELSE 0 END)
+           + (CASE WHEN tiles_s * (tot.n - tiles_t) / tot.n > 0
+                THEN ((tiles_s - cf) - tiles_s * (tot.n - tiles_t) / tot.n)
+                   * ((tiles_s - cf) - tiles_s * (tot.n - tiles_t) / tot.n)
+                   / (tiles_s * (tot.n - tiles_t) / tot.n) ELSE 0 END)
+           + (CASE WHEN (tot.n - tiles_s) * tiles_t / tot.n > 0
+                THEN ((tiles_t - cf) - (tot.n - tiles_s) * tiles_t / tot.n)
+                   * ((tiles_t - cf) - (tot.n - tiles_s) * tiles_t / tot.n)
+                   / ((tot.n - tiles_s) * tiles_t / tot.n) ELSE 0 END)
+           + (CASE WHEN (tot.n - tiles_s) * (tot.n - tiles_t) / tot.n > 0
+                THEN ((tot.n - tiles_s - tiles_t + cf)
+                      - (tot.n - tiles_s) * (tot.n - tiles_t) / tot.n)
+                   * ((tot.n - tiles_s - tiles_t + cf)
+                      - (tot.n - tiles_s) * (tot.n - tiles_t) / tot.n)
+                   / ((tot.n - tiles_s) * (tot.n - tiles_t) / tot.n) ELSE 0 END)
+             AS w_x2
+           FROM cand, tot),
+         ranked AS (
+           SELECT row_number() OVER (ORDER BY w_x2 DESC, s_id ASC, t_id ASC) AS rank,
+                  s_id, t_id, w_x2
+           FROM x2)
+         SELECT rank, s_id, t_id, w_x2 FROM ranked WHERE rank <= 100
+         ORDER BY rank""",
+    "pr6_hybrid_scheme" ->
+      s"""$candCte,
+         ranked AS (
+           SELECT s_id, t_id, w_js * w_mbro AS w_hybrid,
+             row_number() OVER (ORDER BY w_js * w_mbro DESC, s_id ASC, t_id ASC) AS rk
+           FROM weighted)
+         SELECT s_id, t_id, w_hybrid FROM ranked WHERE rk <= 150
          ORDER BY s_id, t_id""",
     "pr4_pgr_curve" ->
       s"""$candCte,
