@@ -171,6 +171,50 @@ case class TileCover(children: Seq[Expression]) extends Expression with CodegenF
     copy(cs)
 }
 
+/** Fine-grained envelopes (DS-JedAI FineGrainedEnvelopes
+  * approximation, `model/approximations/FineGrainedEnvelopes.scala`):
+  * per θ-slab envelopes of the geometry, a tighter candidate filter
+  * than the single MBR. children: wkb, θx (lit), maxEnvs (lit). */
+case class StFineEnvelopes(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StEnvelope.schema, containsNull = false)
+  override def nullable: Boolean = children.head.nullable
+  override def eval(input: InternalRow): Any = {
+    val wkb = children(0).eval(input)
+    if (wkb == null) return null
+    val thetaX = children(1).eval(input).asInstanceOf[Double]
+    val maxEnvs = children(2).eval(input).asInstanceOf[Int]
+    val g = Jts.fromWkb(wkb.asInstanceOf[Array[Byte]])
+    val envs = graft.geometry.Decompose.refinedEnvelopes(g, thetaX, maxEnvs)
+    new GenericArrayData(envs.map(e => new GenericInternalRow(
+      Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))).toArray[Any])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
+}
+
+/** θ-grid decomposition (DS-JedAI GridDecomposer semantics): the
+  * geometry split along grid lines into per-tile segments.
+  * children: wkb, θx (lit), θy (lit). Output rows: (tile, seg wkb). */
+case class StGridSegments(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tile", LongType, nullable = false),
+    StructField("seg", BinaryType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = children.head.nullable
+  override def eval(input: InternalRow): Any = {
+    val wkb = children(0).eval(input)
+    if (wkb == null) return null
+    val tx = children(1).eval(input).asInstanceOf[Double]
+    val ty = children(2).eval(input).asInstanceOf[Double]
+    val g = Jts.fromWkb(wkb.asInstanceOf[Array[Byte]])
+    val segs = graft.geometry.Decompose.gridSegments(g, tx, ty)
+    new GenericArrayData(segs.map { case (x, y, seg) =>
+      new GenericInternalRow(Array[Any](Jts.encodeTile(x, y), Jts.toWkb(seg)))
+    }.toArray[Any])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
+}
+
 /** Optimizer barrier: a semantic no-op marked non-deterministic so
   * Catalyst neither collapses the projection that computes `child` nor
   * pushes filters through it. Used around the WKT parse in the entity
@@ -200,6 +244,14 @@ object GeomFunctions {
   def tile_cover(minx: Column, miny: Column, maxx: Column, maxy: Column,
                  thetaX: Double, thetaY: Double): Column =
     mk(TileCover(Seq(ex(minx), ex(miny), ex(maxx), ex(maxy),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaY))))
+  def st_fine_envelopes(geom: Column, thetaX: Double, maxEnvs: Int): Column =
+    mk(StFineEnvelopes(Seq(ex(geom),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
+      org.apache.spark.sql.catalyst.expressions.Literal(maxEnvs))))
+  def st_grid_segments(geom: Column, thetaX: Double, thetaY: Double): Column =
+    mk(StGridSegments(Seq(ex(geom),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaY))))
 }

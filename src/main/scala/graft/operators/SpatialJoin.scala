@@ -112,6 +112,54 @@ object SpatialJoin {
       .select(col("s_id"), col("t_id"))
   }
 
+  /** DE-9IM with the fine-grained-envelope candidate filter (reference
+    * FINEGRAINED_ENVELOPES approximation): pairs additionally need at
+    * least one intersecting sub-envelope pair. Strictly fewer
+    * verifications than the MBR path; every non-disjoint pair is
+    * preserved (sub-envelopes cover the geometry). */
+  def de9imFineGrained(source: DataFrame, target: DataFrame,
+                       maxEnvs: Int = 16): DataFrame = {
+    val theta = computeTheta(source)
+    val s = source.withColumn("envs",
+      barrier(st_fine_envelopes(col("geom"), theta.x, maxEnvs)))
+    val t = target.withColumn("envs",
+      barrier(st_fine_envelopes(col("geom"), theta.x, maxEnvs)))
+    val anySubEnvIntersects = exists(col("s_envs"), se =>
+      exists(col("t_envs"), te =>
+        se.getField("minx") <= te.getField("maxx") &&
+        se.getField("maxx") >= te.getField("minx") &&
+        se.getField("miny") <= te.getField("maxy") &&
+        se.getField("maxy") >= te.getField("miny")))
+    candidatePairs(s, t, theta)
+      .filter(anySubEnvIntersects)
+      .withColumn("im", st_im(col("s_geom"), col("t_geom")))
+      .select(col("s_id"), col("t_id"), col("im.*"))
+  }
+
+  /** Segmented single-relation join for `intersects` (reference J8
+    * segmented verification, exact for intersection): decompose both
+    * sides along the θ-grid, join per-tile segments, verify the small
+    * segments instead of whole geometries — the win is on huge
+    * geometries where whole-geometry JTS evaluation dominates.
+    * intersects(A,B) <=> some co-tiled segment pair intersects. */
+  def relateSegmented(source: DataFrame, target: DataFrame): DataFrame = {
+    val theta = computeTheta(source)
+    def segmentSide(df: DataFrame, p: String): DataFrame =
+      df.select(col("id").as(s"${p}id"),
+          explode(barrier(st_grid_segments(col("geom"), theta.x, theta.y))).as("sg"))
+        .select(col(s"${p}id"), col("sg.tile").as("tile"), col("sg.seg").as(s"${p}seg"))
+    segmentSide(source, "s_").join(segmentSide(target, "t_"), "tile")
+      .filter(st_predicate(col("s_seg"), col("t_seg"), "intersects"))
+      .select(col("s_id"), col("t_id"))
+      .distinct()
+  }
+
+  /** Count candidate pairs without verifying (reference J9). */
+  def countVerifications(source: DataFrame, target: DataFrame): Long = {
+    val theta = computeTheta(source)
+    candidatePairs(source, target, theta).count()
+  }
+
   /** Spatio-temporal single-relation join — the reference's
     * SpatioTemporalEntity semantics (DS-JedAI
     * `model/entities/SpatioTemporalEntity.scala:18-28`): a pair
