@@ -1,0 +1,113 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.SpatialIO
+
+/** Configuration-file runner mirroring the reference's YAML surface
+  * (DS-JedAI `config/configurationTemplate.yaml` +
+  * `utils/configuration/ConfigurationParser.scala`): a flat two-level
+  * `section.key: value` config describing source/target datasets, the
+  * relation, and algorithm knobs. A reference user's job config maps
+  * 1:1 onto this runner.
+  *
+  * The parser handles the two-level YAML subset the reference's
+  * template uses (no external YAML dependency is available offline).
+  */
+object ConfigRunner {
+
+  case class DatasetConf(path: String, realIdField: Int, geometryField: Int,
+                         delimiter: String)
+
+  case class JobConf(source: DatasetConf, target: DatasetConf, relation: String,
+                     algorithm: String, budget: Int, mainWF: String,
+                     batchSize: Int, violations: Int, precisionLimit: Double,
+                     exportPath: Option[String])
+
+  /** Minimal two-level YAML subset: `key:` section headers with
+    * two-space-indented `sub: value` entries, plus top-level
+    * `key: value` pairs. Quotes stripped; `#` comments ignored. */
+  def parseYaml(text: String): Map[String, String] = {
+    var section = ""
+    val out = scala.collection.mutable.Map.empty[String, String]
+    text.linesIterator.foreach { raw =>
+      val line = raw.replaceAll("#.*$", "")
+      if (line.trim.nonEmpty) {
+        val indented = line.startsWith("  ") || line.startsWith("\t")
+        val Array(k, v @ _*) = line.trim.split(":", 2)
+        val value = v.headOption.getOrElse("").trim.stripPrefix("\"").stripSuffix("\"")
+        if (!indented && value.isEmpty) section = k.trim
+        else if (indented && section.nonEmpty) out(s"$section.${k.trim}") = value
+        else out(k.trim) = value
+      }
+    }
+    out.toMap
+  }
+
+  def jobConf(yaml: Map[String, String]): JobConf = {
+    def ds(p: String) = DatasetConf(
+      path = yaml(s"$p.path"),
+      realIdField = yaml.getOrElse(s"$p.realIdField", "0").toInt,
+      geometryField = yaml.getOrElse(s"$p.geometryField", "1").toInt,
+      delimiter = yaml.getOrElse(s"$p.delimiter",
+        if (yaml(s"$p.path").endsWith(".tsv")) "\t" else ","))
+    JobConf(
+      source = ds("source"), target = ds("target"),
+      relation = yaml.getOrElse("relation", "DE9IM"),
+      algorithm = yaml.getOrElse("configurations.progressiveAlgorithm", "GIANT"),
+      budget = yaml.getOrElse("configurations.budget", "10000000").toInt,
+      mainWF = yaml.getOrElse("configurations.mainWF", "JS") match {
+        case "JS" => "w_js"; case "CF" => "w_cf"; case "MBRO" => "w_mbro"
+        case w => w
+      },
+      batchSize = yaml.getOrElse("configurations.batchSize", "100").toInt,
+      violations = yaml.getOrElse("configurations.violations", "3").toInt,
+      precisionLimit = yaml.getOrElse("configurations.precisionLimit", "0.1").toDouble,
+      exportPath = yaml.get("configurations.exportPath"))
+  }
+
+  private def load(spark: SparkSession, d: DatasetConf): DataFrame =
+    if (d.path.endsWith(".nt")) SpatialIO.readNTriples(spark, d.path)
+    else if (d.path.endsWith(".json") || d.path.endsWith(".geojson"))
+      SpatialIO.readGeoJson(spark, d.path, "id")
+    else SpatialIO.readDelimitedWkt(spark, d.path, d.realIdField,
+      d.geometryField, d.delimiter)
+
+  /** Run a configured job; returns the result DataFrame (relation
+    * counts for DE9IM, id pairs for single relations). */
+  def run(spark: SparkSession, conf: JobConf): DataFrame = {
+    val link = SpatialLink(load(spark, conf.source), load(spark, conf.target))
+    val result = (conf.algorithm.toUpperCase, conf.relation.toUpperCase) match {
+      case ("GIANT", "DE9IM")    => link.de9im()
+      case ("GIANT", rel)        => link.relate(rel.toLowerCase)
+      case ("PROGRESSIVE_GIANT", rel) =>
+        link.progressive(conf.budget, conf.mainWF,
+          if (rel == "DE9IM") "intersects" else rel.toLowerCase)
+      case ("DYNAMIC_PROGRESSIVE_GIANT", rel) =>
+        link.dynamicProgressive(conf.budget, conf.mainWF,
+          if (rel == "DE9IM") "intersects" else rel.toLowerCase).toDF()
+      case ("EARLY_STOPPING", rel) =>
+        link.earlyStopping(conf.mainWF,
+          if (rel == "DE9IM") "intersects" else rel.toLowerCase,
+          conf.batchSize, conf.precisionLimit, conf.violations).toDF()
+      case (alg, _) => throw new IllegalArgumentException(s"unknown algorithm: $alg")
+    }
+    conf.exportPath.foreach(p => SpatialIO.writePairsCsv(result, p))
+    result
+  }
+
+  /** CLI: runMain graft.api.ConfigRunner <config.yaml> */
+  def main(args: Array[String]): Unit = {
+    val conf = jobConf(parseYaml(
+      java.nio.file.Files.readString(java.nio.file.Path.of(args(0)))))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val result = run(spark, conf)
+    println(s"rows: ${result.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.ConfigRunner
+
+class ConfigRunnerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  test("yaml-configured end-to-end job: csv sources through DE9IM and " +
+       "progressive algorithms") {
+    val dir = Files.createTempDirectory("cfgrun")
+    val srcCsv = dir.resolve("src.csv")
+    val tgtCsv = dir.resolve("tgt.csv")
+    Files.writeString(srcCsv, TestGeoms.corpus(seed = 1, n = 40, world = 30)
+      .map { case (id, wkt) => s"""$id;"$wkt"""" }.mkString("\n"))
+    Files.writeString(tgtCsv, TestGeoms.corpus(seed = 2, n = 30, world = 30)
+      .map { case (id, wkt) => s"""$id;"$wkt"""" }.mkString("\n"))
+    def conf(alg: String, rel: String) = ConfigRunner.jobConf(ConfigRunner.parseYaml(
+      s"""source:
+         |  path: $srcCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |target:
+         |  path: $tgtCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |relation: $rel
+         |configurations:
+         |  progressiveAlgorithm: $alg
+         |  budget: 1000
+         |  mainWF: JS
+         |""".stripMargin))
+
+    val batch = ConfigRunner.run(spark, conf("GIANT", "intersects")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(batch.nonEmpty)
+
+    val de9im = ConfigRunner.run(spark, conf("GIANT", "DE9IM"))
+    assert(de9im.columns.contains("de9im") && de9im.count() > 0)
+
+    val prog = ConfigRunner.run(spark, conf("PROGRESSIVE_GIANT", "intersects"))
+    assert(prog.count() > 0)
+
+    val dyn = ConfigRunner.run(spark, conf("DYNAMIC_PROGRESSIVE_GIANT", "intersects"))
+      .collect()
+    assert(dyn.map(r => (r.getAs[String]("s_id"), r.getAs[String]("t_id"))).toSet
+      .subsetOf(ConfigRunner.run(spark, conf("GIANT", "DE9IM"))
+        .select("s_id", "t_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet))
+  }
+}
