@@ -31,6 +31,42 @@ object Jts {
   @inline def encodeTile(tx: Long, ty: Long): Long = (tx << 32) | (ty & 0xFFFFFFFFL)
 }
 
+/** Per-thread LRU caches for verification: WKB → parsed Geometry and
+  * WKB → PreparedGeometry. After the tile join, a hot build-side
+  * geometry participates in many pairs within a partition; caching by
+  * WKB content (ByteBuffer keys hash by content) removes the repeated
+  * parse and lets JTS prepared predicates reuse their internal index —
+  * the declarative-path equivalent of the reference's per-partition
+  * prepared entities (`model/entities/PreparedEntity.scala`).
+  */
+object GeomCache {
+  import java.nio.ByteBuffer
+  import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+  private val MAX = 1024
+  private final class Lru[K, V](max: Int)
+      extends java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > max
+  }
+  private val geoms = ThreadLocal.withInitial[Lru[ByteBuffer, Geometry]](
+    () => new Lru(MAX))
+  private val preps = ThreadLocal.withInitial[Lru[ByteBuffer, PreparedGeometry]](
+    () => new Lru(MAX))
+  def geometry(wkb: Array[Byte]): Geometry = {
+    val k = ByteBuffer.wrap(wkb)
+    val c = geoms.get()
+    var g = c.get(k)
+    if (g == null) { g = Jts.fromWkb(wkb); c.put(k, g) }
+    g
+  }
+  def prepared(wkb: Array[Byte]): PreparedGeometry = {
+    val k = ByteBuffer.wrap(wkb)
+    val c = preps.get()
+    var p = c.get(k)
+    if (p == null) { p = PreparedGeometryFactory.prepare(geometry(wkb)); c.put(k, p) }
+    p
+  }
+}
+
 /** Parse WKT to WKB bytes. Returns null (→ row filterable) for
   * unparseable, empty, or GeometryCollection input — matching the
   * reference's load-time validity filter (DS-JedAI
@@ -94,8 +130,8 @@ case class StIm(left: Expression, right: Expression)
   override def dataType: DataType = StIm.schema
   override def nullable: Boolean = true
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val g1 = Jts.fromWkb(l.asInstanceOf[Array[Byte]])
-    val g2 = Jts.fromWkb(r.asInstanceOf[Array[Byte]])
+    val g1 = GeomCache.geometry(l.asInstanceOf[Array[Byte]])
+    val g2 = GeomCache.geometry(r.asInstanceOf[Array[Byte]])
     val im = g1.relate(g2)
     val d1 = g1.getDimension; val d2 = g2.getDimension
     new GenericInternalRow(Array[Any](
@@ -137,9 +173,9 @@ case class StPredicate(left: Expression, right: Expression, relation: String)
   private val rel = Relation.of(relation)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(l: Any, r: Any): Any = {
-    val g1 = Jts.fromWkb(l.asInstanceOf[Array[Byte]])
-    val g2 = Jts.fromWkb(r.asInstanceOf[Array[Byte]])
-    rel.eval(g1, g2)
+    val p1 = GeomCache.prepared(l.asInstanceOf[Array[Byte]])
+    val g2 = GeomCache.geometry(r.asInstanceOf[Array[Byte]])
+    rel.evalPrepared(p1, g2)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(l, r, relation)

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+import graft.functions.{StPredicate, TileCover}
+
+/** Catalyst rewrite: a logically-declared spatial theta join
+  *
+  *   source.join(target, st_predicate(s_geom, t_geom, rel))
+  *
+  * would plan as a cartesian product (no equi-keys). This optimizer
+  * rule rewrites it into the engine's filter-refine plan — tile-cover
+  * explode on both sides, equi-join on the tile id, MBR + reference
+  * -point filters, with the exact predicate kept as a post-filter —
+  * whenever both join children expose the standard entity columns
+  * (minx/miny/maxx/maxy). This is the declarative public surface of
+  * the reference's GIA.nt (SedonaExp's `WHERE ST_Predicate(...)` form,
+  * `experiments/SedonaExp.scala:92-102`) as a native plan rule.
+  *
+  * θ comes from the session conf (`graft.theta.x` / `graft.theta.y`,
+  * default 1.0): optimizer rules must not launch jobs, so the
+  * data-derived θ of the API path is supplied by the caller here.
+  *
+  * Register with:
+  * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
+  */
+case class SpatialJoinRewrite(thetaX: Double, thetaY: Double) extends Rule[LogicalPlan] {
+
+  private def side(plan: LogicalPlan, prefix: String): Option[Map[String, Attribute]] = {
+    val names = Seq("minx", "miny", "maxx", "maxy")
+    val found = names.flatMap { n =>
+      plan.output.find(_.name == prefix + n).map(n -> _)
+    }.toMap
+    if (found.size == names.size) Some(found) else None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case j @ Join(left, right, Inner, Some(pred @ StPredicate(lg: Attribute, rg: Attribute, _)), hint)
+        if left.outputSet.contains(lg) && right.outputSet.contains(rg) =>
+      (side(left, lg.name.stripSuffix("geom")), side(right, rg.name.stripSuffix("geom"))) match {
+        case (Some(l), Some(r)) =>
+          val lTile = AttributeReference("__ltile", LongType, nullable = false)()
+          val rTile = AttributeReference("__rtile", LongType, nullable = false)()
+          def gen(child: LogicalPlan, m: Map[String, Attribute], out: Attribute) =
+            Generate(
+              ExplodeBase(TileCover(Seq(m("minx"), m("miny"), m("maxx"), m("maxy"),
+                Literal(thetaX), Literal(thetaY)))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(out), child = child)
+          val lGen = gen(left, l, lTile)
+          val rGen = gen(right, r, rTile)
+          val mbr =
+            LessThanOrEqual(l("minx"), r("maxx")) :: GreaterThanOrEqual(l("maxx"), r("minx")) ::
+            LessThanOrEqual(l("miny"), r("maxy")) :: GreaterThanOrEqual(l("maxy"), r("miny")) :: Nil
+          // reference point tile (same floor arithmetic as TileCover)
+          def flr(c: Expression, t: Double) =
+            Cast(Floor(Divide(c, Literal(t))), LongType)
+          val refTx = flr(Greatest(Seq(l("minx"), r("minx"))), thetaX)
+          val refTy = flr(Greatest(Seq(l("miny"), r("miny"))), thetaY)
+          val refTile = BitwiseOr(ShiftLeft(refTx, Literal(32)),
+            BitwiseAnd(refTy, Literal(0xFFFFFFFFL)))
+          val filters = (mbr :+ EqualTo(lTile, refTile) :+ pred).reduce(And)
+          val joined = Join(lGen, rGen, Inner, Some(EqualTo(lTile, rTile)), hint)
+          Project(j.output, Filter(filters, joined))
+        case _ => j
+      }
+  }
+}
+
+/** Helper to construct Explode across minor Catalyst API differences. */
+object ExplodeBase {
+  def apply(child: Expression): Explode = Explode(child)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule { session =>
+      SpatialJoinRewrite(
+        session.conf.get("graft.theta.x", "1.0").toDouble,
+        session.conf.get("graft.theta.y", "1.0").toDouble)
+    }
+  }
+}

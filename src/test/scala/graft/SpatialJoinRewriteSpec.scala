@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GraftExtensions
+import graft.operators.SpatialJoin
+import graft.functions.GeomFunctions._
+
+/** The declarative surface: a plain inner join whose condition is a
+  * spatial predicate gets rewritten by the injected optimizer rule
+  * into the tile filter-refine plan (no cartesian product), with
+  * results identical to brute force.
+  */
+class SpatialJoinRewriteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    // extensions apply only at session construction: replace any
+    // session other suites may have created
+    SparkSession.getDefaultSession.foreach(_.stop())
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("graft.theta.x", "4.0")
+      .config("graft.theta.y", "4.0")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  private def entitiesDf(rows: Seq[(String, String)], prefix: String): DataFrame = {
+    import spark.implicits._
+    val e = SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
+    e.columns.foldLeft(e)((d, c) => d.withColumnRenamed(c, prefix + c))
+  }
+
+  test("st_predicate join is rewritten to the tile plan and matches " +
+       "brute force") {
+    spark.sparkContext.setLogLevel("WARN")
+    val src = entitiesDf(TestGeoms.corpus(seed = 71, n = 60, world = 40), "s_")
+    val tgt = entitiesDf(TestGeoms.corpus(seed = 72, n = 50, world = 40), "t_")
+    val joined = src.join(tgt, st_predicate(col("s_geom"), col("t_geom"), "intersects"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      s"expected tile rewrite, got cartesian:\n$phys")
+    val got = joined.select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = SpatialJoin.relate(
+      src.columns.foldLeft(src)((d, c) => d.withColumnRenamed(c, c.stripPrefix("s_"))),
+      tgt.columns.foldLeft(tgt)((d, c) => d.withColumnRenamed(c, c.stripPrefix("t_"))),
+      "intersects").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === expected)
+  }
+}
