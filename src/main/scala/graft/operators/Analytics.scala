@@ -132,6 +132,52 @@ object Analytics {
       .orderBy(col("p_brand"))
   }
 
+  /** Semi join (EXISTS): customers having at least one high-value order. */
+  def q11HighValueCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    val c = customer(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set ops: suppliers' nations INTERSECT customers' nations, minus
+    * nations with a negative-balance customer (EXCEPT). */
+  def q12NationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val sup = supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val cus = customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val neg = customer(s, dir).filter(col("c_acctbal") < -900)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    sup.intersect(cus).except(neg).orderBy(col("nationkey"))
+  }
+
+  /** Cube over order status x priority (full grouping-set lattice). */
+  def q13StatusPriorityCube(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Sessionization: gap > 30 minutes starts a new session (lag window
+    * + running conditional sum), then sessions per user. */
+  def q14Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc,
+      col("event_id").asc)
+    // gap arithmetic in microseconds: ts is nanos in the file; both
+    // engines truncate ns -> us identically (div 1000 / epoch_us)
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
@@ -142,7 +188,11 @@ object Analytics {
     "q7_customers_without_orders" -> (q7CustomersWithoutOrders _),
     "q8_rollup_segments"  -> (q8RollupSegments _),
     "q9_order_priority"   -> (q9OrderPriorityCounts _),
-    "q10_brand_volume"    -> (q10BrandVolume _)
+    "q10_brand_volume"    -> (q10BrandVolume _),
+    "q11_high_value_customers" -> (q11HighValueCustomers _),
+    "q12_nation_setops"   -> (q12NationSetOps _),
+    "q13_status_priority_cube" -> (q13StatusPriorityCube _),
+    "q14_sessionize"      -> (q14Sessionize _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,6 +248,34 @@ object Analytics {
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
          count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q11_high_value_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q12_nation_setops" ->
+      """SELECT nationkey FROM (
+           SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+           INTERSECT
+           SELECT DISTINCT c_nationkey AS nationkey FROM customer
+           EXCEPT
+           SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -900)
+         ORDER BY nationkey""",
+    "q13_status_priority_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q14_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id)) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events)
+         SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+         FROM marked GROUP BY user_id ORDER BY user_id"""
   )
 }

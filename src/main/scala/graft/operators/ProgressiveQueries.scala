@@ -58,7 +58,20 @@ object ProgressiveQueries {
       .orderBy(col("s_id"), col("t_id"))
   }
 
+  /** RANDOM scheduling baseline with a deterministic hash weight. */
+  def pr7RandomBudget(s: SparkSession, dir: String): DataFrame = {
+    val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
+    val theta = SpatialJoin.computeTheta(src)
+    SpatialJoin.candidatePairs(src, tgt, theta)
+      .withColumn("w_rand", Progressive.randomWeight)
+      .orderBy(col("w_rand").desc, col("s_id").asc, col("t_id").asc)
+      .limit(150)
+      .select(col("s_id"), col("t_id"), col("w_rand"))
+      .orderBy(col("s_id"), col("t_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr7_random_budget" -> (pr7RandomBudget _),
     "pr1_progressive_mbro" -> (pr1ProgressiveMbro _),
     "pr2_topk_per_target" -> (pr2TopKPerTarget _),
     "pr3_reciprocal_topk" -> (pr3ReciprocalTopK _),
@@ -104,6 +117,18 @@ object ProgressiveQueries {
          FROM cand)"""
 
   val oracles: Map[String, String] = Map(
+    "pr7_random_budget" ->
+      s"""$candCte,
+         r AS (
+           SELECT s_id, t_id,
+             CAST('0x' || substr(md5(s_id || ':' || t_id), 1, 15) AS BIGINT) AS w_rand
+           FROM cand),
+         ranked AS (
+           SELECT s_id, t_id, w_rand,
+             row_number() OVER (ORDER BY w_rand DESC, s_id ASC, t_id ASC) AS rk
+           FROM r)
+         SELECT s_id, t_id, w_rand FROM ranked WHERE rk <= 150
+         ORDER BY s_id, t_id""",
     "pr1_progressive_mbro" ->
       s"""$candCte,
          ranked AS (
