@@ -89,6 +89,10 @@ object ConfigRunner {
         link.earlyStopping(conf.mainWF,
           if (rel == "DE9IM") "intersects" else rel.toLowerCase,
           conf.batchSize, conf.precisionLimit, conf.violations).toDF()
+      case ("TOPK", _) =>
+        link.topK(math.max(1, conf.budget), conf.mainWF)
+      case ("RECIPROCAL_TOPK", _) =>
+        link.reciprocalTopK(math.max(1, conf.budget), conf.mainWF)
       case (alg, _) => throw new IllegalArgumentException(s"unknown algorithm: $alg")
     }
     conf.exportPath.foreach(p => SpatialIO.writePairsCsv(result, p))

@@ -225,7 +225,20 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ta4: BPE-ish token counting — words, digit runs, and individual
+    * punctuation marks count as separate tokens (the cheap proxy for
+    * subword tokenizer budgeting in data pipelines). Regex class
+    * syntax chosen to behave identically in Java regex and RE2. */
+  def ta4BpeTokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta4_bpe_tokens" -> (ta4BpeTokens _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
     "dd3_jaccard_pairs" -> (dd3JaccardPairs _),
@@ -256,6 +269,11 @@ object TextOps {
     s"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P"
 
   val oracles: Map[String, String] = Map(
+    "ta4_bpe_tokens" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+         FROM documents ORDER BY doc_id""",
     "dd1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY 1""",
