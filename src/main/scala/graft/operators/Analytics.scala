@@ -178,7 +178,21 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Correlated-subquery shape: customers above their nation's average
+    * balance (expressed as a window over the nation partition —
+    * Catalyst's decorrelated plan). */
+  def q15AboveNationAvg(s: SparkSession, dir: String): DataFrame = {
+    val byNation = Window.partitionBy(col("c_nationkey"))
+    customer(s, dir)
+      .withColumn("nation_avg", avg(col("c_acctbal")).over(byNation))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("nation_avg"), 2).as("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_above_nation_avg" -> (q15AboveNationAvg _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders_per_customer" -> (q3TopOrdersPerCustomer _),
@@ -196,6 +210,14 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q15_above_nation_avg" ->
+      """WITH w AS (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+             avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
+           FROM customer)
+         SELECT c_custkey, c_nationkey, c_acctbal,
+           round(nation_avg, 2) AS nation_avg
+         FROM w WHERE c_acctbal > nation_avg ORDER BY c_custkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

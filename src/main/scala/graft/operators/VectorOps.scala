@@ -83,10 +83,77 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
+    * exceeds a data-calibrated threshold (this synthetic corpus tops
+    * out near 0.51, so 0.45 marks its "near-duplicate" tail; rounded
+    * for cross-engine stability). Exact quadratic form here; the
+    * LSH-bucketed scale path is ann4. */
+  def dd7EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("sim") >= 0.45)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Random-hyperplane signature assignment — the sublinear candidate
+    * path for cosine similarity at scale. Hyperplane components derive
+    * deterministically from md5(plane:dim). */
+  def hyperplaneBuckets(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
+    val dims = 64
+    // deterministic pseudo-random plane weights in [-1, 1)
+    val w: Array[Array[Double]] = Array.tabulate(planes, dims) { (j, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+    }
+    val wLit = typedLit(w.map(_.toSeq).toSeq)
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("planes", wLit)
+    val sigBit = (j: Int) => when(
+      aggregate(zip_with(col("v"), element_at(col("planes"), j + 1),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x) > 0, 1L << j).otherwise(0L)
+    val sig = (0 until planes).map(sigBit).reduce(_ + _)
+    emb.withColumn("sig", sig).select(col("vec_id"), col("sig"), col("v"))
+  }
+
+  /** LSH candidate pairs: same-signature vectors, verified by exact
+    * cosine. Bounded by ScalaTest (subset of brute force; recall on
+    * the top similarity tail). */
+  def lshCandidatePairs(s: SparkSession, dir: String, planes: Int = 8,
+                        minSim: Double = 0.45): DataFrame = {
+    val bucketed = hyperplaneBuckets(s, dir, planes)
+    val l = bucketed.select(col("sig"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val r = bucketed.select(col("sig"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    l.join(r, "sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** ann4 (rows-only gate entry): hyperplane-LSH bucket histogram —
+    * signature sizes demonstrate the bucketing; float sign boundaries
+    * make the signature itself engine-specific, so no SQL oracle. */
+  def ann4HyperplaneLsh(s: SparkSession, dir: String): DataFrame =
+    hyperplaneBuckets(s, dir)
+      .groupBy(col("sig")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("sig"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_cosine_topk" -> (ann1CosineTopK _),
     "ann2_label_centroids" -> (ann2LabelCentroids _),
-    "ann3_ivf_topk" -> (ann3IvfTopK _)
+    "ann3_ivf_topk" -> (ann3IvfTopK _),
+    "ann4_hyperplane_lsh" -> (ann4HyperplaneLsh _),
+    "dd7_embedding_dups" -> (dd7EmbeddingDups _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,7 +179,20 @@ object VectorOps {
                   generate_subscripts(embedding, 1) - 1 AS dim
            FROM embeddings)
          SELECT label, dim, round(avg(val), 9) AS centroid
-         FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
-    // ann3: rows-only (see Scaladoc).
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    // ann3, ann4: rows-only (see Scaladoc).
+    "dd7_embedding_dups" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         FROM emb a, emb b
+         WHERE a.vec_id < b.vec_id
+           AND round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+         ORDER BY 1, 2"""
   )
 }

