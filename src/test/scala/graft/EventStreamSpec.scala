@@ -16,6 +16,46 @@ class EventStreamSpec extends AnyFunSuite {
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
 
+  test("stream-static spatial enrichment: streamed points joined to " +
+       "static regions match the batch join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // static side: part boxes as regions (id, bounds)
+    val boxes = graft.operators.SpatialJoin.entities(
+      graft.Tables.part(spark, dir).select(col("p_partkey").as("id"),
+        concat(lit("POLYGON(("),
+          (col("p_partkey") * 13) % 980, lit(" "), (col("p_partkey") * 29) % 980, lit(", "),
+          (col("p_partkey") * 13) % 980 + 20, lit(" "), (col("p_partkey") * 29) % 980, lit(", "),
+          (col("p_partkey") * 13) % 980 + 20, lit(" "), (col("p_partkey") * 29) % 980 + 20, lit(", "),
+          (col("p_partkey") * 13) % 980, lit(" "), (col("p_partkey") * 29) % 980 + 20, lit(", "),
+          (col("p_partkey") * 13) % 980, lit(" "), (col("p_partkey") * 29) % 980,
+          lit("))")).as("wkt")),
+      col("id"), col("wkt"))
+      .select(col("id").as("box_id"), col("minx"), col("miny"),
+        col("maxx"), col("maxy"))
+    def enrich(events: org.apache.spark.sql.DataFrame) = {
+      val px = (col("user_id") * 17) % 1000
+      val py = (col("event_id") * 23) % 1000
+      events.select(col("event_id"), px.as("px"), py.as("py"))
+        .join(broadcast(boxes),
+          col("px") > col("minx") && col("px") < col("maxx") &&
+          col("py") > col("miny") && col("py") < col("maxy"))
+        .select(col("event_id"), col("box_id"))
+    }
+    val q = enrich(EventStream.readEvents(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_test").start()
+    q.processAllAvailable()
+    try {
+      val streamed = spark.table("enriched_test").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = enrich(graft.Tables.events(spark, dir)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")

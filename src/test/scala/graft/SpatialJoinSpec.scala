@@ -117,6 +117,15 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("typed cogroup+index path equals the declarative tile join") {
+    val declarative = SpatialJoin.de9im(entitiesDf(source), entitiesDf(target))
+      .select("s_id", "t_id", "de9im").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val typed = graft.operators.TypedGiant.de9im(entitiesDf(source), entitiesDf(target))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(typed === declarative)
+  }
+
   test("entities drops invalid WKT, empty and GeometryCollection rows") {
     import spark.implicits._
     val rows = Seq(
