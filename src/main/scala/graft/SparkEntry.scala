@@ -13,9 +13,11 @@ import graft.operators.{Analytics, GeoQueries, Multimodal, ProgressiveQueries, T
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The engine's identity: holistic DE-9IM interlinking
+    * relation counts (GIA.nt) over the derived geometry relations. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    GeoQueries.sp3RelationCounts(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

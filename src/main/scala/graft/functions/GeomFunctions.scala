@@ -42,7 +42,7 @@ object Jts {
 object GeomCache {
   import java.nio.ByteBuffer
   import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
-  private val MAX = 1024
+  private val MAX = 8192
   private final class Lru[K, V](max: Int)
       extends java.util.LinkedHashMap[K, V](64, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = size() > max
@@ -132,7 +132,15 @@ case class StIm(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val g1 = GeomCache.geometry(l.asInstanceOf[Array[Byte]])
     val g2 = GeomCache.geometry(r.asInstanceOf[Array[Byte]])
-    val im = g1.relate(g2)
+    // rectangle-rectangle pairs take the analytic interval-arithmetic
+    // path (~ns) instead of JTS topology-graph relate (~100s of µs)
+    val im = if (g1.isRectangle && g2.isRectangle) {
+      val e1 = g1.getEnvelopeInternal; val e2 = g2.getEnvelopeInternal
+      new org.locationtech.jts.geom.IntersectionMatrix(
+        graft.geometry.RectIM.matrix(
+          e1.getMinX, e1.getMinY, e1.getMaxX, e1.getMaxY,
+          e2.getMinX, e2.getMinY, e2.getMaxX, e2.getMaxY))
+    } else g1.relate(g2)
     val d1 = g1.getDimension; val d2 = g2.getDimension
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(im.toString),
