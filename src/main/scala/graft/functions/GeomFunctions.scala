@@ -58,6 +58,18 @@ object GeomCache {
     if (g == null) { g = Jts.fromWkb(wkb); c.put(k, g) }
     g
   }
+  private val segs = ThreadLocal.withInitial[Lru[(ByteBuffer, Double, Double), Seq[(Long, Long, Geometry)]]](
+    () => new Lru(256)) // segments are bulky; smaller budget
+  def segments(wkb: Array[Byte], thetaX: Double, thetaY: Double): Seq[(Long, Long, Geometry)] = {
+    val k = (ByteBuffer.wrap(wkb), thetaX, thetaY)
+    val c = segs.get()
+    var s = c.get(k)
+    if (s == null) {
+      s = graft.geometry.Decompose.gridSegments(geometry(wkb), thetaX, thetaY)
+      c.put(k, s)
+    }
+    s
+  }
   def prepared(wkb: Array[Byte]): PreparedGeometry = {
     val k = ByteBuffer.wrap(wkb)
     val c = preps.get()
@@ -169,6 +181,48 @@ object StIm {
     StructField("overlaps", BooleanType, nullable = false),
     StructField("touches", BooleanType, nullable = false),
     StructField("equals", BooleanType, nullable = false)))
+}
+
+/** Adaptive DE-9IM verification: rectangles → analytic interval IM;
+  * large polygon pairs → exact segmented IM over cached θ-grid
+  * segments (cost bounded by the interaction neighbourhood); everything
+  * else → plain JTS relate. children: wkb1, wkb2, θx, θy, minPoints
+  * (literals). Output schema identical to [[StIm]].
+  */
+case class StImAdaptive(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = StIm.schema
+  override def nullable: Boolean = children.take(2).exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val l = children(0).eval(input); val r = children(1).eval(input)
+    if (l == null || r == null) return null
+    val thetaX = children(2).eval(input).asInstanceOf[Double]
+    val thetaY = children(3).eval(input).asInstanceOf[Double]
+    val minPts = children(4).eval(input).asInstanceOf[Int]
+    val wkb1 = l.asInstanceOf[Array[Byte]]; val wkb2 = r.asInstanceOf[Array[Byte]]
+    val g1 = GeomCache.geometry(wkb1); val g2 = GeomCache.geometry(wkb2)
+    val im =
+      if (g1.isRectangle && g2.isRectangle) {
+        val e1 = g1.getEnvelopeInternal; val e2 = g2.getEnvelopeInternal
+        new org.locationtech.jts.geom.IntersectionMatrix(
+          graft.geometry.RectIM.matrix(
+            e1.getMinX, e1.getMinY, e1.getMaxX, e1.getMaxY,
+            e2.getMinX, e2.getMinY, e2.getMaxX, e2.getMaxY))
+      } else if (g1.getDimension == 2 && g2.getDimension == 2 &&
+                 g1.getNumPoints + g2.getNumPoints >= minPts) {
+        graft.geometry.SegmentedIM.im(g1, g2,
+          GeomCache.segments(wkb1, thetaX, thetaY),
+          GeomCache.segments(wkb2, thetaX, thetaY))
+      } else g1.relate(g2)
+    val d1 = g1.getDimension; val d2 = g2.getDimension
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(im.toString),
+      !im.isDisjoint,
+      im.isContains, im.isWithin, im.isCovers, im.isCoveredBy,
+      im.isCrosses(d1, d2), im.isOverlaps(d1, d2), im.isTouches(d1, d2),
+      im.isEquals(d1, d2)))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cs)
 }
 
 /** Single-relation verification (DS-JedAI `linkers/GIAnt.scala:19-25`).
@@ -283,6 +337,12 @@ object GeomFunctions {
   def st_numpoints(geom: Column): Column = mk(StNumPoints(ex(geom)))
   def st_area(geom: Column): Column = mk(StArea(ex(geom)))
   def st_im(l: Column, r: Column): Column = mk(StIm(ex(l), ex(r)))
+  def st_im_adaptive(l: Column, r: Column, thetaX: Double, thetaY: Double,
+                     minPoints: Int = 128): Column =
+    mk(StImAdaptive(Seq(ex(l), ex(r),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
+      org.apache.spark.sql.catalyst.expressions.Literal(thetaY),
+      org.apache.spark.sql.catalyst.expressions.Literal(minPoints))))
   def st_predicate(l: Column, r: Column, relation: String): Column =
     mk(StPredicate(ex(l), ex(r), relation))
   def tile_cover(minx: Column, miny: Column, maxx: Column, maxy: Column,

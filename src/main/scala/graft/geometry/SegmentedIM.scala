@@ -1,0 +1,78 @@
+package graft.geometry
+
+import org.locationtech.jts.geom.{Envelope, Geometry, IntersectionMatrix}
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import scala.jdk.CollectionConverters._
+
+/** Exact DE-9IM via θ-grid segments for POLYGONAL operands — the full
+  * form of DS-JedAI's segmented verification (J8,
+  * `model/entities/segmented/DecomposedEntity.scala`), derived here
+  * with an exactness argument instead of the reference's heuristic
+  * accumulation:
+  *
+  *  - Candidate segments = those whose envelope intersects the OTHER
+  *    geometry's envelope. Every point of A inside env(B) lies in a
+  *    candidate segment, so A is fully represented there.
+  *  - A' = union(candidate segments of A) dissolves cut edges between
+  *    included segments; its only fake boundary is the frontier
+  *    against non-candidate segments — and every non-candidate
+  *    segment is disjoint from env(B), so fake boundary cannot touch
+  *    closed B. Hence the II/IB/BI/BB entries of relate(A', B') are
+  *    those of relate(A, B), exactly.
+  *  - Non-candidate segments of A exist only if env(A) ⊄ env(B), and
+  *    then some of A's interior AND boundary provably lie outside
+  *    env(B) ⊇ B (a polygon's boundary touches every side of its own
+  *    envelope), fixing the exterior-column entries: IE=2, BE=1.
+  *    Symmetrically for B's exterior row. EE is always 2.
+  *
+  * The win: relate cost drops from O(|A|+|B|) to O(neighbourhood of
+  * the smaller operand), which is the point when one geometry is
+  * enormous (coastlines, admin regions) and the other is local.
+  */
+object SegmentedIM {
+
+  /** Exact DE-9IM; falls back to plain relate for non-polygonal
+    * operands or when segmentation cannot save work. */
+  def im(a: Geometry, b: Geometry, thetaX: Double, thetaY: Double): IntersectionMatrix =
+    im(a, b,
+      Decompose.gridSegments(a, thetaX, thetaY),
+      Decompose.gridSegments(b, thetaX, thetaY))
+
+  /** Variant with pre-computed (cached) segment lists — decomposition
+    * amortizes across the many pairs a geometry participates in. */
+  def im(a: Geometry, b: Geometry,
+         segsAIn: => Seq[(Long, Long, Geometry)],
+         segsBIn: => Seq[(Long, Long, Geometry)]): IntersectionMatrix = {
+    if (a.getDimension != 2 || b.getDimension != 2) return a.relate(b)
+    val envA = a.getEnvelopeInternal
+    val envB = b.getEnvelopeInternal
+    if (!envA.intersects(envB)) return a.relate(b) // disjoint: cheap anyway
+
+    val segsA = segsAIn
+    val segsB = segsBIn
+    val candA = segsA.collect { case (_, _, g) if g.getEnvelopeInternal.intersects(envB) => g }
+    val candB = segsB.collect { case (_, _, g) if g.getEnvelopeInternal.intersects(envA) => g }
+    val aTrimmed = candA.size < segsA.size
+    val bTrimmed = candB.size < segsB.size
+    if (!aTrimmed && !bTrimmed) return a.relate(b) // no savings possible
+
+    if (candA.isEmpty || candB.isEmpty) {
+      // geometries cannot touch: both polygonal → canonical disjoint
+      return new IntersectionMatrix("FF2FF1212")
+    }
+
+    val aPart = if (aTrimmed) UnaryUnionOp.union(candA.asJava) else a
+    val bPart = if (bTrimmed) UnaryUnionOp.union(candB.asJava) else b
+    val im = aPart.relate(bPart)
+    if (aTrimmed) {
+      im.set(0, 2, 2) // Interior(A) ∩ Exterior(B)
+      im.set(1, 2, 1) // Boundary(A) ∩ Exterior(B)
+    }
+    if (bTrimmed) {
+      im.set(2, 0, 2) // Exterior(A) ∩ Interior(B)
+      im.set(2, 1, 1) // Exterior(A) ∩ Boundary(B)
+    }
+    im.set(2, 2, 2)
+    im
+  }
+}

@@ -183,11 +183,16 @@ object Analytics {
     * Catalyst's decorrelated plan). */
   def q15AboveNationAvg(s: SparkSession, dir: String): DataFrame = {
     val byNation = Window.partitionBy(col("c_nationkey"))
+    // The rounded average is NOT in the output: group averages can sit
+    // exactly on a decimal rounding boundary where Spark's HALF_UP and
+    // DuckDB's rounding disagree (seen at sf0.001). The unrounded
+    // comparison below is safe: 2-decimal inputs never fall within an
+    // ulp of their group mean unless the group is a single row (where
+    // both engines agree on exact equality).
     customer(s, dir)
       .withColumn("nation_avg", avg(col("c_acctbal")).over(byNation))
       .filter(col("c_acctbal") > col("nation_avg"))
-      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
-        round(col("nation_avg"), 2).as("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
 
@@ -215,8 +220,7 @@ object Analytics {
            SELECT c_custkey, c_nationkey, c_acctbal,
              avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nation_avg
            FROM customer)
-         SELECT c_custkey, c_nationkey, c_acctbal,
-           round(nation_avg, 2) AS nation_avg
+         SELECT c_custkey, c_nationkey, c_acctbal
          FROM w WHERE c_acctbal > nation_avg ORDER BY c_custkey""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -103,6 +103,19 @@ object SpatialJoin {
   def de9im(source: DataFrame, target: DataFrame): DataFrame =
     de9im(source, target, computeTheta(source))
 
+  /** DE-9IM with adaptive verification: analytic IM for rectangles,
+    * exact segmented IM for large polygon pairs (interaction-
+    * neighbourhood cost), plain relate otherwise. Results identical to
+    * [[de9im]]; use when operand size varies wildly. */
+  def de9imAdaptive(source: DataFrame, target: DataFrame,
+                    minPoints: Int = 128): DataFrame = {
+    val theta = computeTheta(source)
+    candidatePairs(source, target, theta)
+      .withColumn("im", st_im_adaptive(col("s_geom"), col("t_geom"),
+        theta.x, theta.y, minPoints))
+      .select(col("s_id"), col("t_id"), col("im.*"))
+  }
+
   /** Single-relation spatial join (DS-JedAI `SpatialJoinExp`): emit
     * qualifying (s_id, t_id) pairs only. */
   def relate(source: DataFrame, target: DataFrame, relation: String): DataFrame = {

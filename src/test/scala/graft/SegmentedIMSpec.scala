@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.io.WKTReader
+import graft.geometry.SegmentedIM
+
+/** Differential test of the exact segmented DE-9IM against plain JTS
+  * relate: random star polygons of wildly different sizes (the huge ×
+  * local case is the one the optimization exists for), at several θ
+  * granularities, plus containment/touch fixtures.
+  */
+class SegmentedIMSpec extends AnyFunSuite {
+  private val rd = new WKTReader()
+  private val rnd = new scala.util.Random(97)
+
+  private def star(cx: Double, cy: Double, r: Double) =
+    rd.read(TestGeoms.starPolygon(rnd, cx, cy, r))
+
+  test("segmented IM equals relate on mixed-size random polygon pairs") {
+    val big = (0 until 12).map(_ => star(50 + rnd.nextDouble() * 20,
+      50 + rnd.nextDouble() * 20, 35 + rnd.nextDouble() * 15))
+    val small = (0 until 40).map(_ => star(rnd.nextDouble() * 100,
+      rnd.nextDouble() * 100, 2 + rnd.nextDouble() * 6))
+    val geoms = big ++ small
+    for {
+      theta <- Seq(3.0, 7.0, 15.0)
+      a <- geoms; b <- geoms
+    } {
+      val expected = a.relate(b).toString
+      val got = SegmentedIM.im(a, b, theta, theta).toString
+      assert(got === expected, s"theta=$theta a=${a.getNumPoints}pts b=${b.getNumPoints}pts")
+    }
+  }
+
+  test("adaptive de9im join equals the plain join on a corpus with a " +
+       "huge-polygon skew") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SpatialJoin
+    def entities(rows: Seq[(String, String)]) =
+      SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
+    val lrnd = new scala.util.Random(7)
+    val src = TestGeoms.corpus(seed = 61, n = 60, world = 70) ++
+      Seq(("giant", TestGeoms.starPolygon(lrnd, 35, 35, 30)))
+    val tgt = TestGeoms.corpus(seed = 62, n = 50, world = 70)
+    val plain = SpatialJoin.de9im(entities(src), entities(tgt))
+      .select("s_id", "t_id", "de9im").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val adaptive = SpatialJoin.de9imAdaptive(entities(src), entities(tgt),
+      minPoints = 16)
+      .select("s_id", "t_id", "de9im").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(adaptive === plain)
+  }
+
+  test("segmented IM on canonical containment and touch cases") {
+    val outer = rd.read("POLYGON((0 0, 100 0, 100 100, 0 100, 0 0))")
+    val inner = rd.read("POLYGON((40 40, 60 40, 60 60, 40 60, 40 40))")
+    val edge  = rd.read("POLYGON((100 40, 120 40, 120 60, 100 60, 100 40))")
+    val far   = rd.read("POLYGON((300 300, 310 300, 310 310, 300 310, 300 300))")
+    Seq((outer, inner), (inner, outer), (outer, edge), (edge, outer),
+        (outer, far), (inner, inner)).foreach { case (a, b) =>
+      assert(SegmentedIM.im(a, b, 9.0, 9.0).toString === a.relate(b).toString)
+    }
+  }
+}
