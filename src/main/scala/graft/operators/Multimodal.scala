@@ -55,11 +55,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm2: frame sampling — take every k-th byte of the payload (the
+    * stand-in for fixed-rate video frame / audio sample extraction)
+    * and emit one row per sampled frame with its offset. The explode
+    * shape (one media row → many frame rows) is the real contract a
+    * decoder plugs into. */
+  def mm2FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 4
+    mediaTable(s, dir)
+      .flatMap { r =>
+        r.payload.indices.collect {
+          case i if i % k == 0 => (r.doc_id, i, r.payload(i) & 0xFF)
+        }
+      }
+      .toDF("doc_id", "frame_offset", "frame_value")
+      .orderBy(col("doc_id"), col("frame_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_media_features" -> (mm1MediaFeatures _)
+    "mm1_media_features" -> (mm1MediaFeatures _),
+    "mm2_frame_sample" -> (mm2FrameSample _)
   )
 
   val oracles: Map[String, String] = Map(
+    "mm2_frame_sample" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents)
+         SELECT doc_id, (i - 1) AS frame_offset, b[i] AS frame_value
+         FROM bytes, unnest(range(1, 17)) AS t(i)
+         WHERE (i - 1) % 4 = 0
+         ORDER BY doc_id, frame_offset""",
     // Decode the same md5 payload byte-by-byte in SQL.
     "mm1_media_features" ->
       """WITH bytes AS (

@@ -237,7 +237,26 @@ object TextOps {
       size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** ta5: term-frequency document score — join tokens against the
+    * corpus-wide frequency table; score = total corpus frequency of
+    * the doc's tokens / token count. Integer sums keep it exact across
+    * engines; a classic "common-word ratio" quality heuristic with the
+    * fact-table self-join shape (explode → agg → broadcast-join back).
+    */
+  def ta5TfScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    tok.join(broadcast(freq), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("f_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("f_sum"), col("n_tokens"),
+        (col("f_sum").cast("double") / col("n_tokens").cast("double")).as("tf_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta5_tf_score" -> (ta5TfScore _),
     "ta4_bpe_tokens" -> (ta4BpeTokens _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
@@ -269,6 +288,15 @@ object TextOps {
     s"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P"
 
   val oracles: Map[String, String] = Map(
+    "ta5_tf_score" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w)
+         SELECT doc_id, sum(f) AS f_sum, count(*) AS n_tokens,
+           CAST(sum(f) AS DOUBLE) / count(*) AS tf_score
+         FROM tok JOIN freq USING (w)
+         GROUP BY doc_id ORDER BY doc_id""",
     "ta4_bpe_tokens" ->
       """SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,

@@ -77,11 +77,33 @@ object ExplodeBase {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions._
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule { session =>
       SpatialJoinRewrite(
         session.conf.get("graft.theta.x", "1.0").toDouble,
         session.conf.get("graft.theta.y", "1.0").toDouble)
     }
+    // SQL surface: the geometry vocabulary callable from spark.sql(...)
+    def info(name: String) = new ExpressionInfo(classOf[StGeomFromWkt].getName, name)
+    e.injectFunction((FunctionIdentifier("st_geomfromwkt"), info("st_geomfromwkt"),
+      (exprs: Seq[Expression]) => StGeomFromWkt(exprs.head)))
+    e.injectFunction((FunctionIdentifier("st_envelope"), info("st_envelope"),
+      (exprs: Seq[Expression]) => StEnvelope(exprs.head)))
+    e.injectFunction((FunctionIdentifier("st_numpoints"), info("st_numpoints"),
+      (exprs: Seq[Expression]) => StNumPoints(exprs.head)))
+    e.injectFunction((FunctionIdentifier("st_area"), info("st_area"),
+      (exprs: Seq[Expression]) => StArea(exprs.head)))
+    e.injectFunction((FunctionIdentifier("st_relate"), info("st_relate"),
+      (exprs: Seq[Expression]) => StIm(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("st_predicate"), info("st_predicate"),
+      (exprs: Seq[Expression]) => exprs(2) match {
+        case Literal(rel, _) => StPredicate(exprs(0), exprs(1), rel.toString)
+        case other => throw new IllegalArgumentException(
+          s"st_predicate relation must be a literal, got $other")
+      }))
   }
 }

@@ -34,6 +34,23 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
     e.columns.foldLeft(e)((d, c) => d.withColumnRenamed(c, prefix + c))
   }
 
+  test("st_* functions are callable from SQL with the extension installed") {
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      """SELECT st_area(st_geomfromwkt('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))')) AS a,
+                st_numpoints(st_geomfromwkt('LINESTRING(0 0, 1 1, 2 2)')) AS n,
+                st_predicate(st_geomfromwkt('POINT(1 1)'),
+                             st_geomfromwkt('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                             'within') AS w,
+                st_relate(st_geomfromwkt('POINT(1 1)'),
+                          st_geomfromwkt('POINT(1 1)')).equals AS eq
+      """).head()
+    assert(row.getDouble(0) === 16.0)
+    assert(row.getInt(1) === 3)
+    assert(row.getBoolean(2))
+    assert(row.getBoolean(3))
+  }
+
   test("st_predicate join is rewritten to the tile plan and matches " +
        "brute force") {
     spark.sparkContext.setLogLevel("WARN")
