@@ -40,15 +40,46 @@ object TestGeoms {
   def point(rnd: scala.util.Random, cx: Double, cy: Double): String =
     gf.createPoint(new Coordinate(cx, cy)).toText
 
+  /** Polygon with an interior ring (hole) — boundary subtleties live
+    * here. The hole is a small square guaranteed inside the star's
+    * inner radius. */
+  def holePolygon(rnd: scala.util.Random, cx: Double, cy: Double, rBase: Double): String = {
+    val n = 6 + rnd.nextInt(6)
+    val pts = (0 until n).map { i =>
+      val ang = 2 * math.Pi * i / n
+      val r = rBase * (0.6 + 0.4 * rnd.nextDouble())
+      new Coordinate(cx + r * math.cos(ang), cy + r * math.sin(ang))
+    }
+    val shell = gf.createLinearRing((pts :+ pts.head).toArray)
+    val h = rBase * 0.2
+    val hole = gf.createLinearRing(Array(
+      new Coordinate(cx - h, cy - h), new Coordinate(cx - h, cy + h),
+      new Coordinate(cx + h, cy + h), new Coordinate(cx + h, cy - h),
+      new Coordinate(cx - h, cy - h)))
+    gf.createPolygon(shell, Array(hole)).toText
+  }
+
+  /** MultiPolygon of two disjoint stars. */
+  def multiPolygon(rnd: scala.util.Random, cx: Double, cy: Double, rBase: Double): String = {
+    val rd = new org.locationtech.jts.io.WKTReader()
+    val a = rd.read(starPolygon(rnd, cx, cy, rBase))
+      .asInstanceOf[org.locationtech.jts.geom.Polygon]
+    val b = rd.read(starPolygon(rnd, cx + rBase * 4, cy + rBase * 4, rBase))
+      .asInstanceOf[org.locationtech.jts.geom.Polygon]
+    gf.createMultiPolygon(Array(a, b)).toText
+  }
+
   /** Mixed corpus of n geometries in a world x world space. */
   def corpus(seed: Long, n: Int, world: Double): Seq[(String, String)] = {
     val rnd = new scala.util.Random(seed)
     (0 until n).map { i =>
       val cx = rnd.nextDouble() * world
       val cy = rnd.nextDouble() * world
-      val wkt = rnd.nextInt(10) match {
+      val wkt = rnd.nextInt(12) match {
         case 0 | 1      => point(rnd, cx, cy)
         case 2 | 3 | 4  => lineString(rnd, cx, cy, world / 20)
+        case 5          => holePolygon(rnd, cx, cy, world / 22)
+        case 6          => multiPolygon(rnd, cx, cy, world / 40)
         case _          => starPolygon(rnd, cx, cy, world / 25)
       }
       (s"g$i", wkt)
