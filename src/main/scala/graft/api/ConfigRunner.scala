@@ -16,7 +16,8 @@ import graft.sources.SpatialIO
 object ConfigRunner {
 
   case class DatasetConf(path: String, realIdField: Int, geometryField: Int,
-                         delimiter: String)
+                         delimiter: String, dateField: Option[Int] = None,
+                         datePattern: String = "yyyy-MM-dd HH:mm:ss")
 
   case class JobConf(source: DatasetConf, target: DatasetConf, relation: String,
                      algorithm: String, budget: Int, mainWF: String,
@@ -49,7 +50,9 @@ object ConfigRunner {
       realIdField = yaml.getOrElse(s"$p.realIdField", "0").toInt,
       geometryField = yaml.getOrElse(s"$p.geometryField", "1").toInt,
       delimiter = yaml.getOrElse(s"$p.delimiter",
-        if (yaml(s"$p.path").endsWith(".tsv")) "\t" else ","))
+        if (yaml(s"$p.path").endsWith(".tsv")) "\t" else ","),
+      dateField = yaml.get(s"$p.dateField").map(_.toInt),
+      datePattern = yaml.getOrElse(s"$p.datePattern", "yyyy-MM-dd HH:mm:ss"))
     JobConf(
       source = ds("source"), target = ds("target"),
       relation = yaml.getOrElse("relation", "DE9IM"),
@@ -70,14 +73,19 @@ object ConfigRunner {
     else if (d.path.endsWith(".json") || d.path.endsWith(".geojson"))
       SpatialIO.readGeoJson(spark, d.path, "id")
     else SpatialIO.readDelimitedWkt(spark, d.path, d.realIdField,
-      d.geometryField, d.delimiter)
+      d.geometryField, d.delimiter, d.dateField, d.datePattern)
 
   /** Run a configured job; returns the result DataFrame (relation
-    * counts for DE9IM, id pairs for single relations). */
+    * counts for DE9IM, id pairs for single relations). When both
+    * datasets declare a dateField, single-relation jobs apply the
+    * reference's ±2-day temporal filter (SpatioTemporalEntity
+    * semantics). */
   def run(spark: SparkSession, conf: JobConf): DataFrame = {
+    val temporal = conf.source.dateField.isDefined && conf.target.dateField.isDefined
     val link = SpatialLink(load(spark, conf.source), load(spark, conf.target))
     val result = (conf.algorithm.toUpperCase, conf.relation.toUpperCase) match {
       case ("GIANT", "DE9IM")    => link.de9im()
+      case ("GIANT", rel) if temporal => link.relateTemporal(rel.toLowerCase)
       case ("GIANT", rel)        => link.relate(rel.toLowerCase)
       case ("PROGRESSIVE_GIANT", rel) =>
         link.progressive(conf.budget, conf.mainWF,

@@ -23,17 +23,24 @@ object SpatialIO {
     * with fewer columns than needed are skipped (mode DROPMALFORMED
     * matches the reference's token-count guard, `Reader.scala:96`). */
   def readDelimitedWkt(spark: SparkSession, path: String, idField: Int,
-                       geomField: Int, delimiter: String = ","): DataFrame = {
+                       geomField: Int, delimiter: String = ",",
+                       dateField: Option[Int] = None,
+                       datePattern: String = "yyyy-MM-dd HH:mm:ss"): DataFrame = {
     val raw = spark.read
       .option("delimiter", delimiter)
       .option("header", "false")
       .option("mode", "DROPMALFORMED")
       .csv(path)
-    val needed = math.max(idField, geomField) + 1
     val ok = raw.filter(col(s"_c$idField").isNotNull && col(s"_c$geomField").isNotNull)
-    SpatialJoin.entities(ok, col(s"_c$idField"),
-      // the reference strips optional double quotes around the WKT
-      regexp_replace(col(s"_c$geomField"), "^\"|\"$", ""))
+    val wkt = // the reference strips optional double quotes around the WKT
+      regexp_replace(col(s"_c$geomField"), "^\"|\"$", "")
+    dateField match {
+      case Some(d) =>
+        SpatialJoin.entities(ok, col(s"_c$idField"), wkt,
+          "ts" -> to_timestamp(col(s"_c$d"), datePattern))
+      case None =>
+        SpatialJoin.entities(ok, col(s"_c$idField"), wkt)
+    }
   }
 
   /** RDF N-Triples with WKT literals — reference S3 `loadRdfAsTextual`

@@ -50,6 +50,41 @@ class ConfigRunnerSpec extends AnyFunSuite {
     val prog = ConfigRunner.run(spark, conf("PROGRESSIVE_GIANT", "intersects"))
     assert(prog.count() > 0)
 
+    // temporal job: dates 10 days apart on half the rows -> the ±2-day
+    // filter must drop cross-half pairs
+    val srcT = dir.resolve("srcT.csv")
+    val tgtT = dir.resolve("tgtT.csv")
+    def withDates(rows: Seq[(String, String)]) = rows.zipWithIndex.map {
+      case ((id, wkt), i) =>
+        val day = if (i % 2 == 0) "2020-01-01" else "2020-01-11"
+        s"""$id;"$wkt";$day 00:00:00"""
+    }
+    Files.writeString(srcT, withDates(TestGeoms.corpus(seed = 1, n = 40, world = 30))
+      .mkString("\n"))
+    Files.writeString(tgtT, withDates(TestGeoms.corpus(seed = 2, n = 30, world = 30))
+      .mkString("\n"))
+    val tempConf = ConfigRunner.jobConf(ConfigRunner.parseYaml(
+      s"""source:
+         |  path: $srcT
+         |  realIdField: 0
+         |  geometryField: 1
+         |  dateField: 2
+         |  delimiter: ;
+         |target:
+         |  path: $tgtT
+         |  realIdField: 0
+         |  geometryField: 1
+         |  dateField: 2
+         |  delimiter: ;
+         |relation: intersects
+         |configurations:
+         |  progressiveAlgorithm: GIANT
+         |""".stripMargin))
+    val temporalPairs = ConfigRunner.run(spark, tempConf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(temporalPairs.subsetOf(batch))
+    assert(temporalPairs.size < batch.size, "temporal filter must drop pairs")
+
     val dyn = ConfigRunner.run(spark, conf("DYNAMIC_PROGRESSIVE_GIANT", "intersects"))
       .collect()
     assert(dyn.map(r => (r.getAs[String]("s_id"), r.getAs[String]("t_id"))).toSet
