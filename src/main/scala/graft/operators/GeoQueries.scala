@@ -70,11 +70,11 @@ object GeoQueries {
       df
     })
 
-  private[operators] def partBoxes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def partBoxes(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "partBoxes") {
       SpatialJoin.entities(partBoxWkt(part(s, dir)), col("id"), col("wkt"))
     }
-  private[operators] def supplierBoxes(s: SparkSession, dir: String): DataFrame =
+  private[graft] def supplierBoxes(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "supplierBoxes") {
       SpatialJoin.entities(supplierBoxWkt(supplier(s, dir)), col("id"), col("wkt"))
     }
@@ -90,13 +90,13 @@ object GeoQueries {
     SpatialJoin.entities(
       supplierBoxWkt(supplier(s, dir)).withColumn("ts", derivedDate(col("id"))),
       col("id"), col("wkt"), "ts" -> col("ts"))
-  private[operators] def customerPoints(s: SparkSession, dir: String): DataFrame =
+  private[graft] def customerPoints(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "customerPoints") {
       SpatialJoin.entities(customerPointWkt(customer(s, dir)), col("id"), col("wkt"))
     }
 
   // Shared oracle CTEs mirroring the derivations above.
-  private[operators] val geomCtes =
+  private[graft] val geomCtes =
     """WITH sb AS (
          SELECT p_partkey AS id,
                 (p_partkey*13)%980 AS xmin, (p_partkey*29)%980 AS ymin,
