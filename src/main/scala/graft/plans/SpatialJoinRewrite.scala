@@ -38,10 +38,53 @@ case class SpatialJoinRewrite(thetaX: Double, thetaY: Double) extends Rule[Logic
     if (found.size == names.size) Some(found) else None
   }
 
+  /** Split a conjunction into (the one spatial predicate, the rest). */
+  private def extractSpatial(cond: Expression): Option[(StPredicate, Seq[Expression])] = {
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => split(a) ++ split(b)
+        case other => Seq(other)
+      }
+      split(cond)
+    }
+    conjuncts.collect { case p: StPredicate => p } match {
+      case Seq(p) => Some((p, conjuncts.filterNot(_ eq p)))
+      case _ => None
+    }
+  }
+
+  /** Guard against re-matching our own output: once rewritten, the
+    * join children are (possibly Filter/Project-wrapped) Generates
+    * emitting the __ltile/__rtile attributes, and later optimizer
+    * passes push the kept predicate back into the join condition —
+    * without this check the rule re-fires every iteration and stacks
+    * Generates until the iteration limit. */
+  private def alreadyRewritten(p: LogicalPlan): Boolean = {
+    @annotation.tailrec
+    def through(q: LogicalPlan): LogicalPlan = q match {
+      case f: Filter  => through(f.child)
+      case pr: Project => through(pr.child)
+      case other => other
+    }
+    through(p) match {
+      case g: Generate =>
+        g.generatorOutput.exists(a => a.name == "__ltile" || a.name == "__rtile")
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(pred @ StPredicate(lg: Attribute, rg: Attribute, _)), hint)
-        if left.outputSet.contains(lg) && right.outputSet.contains(rg) =>
-      (side(left, lg.name.stripSuffix("geom")), side(right, rg.name.stripSuffix("geom"))) match {
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        if !alreadyRewritten(left) && !alreadyRewritten(right) &&
+        extractSpatial(cond).exists { case (p, _) =>
+          p.left.isInstanceOf[Attribute] && p.right.isInstanceOf[Attribute] &&
+          left.outputSet.contains(p.left.asInstanceOf[Attribute]) &&
+          right.outputSet.contains(p.right.asInstanceOf[Attribute])
+        } =>
+      val (pred, others) = extractSpatial(cond).get
+      val lg = pred.left.asInstanceOf[Attribute]
+      val rg = pred.right.asInstanceOf[Attribute]
+      val j2 = (side(left, lg.name.stripSuffix("geom")), side(right, rg.name.stripSuffix("geom"))) match {
         case (Some(l), Some(r)) =>
           val lTile = AttributeReference("__ltile", LongType, nullable = false)()
           val rTile = AttributeReference("__rtile", LongType, nullable = false)()
@@ -63,11 +106,12 @@ case class SpatialJoinRewrite(thetaX: Double, thetaY: Double) extends Rule[Logic
           val refTy = flr(Greatest(Seq(l("miny"), r("miny"))), thetaY)
           val refTile = BitwiseOr(ShiftLeft(refTx, Literal(32)),
             BitwiseAnd(refTy, Literal(0xFFFFFFFFL)))
-          val filters = (mbr :+ EqualTo(lTile, refTile) :+ pred).reduce(And)
+          val filters = (mbr ++ Seq(EqualTo(lTile, refTile), pred) ++ others).reduce(And)
           val joined = Join(lGen, rGen, Inner, Some(EqualTo(lTile, rTile)), hint)
           Project(j.output, Filter(filters, joined))
         case _ => j
       }
+      j2
   }
 }
 

@@ -67,5 +67,16 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
       tgt.columns.foldLeft(tgt)((d, c) => d.withColumnRenamed(c, c.stripPrefix("t_"))),
       "intersects").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === expected)
+
+    // conjunction form: extra non-spatial predicate must also rewrite
+    val mixed = src.join(tgt,
+      st_predicate(col("s_geom"), col("t_geom"), "intersects") &&
+      col("s_id") =!= col("t_id"))
+    val mixedPhys = mixed.queryExecution.executedPlan.toString
+    assert(!mixedPhys.contains("CartesianProduct"),
+      s"And(spatial, other) not rewritten:\n$mixedPhys")
+    val gotMixed = mixed.select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotMixed === expected.filter { case (a, b) => a != b })
   }
 }
