@@ -66,6 +66,9 @@ object Stress {
     val top = time("progressive top-100k by MBRO")(
       Progressive.progressiveVerify(src, tgt, "w_mbro", 100000).count())
     println(s"[stress] progressive rows=$top")
+    val typedCount = time("typed cogroup+index de9im count")(
+      graft.operators.TypedGiant.de9im(src, tgt).count())
+    println(s"[stress] typed pairs=$typedCount")
     spark.stop()
   }
 }

@@ -95,8 +95,16 @@ object TypedGiant {
                       val rcx = math.floor(rx / theta.x).toLong / coarsen
                       val rcy = math.floor(ry / theta.y).toLong / coarsen
                       if (Jts.encodeTile(rcx, rcy) == key) {
-                        val im = Jts.fromWkb(s.geom).relate(tg)
-                        out += ((s.id, t.id, im.toString))
+                        val sg = Jts.fromWkb(s.geom)
+                        // same analytic shortcut as the expression path
+                        val im = if (sg.isRectangle && tg.isRectangle) {
+                          val e1 = sg.getEnvelopeInternal
+                          val e2 = tg.getEnvelopeInternal
+                          graft.geometry.RectIM.matrix(
+                            e1.getMinX, e1.getMinY, e1.getMaxX, e1.getMaxY,
+                            e2.getMinX, e2.getMinY, e2.getMaxX, e2.getMaxY)
+                        } else sg.relate(tg).toString
+                        out += ((s.id, t.id, im))
                       }
                     }
                   }

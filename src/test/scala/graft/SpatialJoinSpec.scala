@@ -157,6 +157,36 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(typed === declarative)
   }
 
+  test("negative-coordinate world: declarative, typed and brute force " +
+       "all agree") {
+    // centered at the origin: tile indices and coarse keys are negative
+    // — floor vs truncation bugs live here
+    val gf2 = new GeometryFactory()
+    val rnd = new scala.util.Random(123)
+    def shifted(seed: Long, n: Int) = TestGeoms.corpus(seed, n, 80).map {
+      case (id, wkt) =>
+        val g = new WKTReader().read(wkt)
+        val t = org.locationtech.jts.geom.util.AffineTransformation
+          .translationInstance(-40, -40)
+        (id, t.transform(g).toText)
+    }
+    val src = shifted(201, 70)
+    val tgt = shifted(202, 60)
+    val rd = new WKTReader()
+    val expected = (for {
+      (sid, sw) <- src; (tid, tw) <- tgt
+      sg = rd.read(sw); tg = rd.read(tw)
+      if sg.getEnvelopeInternal.intersects(tg.getEnvelopeInternal)
+    } yield (sid, tid) -> sg.relate(tg).toString).toMap
+    val decl = SpatialJoin.de9im(entitiesDf(src), entitiesDf(tgt))
+      .select("s_id", "t_id", "de9im").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val typed = graft.operators.TypedGiant.de9im(entitiesDf(src), entitiesDf(tgt))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(decl === expected)
+    assert(typed === expected)
+  }
+
   test("entities drops invalid WKT, empty and GeometryCollection rows") {
     import spark.implicits._
     val rows = Seq(
