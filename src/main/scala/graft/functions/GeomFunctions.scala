@@ -313,6 +313,25 @@ case class StGridSegments(children: Seq[Expression]) extends Expression with Cod
     copy(cs)
 }
 
+/** Coordinate precision reduction (DS-JedAI D6,
+  * `utils/geometryUtils/GeometryUtils.scala:18-24`): snap coordinates
+  * to a fixed decimal grid via JTS's precision reducer — the loader
+  * step that makes noisy real-world coordinates hashable/joinable.
+  * children: wkb, scale (literal; 1e11 mirrors the reference). */
+case class StReducePrecision(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable
+  override def nullSafeEval(wkb: Any, scale: Any): Any = {
+    val g = Jts.fromWkb(wkb.asInstanceOf[Array[Byte]])
+    val pm = new org.locationtech.jts.geom.PrecisionModel(scale.asInstanceOf[Double])
+    val reduced = org.locationtech.jts.precision.GeometryPrecisionReducer.reduce(g, pm)
+    if (reduced.isEmpty) null else Jts.toWkb(reduced)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Optimizer barrier: a semantic no-op marked non-deterministic so
   * Catalyst neither collapses the projection that computes `child` nor
   * pushes filters through it. Used around the WKT parse in the entity
@@ -350,6 +369,9 @@ object GeomFunctions {
     mk(TileCover(Seq(ex(minx), ex(miny), ex(maxx), ex(maxy),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaY))))
+  def st_reduce_precision(geom: Column, scale: Double): Column =
+    mk(StReducePrecision(ex(geom),
+      org.apache.spark.sql.catalyst.expressions.Literal(scale)))
   def st_fine_envelopes(geom: Column, thetaX: Double, maxEnvs: Int): Column =
     mk(StFineEnvelopes(Seq(ex(geom),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaX),

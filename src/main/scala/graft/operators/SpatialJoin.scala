@@ -173,6 +173,37 @@ object SpatialJoin {
     candidatePairs(source, target, theta).count()
   }
 
+  /** Per-partition verification diagnostics (reference A6): run the
+    * DE-9IM join while counting verifications per Spark partition via
+    * a typed pass; returns (result pairs, per-partition counts). The
+    * counts expose verification-cost skew that byte metrics miss. */
+  def de9imWithStats(source: DataFrame, target: DataFrame): (DataFrame, Map[Int, Long]) = {
+    val theta = computeTheta(source)
+    val acc = source.sparkSession.sparkContext
+      .collectionAccumulator[(Int, Long)]("graft.verificationsPerPartition")
+    val cands = candidatePairs(source, target, theta)
+    val spark = cands.sparkSession
+    val counted = cands.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      new Iterator[org.apache.spark.sql.Row] {
+        private var n = 0L
+        private var flushed = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !flushed) { acc.add((pid, n)); flushed = true }
+          h
+        }
+        def next(): org.apache.spark.sql.Row = { n += 1; it.next() }
+      }
+    }(org.apache.spark.sql.Encoders.row(cands.schema))
+    val result = counted
+      .withColumn("im", st_im(col("s_geom"), col("t_geom")))
+      .select(col("s_id"), col("t_id"), col("im.*"))
+    result.count() // materialize so the accumulator is populated
+    import scala.jdk.CollectionConverters._
+    (result, acc.value.asScala.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+  }
+
   /** Spatio-temporal single-relation join — the reference's
     * SpatioTemporalEntity semantics (DS-JedAI
     * `model/entities/SpatioTemporalEntity.scala:18-28`): a pair

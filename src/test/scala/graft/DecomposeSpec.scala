@@ -95,6 +95,28 @@ class DecomposeSpec extends AnyFunSuite {
     assert(fine.count() <= plain.count())
   }
 
+  test("precision reduction snaps coordinates and preserves validity") {
+    import spark.implicits._
+    import graft.functions.GeomFunctions._
+    val noisy = Seq(
+      ("a", "POLYGON((0.100000000001 0, 4.2999999999 0, 4.3 4.1, 0.1 4.1, 0.100000000001 0))"),
+      ("b", "POINT(1.23456789 9.87654321)"))
+    val out = SpatialJoin.entities(noisy.toDF("id", "wkt"), col("id"), col("wkt"))
+      .withColumn("geom", st_reduce_precision(col("geom"), 1e6))
+      .collect().map { r =>
+        r.getString(0) -> graft.functions.Jts.fromWkb(r.getAs[Array[Byte]]("geom"))
+      }.toMap
+    assert(out("a").isValid)
+    val p = out("b").getCoordinate
+    assert(p.x === 1.234568 && p.y === 9.876543) // snapped to 1e-6 grid
+  }
+
+  test("per-partition verification stats sum to the total pair count") {
+    val (result, stats) = SpatialJoin.de9imWithStats(entitiesDf(source), entitiesDf(target))
+    assert(stats.values.sum === result.count())
+    assert(stats.nonEmpty)
+  }
+
   test("segmented intersects join equals the whole-geometry join") {
     val plain = SpatialJoin.relate(entitiesDf(source), entitiesDf(target), "intersects")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
