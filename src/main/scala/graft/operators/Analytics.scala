@@ -301,7 +301,7 @@ object Analytics {
                        ORDER BY ts, event_id)) > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
            FROM events)
-         SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+         SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM marked GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -191,15 +191,15 @@ object GeoQueries {
     "sp3_relation_counts" ->
       s"""$geomCtes
          SELECT count(*) AS verifications,
-           sum(CASE WHEN $sqlIntersects THEN 1 ELSE 0 END) AS intersects,
-           sum(CASE WHEN $sqlContains THEN 1 ELSE 0 END) AS contains,
-           sum(CASE WHEN $sqlWithin THEN 1 ELSE 0 END) AS within,
-           sum(CASE WHEN $sqlContains THEN 1 ELSE 0 END) AS covers,
-           sum(CASE WHEN $sqlWithin THEN 1 ELSE 0 END) AS coveredby,
-           0 AS crosses,
-           sum(CASE WHEN $sqlOverlaps THEN 1 ELSE 0 END) AS overlaps,
-           sum(CASE WHEN $sqlTouches THEN 1 ELSE 0 END) AS touches,
-           sum(CASE WHEN $sqlEquals THEN 1 ELSE 0 END) AS equals
+           CAST(sum(CASE WHEN $sqlIntersects THEN 1 ELSE 0 END) AS BIGINT) AS intersects,
+           CAST(sum(CASE WHEN $sqlContains THEN 1 ELSE 0 END) AS BIGINT) AS contains,
+           CAST(sum(CASE WHEN $sqlWithin THEN 1 ELSE 0 END) AS BIGINT) AS within,
+           CAST(sum(CASE WHEN $sqlContains THEN 1 ELSE 0 END) AS BIGINT) AS covers,
+           CAST(sum(CASE WHEN $sqlWithin THEN 1 ELSE 0 END) AS BIGINT) AS coveredby,
+           CAST(0 AS BIGINT) AS crosses,
+           CAST(sum(CASE WHEN $sqlOverlaps THEN 1 ELSE 0 END) AS BIGINT) AS overlaps,
+           CAST(sum(CASE WHEN $sqlTouches THEN 1 ELSE 0 END) AS BIGINT) AS touches,
+           CAST(sum(CASE WHEN $sqlEquals THEN 1 ELSE 0 END) AS BIGINT) AS equals
          FROM sb s, tb t WHERE $sqlIntersects""",
     "sp5_temporal_join" ->
       s"""$geomCtes

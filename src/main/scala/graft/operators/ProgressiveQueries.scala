@@ -113,7 +113,7 @@ object ProgressiveQueries {
          SELECT s_id, t_id, contains_q, cf,
            cf / (tiles_s + tiles_t - cf) AS w_js,
            ia / (areas - ia) AS w_mbro,
-           cf AS w_cf
+           CAST(cf AS BIGINT) AS w_cf
          FROM cand)"""
 
   val oracles: Map[String, String] = Map(
@@ -200,9 +200,9 @@ object ProgressiveQueries {
       s"""$candCte,
          ranked AS (
            SELECT row_number() OVER (ORDER BY w_js DESC, s_id ASC, t_id ASC) AS rank,
-             sum(CASE WHEN contains_q THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN contains_q THEN 1 ELSE 0 END)
                OVER (ORDER BY w_js DESC, s_id ASC, t_id ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qp
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qp
            FROM weighted),
          n AS (SELECT count(*) AS n FROM weighted),
          stepped AS (SELECT greatest(1, (n + 9) // 10) AS step, n FROM n)

@@ -293,7 +293,7 @@ object TextOps {
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
            FROM documents),
          freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w)
-         SELECT doc_id, sum(f) AS f_sum, count(*) AS n_tokens,
+         SELECT doc_id, CAST(sum(f) AS BIGINT) AS f_sum, count(*) AS n_tokens,
            CAST(sum(f) AS DOUBLE) / count(*) AS tf_score
          FROM tok JOIN freq USING (w)
          GROUP BY doc_id ORDER BY doc_id""",

@@ -14,14 +14,28 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def dtype_class(s) -> str:
+    """Coarse dtype class mirroring the driver's canonical hash: an int64
+    column and a float64 column hash differently even when values match."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "obj"
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for compare
+    # normalize widths within a dtype class (int32 vs int64 is fine;
+    # int vs float is NOT — that is checked separately via dtype_class)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(6)
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -54,13 +68,20 @@ def main(outdir, sfdir):
         if list(g.columns) != list(e.columns):
             print(f"  [FAIL-cols] {name}: spark={list(g.columns)} duck={list(e.columns)}")
             n_fail += 1
+            continue
+        bad_dt = [c for c in g.columns if dtype_class(g[c]) != dtype_class(e[c])]
+        if bad_dt:
+            print(f"  [FAIL-dtyp] {name}: " + ", ".join(
+                f"{c}: spark={dtype_class(g[c])} duck={dtype_class(e[c])}" for c in bad_dt))
+            n_fail += 1
         elif len(g) != len(e):
             print(f"  [FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
             n_fail += 1
         else:
             try:
+                # exact for ints/strings/timestamps; tight tolerance for floats
                 pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                              check_exact=False, rtol=1e-6, atol=1e-6)
+                                              check_exact=False, rtol=1e-9, atol=1e-12)
                 print(f"  [pass] {name}: rows={len(g)}")
                 n_pass += 1
             except AssertionError as ex:
