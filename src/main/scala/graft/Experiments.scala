@@ -39,6 +39,7 @@ object Experiments {
         relation = "contains"))
       println(f"[exp] $budget%8d $weight%8s ${q.recall}%8.3f ${q.precision}%10.3f ${q.pgr}%8.3f $t%7.2fs")
     }
+    graft.spark.DfCache.release(spark)
     spark.stop()
   }
 }

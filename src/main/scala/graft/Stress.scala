@@ -36,8 +36,12 @@ object Stress {
         xmin, lit(" "), ymin + sz, lit(", "),
         xmin, lit(" "), ymin, lit("))"))
     }
+    // id must be UNIQUE (the engine's entity contract, like the
+    // reference's originalID) — the synthetic lineitem even has
+    // duplicate (orderkey, linenumber) pairs, so synthesize a unique
+    // surrogate id (stable across recomputes for a fixed file layout)
     val src = SpatialJoin.entities(
-      li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      li.select(monotonically_increasing_id().as("id"),
         box(col("l_orderkey") * 7 + col("l_linenumber"),
           lit(1) + (col("l_partkey") % 10)).as("wkt")),
       col("id"), col("wkt"))
@@ -66,9 +70,18 @@ object Stress {
     val top = time("progressive top-100k by MBRO")(
       Progressive.progressiveVerify(src, tgt, "w_mbro", 100000).count())
     println(s"[stress] progressive rows=$top")
+    // real-budget shape check: no single-partition window / TakeOrdered
+    // may appear at budget 1M (reference budgets are 5M-50M)
+    val top1m = time("progressive top-1M by JS")(
+      Progressive.progressiveVerify(src, tgt, "w_js", 1000000).count())
+    println(s"[stress] progressive-1M rows=$top1m")
+    val curve = time("pgr curve, budget 1M")(
+      Progressive.pgrCurve(src, tgt, "w_js", "intersects", 1000000).collect().length)
+    println(s"[stress] pgr checkpoints=$curve")
     val typedCount = time("typed cogroup+index de9im count")(
       graft.operators.TypedGiant.de9im(src, tgt).count())
     println(s"[stress] typed pairs=$typedCount")
+    graft.spark.DfCache.release(spark)
     spark.stop()
   }
 }

@@ -58,17 +58,11 @@ object GeoQueries {
     * and then joins (second job) over the same entities, and the gate
     * runs many queries per session — persisting the parsed entities
     * mirrors the reference's MEMORY_AND_DISK persist of the source
-    * (DS-JedAI `experiments/GiantExp.scala:77`). Keyed weakly per
-    * session so Verify/Bench sessions don't leak across runs. */
-  private val entityCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    * (DS-JedAI `experiments/GiantExp.scala:77`). Entries live in
+    * [[graft.spark.DfCache]]; Verify/Bench release them at end of run. */
   private def memo(s: SparkSession, dir: String, key: String)
                   (build: => DataFrame): DataFrame =
-    entityCache.getOrElseUpdate((s, dir, key), {
-      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize once
-      df
-    })
+    graft.spark.DfCache.memo(s, s"$dir#$key")(build)
 
   private[graft] def partBoxes(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "partBoxes") {

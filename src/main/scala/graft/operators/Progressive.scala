@@ -109,18 +109,32 @@ object Progressive {
     }
 
   /** ProgressiveGIAnt: global budget top-k by weight, then verify in
-    * weight order (reference `ProgressiveGIAnt.scala:25-42`; the
-    * global orderBy+limit is the declarative form of its prorated
-    * per-partition PQs). Deterministic ties via the id pair. */
+    * weight order (reference `ProgressiveGIAnt.scala:25-42`).
+    * Deterministic ties via the id pair.
+    *
+    * Scale shape: ranking goes through [[Ranks.withGlobalRank]]
+    * (range-exchange + per-partition offsets) — no single-partition
+    * window, no `TakeOrdered` driver collect of budget rows — and the
+    * JTS predicate runs only on the `rank <= budget` survivors, so
+    * geometry work is budget-bounded exactly like the reference's
+    * prorated per-partition PQs. */
   def progressiveVerify(source: DataFrame, target: DataFrame, weight: String,
                         budget: Int, relation: String = "intersects"): DataFrame = {
     val theta = SpatialJoin.computeTheta(source)
-    val ranked = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
-      .orderBy(col(weight).desc, col("s_id").asc, col("t_id").asc)
-      .limit(budget)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col(weight).desc, col("s_id").asc, col("t_id").asc)))
-    ranked
+    val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
+    // Rank NARROW rows (ids + weight, ~24 B) — the geometry blobs never
+    // enter the rank exchange; they are joined back for the budget
+    // survivors only, so shuffle volume is weight-columns * candidates
+    // + geom * budget instead of geom * candidates. Requires UNIQUE
+    // entity ids per side (the engine-wide entity contract, mirroring
+    // the reference's originalID identification of output pairs).
+    val narrow = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+      .select(col("s_id"), col("t_id"), col(weight))
+    val bounded = Ranks.withGlobalRank(narrow, ordering)
+      .filter(col("rank") <= budget)
+    bounded
+      .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+      .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
       .select(col("rank"), col("s_id"), col("t_id"), col(weight), col("qualifies"))
@@ -164,23 +178,36 @@ object Progressive {
       .cast("long")
 
   /** Progressive-recall curve (PGR, reference
-    * `DistributedProgressiveInterlinking.scala:229-257`): rank all
-    * candidates by weight, running count of qualifying pairs, sampled
-    * at 10 checkpoints. */
+    * `DistributedProgressiveInterlinking.scala:229-257`): rank the
+    * top-`budget` candidates by weight, verify them in rank order, and
+    * sample the running count of qualifying pairs at 10 checkpoints —
+    * the reference evaluates the same curve over its `takeBudget`
+    * verified stream.
+    *
+    * Scale shape: rank assignment and the running sum both go through
+    * [[Ranks]] (range-exchange + offsets, no single-partition window);
+    * the JTS predicate runs once, only on the budget-bounded prefix,
+    * and the row count falls out of the offsets job — the whole
+    * pipeline is evaluated a single time. */
   def pgrCurve(source: DataFrame, target: DataFrame, weight: String,
-               relation: String = "intersects"): DataFrame = {
+               relation: String = "intersects",
+               budget: Int = Int.MaxValue): DataFrame = {
     val theta = SpatialJoin.computeTheta(source)
     val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
-    val ranked = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+    val narrow = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+      .select(col("s_id"), col("t_id"), col(weight))
+    val bounded = Ranks.withGlobalRank(narrow, ordering)
+      .filter(col("rank") <= budget)
+      .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+      .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
-      .withColumn("rank", row_number().over(Window.orderBy(ordering: _*)))
-      .withColumn("cum_qp", sum(when(col("qualifies"), 1L).otherwise(0L)).over(
-        Window.orderBy(ordering: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val n = ranked.count()
+      .select(col("rank"), col("qualifies"))
+    val rt = Ranks.runningTotals(bounded, Seq(col("rank").asc),
+      Seq(when(col("qualifies"), 1L).otherwise(0L)), Seq("cum_qp"), rankCol = "rk2")
+    val n = rt.totals.head
     val step = math.max(1L, (n + 9) / 10)
-    ranked.filter(col("rank") % step === 0 || col("rank") === n)
+    rt.df.filter(col("rank") % step === 0 || col("rank") === n)
       .select(col("rank"), col("cum_qp"))
   }
 }

@@ -26,7 +26,8 @@ object ProgressiveQueries {
       .orderBy(col("s_id"), col("t_id"))
 
   def pr4PgrCurve(s: SparkSession, dir: String): DataFrame =
-    Progressive.pgrCurve(partBoxes(s, dir), supplierBoxes(s, dir), "w_js", "contains")
+    Progressive.pgrCurve(partBoxes(s, dir), supplierBoxes(s, dir), "w_js", "contains",
+      budget = 150)
       .orderBy(col("rank"))
 
   /** Pearson-χ² weighted budget (the reference papers' best-quality
@@ -35,14 +36,11 @@ object ProgressiveQueries {
     val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
     val theta = SpatialJoin.computeTheta(src)
     val n = Progressive.totalTiles(src, theta)
-    val ranked = Progressive.withChi2Weight(
-      SpatialJoin.candidatePairs(src, tgt, theta), theta, n)
-      .orderBy(col("w_x2").desc, col("s_id").asc, col("t_id").asc)
-      .limit(100)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("w_x2").desc, col("s_id").asc, col("t_id").asc)))
-    ranked.select(col("rank"), col("s_id"), col("t_id"), col("w_x2"))
+    val ordering = Seq(col("w_x2").desc, col("s_id").asc, col("t_id").asc)
+    Ranks.withGlobalRank(Progressive.withChi2Weight(
+        SpatialJoin.candidatePairs(src, tgt, theta), theta, n), ordering)
+      .filter(col("rank") <= 100)
+      .select(col("rank"), col("s_id"), col("t_id"), col("w_x2"))
   }
 
   /** HYBRID weighting scheme: rank by the product of two weights. */
@@ -50,10 +48,10 @@ object ProgressiveQueries {
     val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
     val theta = SpatialJoin.computeTheta(src)
     val ordering = Progressive.schemeOrdering("HYBRID", "w_js", "w_mbro")
-    Progressive.withWeights(SpatialJoin.candidatePairs(src, tgt, theta), theta)
-      .withColumn("w_hybrid", col("w_js") * col("w_mbro"))
-      .orderBy(ordering: _*)
-      .limit(150)
+    Ranks.withGlobalRank(
+        Progressive.withWeights(SpatialJoin.candidatePairs(src, tgt, theta), theta)
+          .withColumn("w_hybrid", col("w_js") * col("w_mbro")), ordering)
+      .filter(col("rank") <= 150)
       .select(col("s_id"), col("t_id"), col("w_hybrid"))
       .orderBy(col("s_id"), col("t_id"))
   }
@@ -62,10 +60,11 @@ object ProgressiveQueries {
   def pr7RandomBudget(s: SparkSession, dir: String): DataFrame = {
     val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
     val theta = SpatialJoin.computeTheta(src)
-    SpatialJoin.candidatePairs(src, tgt, theta)
-      .withColumn("w_rand", Progressive.randomWeight)
-      .orderBy(col("w_rand").desc, col("s_id").asc, col("t_id").asc)
-      .limit(150)
+    Ranks.withGlobalRank(
+        SpatialJoin.candidatePairs(src, tgt, theta)
+          .withColumn("w_rand", Progressive.randomWeight),
+        Seq(col("w_rand").desc, col("s_id").asc, col("t_id").asc))
+      .filter(col("rank") <= 150)
       .select(col("s_id"), col("t_id"), col("w_rand"))
       .orderBy(col("s_id"), col("t_id"))
   }
@@ -204,9 +203,10 @@ object ProgressiveQueries {
                OVER (ORDER BY w_js DESC, s_id ASC, t_id ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qp
            FROM weighted),
-         n AS (SELECT count(*) AS n FROM weighted),
+         b AS (SELECT rank, cum_qp FROM ranked WHERE rank <= 150),
+         n AS (SELECT count(*) AS n FROM b),
          stepped AS (SELECT greatest(1, (n + 9) // 10) AS step, n FROM n)
-         SELECT rank, cum_qp FROM ranked, stepped
+         SELECT rank, cum_qp FROM b, stepped
          WHERE rank % step = 0 OR rank = n ORDER BY rank"""
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Distributed exact global ranking / running totals without a
+  * single-partition `WindowExec`.
+  *
+  * `Window.orderBy(...)` with no `partitionBy` moves every row to ONE
+  * partition — the scale-killer the reference avoids by prorating
+  * per-partition budgets into bounded priority queues (DS-JedAI
+  * `linkers/progressive/ProgressiveGIAnt.scala:26`). The declarative
+  * alternative used here is the classic range-exchange + offset scheme
+  * (what `RDD.zipWithIndex` does under the hood):
+  *
+  *  1. `repartitionByRange(ordering)` + `sortWithinPartitions` — every
+  *     partition holds a contiguous, sorted slice of the total order;
+  *     parallelism = `spark.sql.shuffle.partitions`.
+  *  2. A lightweight job computes each partition's row count (and the
+  *     partial sums of any requested value columns). Only
+  *     `numPartitions` tuples reach the driver — never rows.
+  *  3. A second pass assigns `rank = offset(p) + local index` (and the
+  *     running sums seeded with the partial-sum offsets).
+  *
+  * Both passes run over the SAME RDD object, so the expensive upstream
+  * lineage (candidate join, weights, any JTS predicate) executes once:
+  * the shuffle files written by pass 2's map side are reused and the
+  * stats job's stages show as "skipped". Total cost over a global
+  * window: one extra counting job, zero extra shuffles, no partition
+  * ever holds more than its range slice.
+  */
+object Ranks {
+
+  /** A ranked/summed frame plus the grand totals of each requested
+    * value column (index-aligned with `values`); `totals.head` is the
+    * total row count when obtained via [[withGlobalRank]]. */
+  final case class RunningTotals(df: DataFrame, totals: Seq[Long])
+
+  /** Add exact 1-based global `rankCol` in the given total order. */
+  def withGlobalRank(df: DataFrame, ordering: Seq[Column],
+                     rankCol: String = "rank"): DataFrame =
+    runningTotals(df, ordering, Nil, Nil, rankCol).df
+
+  /** Like [[withGlobalRank]] but also returns the total row count
+    * without a second evaluation of the input. */
+  def withGlobalRankCounted(df: DataFrame, ordering: Seq[Column],
+                            rankCol: String = "rank"): RunningTotals =
+    runningTotals(df, ordering, Nil, Nil, rankCol)
+
+  /** Rank plus running sums: `sumCols(i)` = cumulative sum of
+    * `values(i)` (cast to long) over the prefix up to and including the
+    * current row, in `ordering` order. */
+  def runningTotals(df: DataFrame, ordering: Seq[Column], values: Seq[Column],
+                    sumCols: Seq[String], rankCol: String = "rank"): RunningTotals = {
+    require(values.length == sumCols.length, "values/sumCols must align")
+    val spark = df.sparkSession
+    val valNames = sumCols.map(c => s"__v_$c")
+    val withVals = values.zip(valNames).foldLeft(df) {
+      case (d, (v, n)) => d.withColumn(n, v.cast("long"))
+    }
+    val sorted = withVals
+      .repartitionByRange(ordering: _*)
+      .sortWithinPartitions(ordering: _*)
+    val schema = sorted.schema
+    val valIdx = valNames.map(schema.fieldIndex).toArray
+    val nVals = valIdx.length
+    // ONE RDD object shared by both jobs → upstream stages run once.
+    val rdd = sorted.rdd
+    val nParts = rdd.getNumPartitions
+    // Pass 1: per-partition row count + value partial sums (tiny result).
+    val partStats: Array[(Int, Array[Long])] = rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        val acc = new Array[Long](nVals + 1)
+        it.foreach { row =>
+          acc(0) += 1
+          var i = 0
+          while (i < nVals) {
+            if (!row.isNullAt(valIdx(i))) acc(i + 1) += row.getLong(valIdx(i))
+            i += 1
+          }
+        }
+        Iterator((pid, acc))
+    }.collect()
+    val byPid = partStats.toMap
+    val offsets = Array.ofDim[Long](nParts + 1, nVals + 1)
+    var p = 0
+    while (p < nParts) {
+      val s = byPid.getOrElse(p, new Array[Long](nVals + 1))
+      var i = 0
+      while (i <= nVals) { offsets(p + 1)(i) = offsets(p)(i) + s(i); i += 1 }
+      p += 1
+    }
+    val totals = offsets(nParts)
+    val bc = spark.sparkContext.broadcast(offsets)
+    // Pass 2: assign rank/cumsums; shuffle output of pass 1 is reused.
+    val outSchema = valNames.foldLeft(schema)((s, n) =>
+      org.apache.spark.sql.types.StructType(s.filterNot(_.name == n)))
+      .add(rankCol, LongType, nullable = false)
+    val outSumSchema = sumCols.foldLeft(outSchema)(_.add(_, LongType, nullable = false))
+    val keepIdx = schema.fieldNames.zipWithIndex
+      .filterNot { case (n, _) => valNames.contains(n) }.map(_._2)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val base = bc.value(pid)
+      val run = base.clone()
+      it.map { row =>
+        run(0) += 1
+        var i = 0
+        while (i < nVals) {
+          if (!row.isNullAt(valIdx(i))) run(i + 1) += row.getLong(valIdx(i))
+          i += 1
+        }
+        val vals = keepIdx.map(row.get) ++ (run(0) +: run.tail.toSeq)
+        Row.fromSeq(vals.toSeq)
+      }
+    }
+    RunningTotals(spark.createDataFrame(out, outSumSchema), totals.toSeq)
+  }
+}

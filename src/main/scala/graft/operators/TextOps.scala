@@ -98,29 +98,42 @@ object TextOps {
       .select(col("doc_id"), array_distinct(shinglesOf(col("w"))).as("sset"))
   }
 
-  /** dd4: MinHash signatures — 8 permutations of the distinct-shingle
-    * set. One explode + one groupBy; partial aggregation keeps the
-    * shuffle tiny (8 longs per doc regardless of doc size). */
-  def dd4MinhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val exploded = docShingles(s, dir)
-      .select(col("doc_id"), explode(col("sset")).as("w"))
-      .withColumn("h", wordHash(col("w")))
-    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"mh$i")
+  /** One-pass (doc_id, shingle set, MinHash signature) projection.
+    * The signature is `array_min` over HOF-transformed shingle hashes —
+    * computed per row with NO explode and NO shuffle (strictly better
+    * at scale than explode+groupBy: the 8 longs never leave the row).
+    * The hash array is pinned behind a barrier so the 8 permutation
+    * mins share one md5 pass instead of Catalyst inlining it 8x. */
+  private def shingleSigs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val sigCols = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => (h * a + b) % P)).as(s"mh$i")
     }
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("doc_id"))
+    docShingles(s, dir)
+      .withColumn("hs", barrier(transform(col("sset"), x => wordHash(x))))
+      .select(col("doc_id") +: col("sset") +: sigCols: _*)
   }
+
+  /** dd4: MinHash signatures — 8 permutations of the distinct-shingle
+    * set, via the shuffle-free per-row HOF form of [[shingleSigs]]
+    * (shared session cache with dd5). */
+  def dd4MinhashSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#shingleSigs")(shingleSigs(s, dir))
+      .drop("sset").orderBy(col("doc_id"))
 
   /** dd5: MinHash-LSH near-dup pairs — band the 8-value signature into
     * 4 bands of 2; docs sharing any band bucket become candidates;
     * verify with exact Jaccard. This is the 100 TB dedup path: cost is
-    * bounded by bucket sizes, never all-pairs. */
+    * bounded by bucket sizes, never all-pairs.
+    *
+    * The base projection (shingle set + signature) is computed in ONE
+    * corpus pass and session-persisted via [[graft.spark.DfCache]]:
+    * the band explode and BOTH verify sides read the cached base, so
+    * tokenize+shingle+hash runs exactly once (column pruning would
+    * otherwise specialize each arm into its own scan). */
   def dd5LshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = dd4MinhashSignatures(s, dir)
-    val words = docShingles(s, dir)
-      .select(col("doc_id"), col("sset").as("words"))
-    val bands = sig.select(col("doc_id"), posexplode(array(
+    val base = graft.spark.DfCache.memo(s, s"$dir#shingleSigs")(shingleSigs(s, dir))
+    val bands = base.select(col("doc_id"), posexplode(array(
       concat_ws(":", lit(0), col("mh0"), col("mh1")),
       concat_ws(":", lit(1), col("mh2"), col("mh3")),
       concat_ws(":", lit(2), col("mh4"), col("mh5")),
@@ -131,8 +144,8 @@ object TextOps {
     val cand = l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val wa = words.select(col("doc_id").as("id_a"), col("words").as("w_a"))
-    val wb = words.select(col("doc_id").as("id_b"), col("words").as("w_b"))
+    val wa = base.select(col("doc_id").as("id_a"), col("sset").as("w_a"))
+    val wb = base.select(col("doc_id").as("id_b"), col("sset").as("w_b"))
     cand.join(wa, "id_a").join(wb, "id_b")
       .withColumn("jaccard", graft.functions.GeomFunctions.barrier(
         size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
