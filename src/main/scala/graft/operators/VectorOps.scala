@@ -55,9 +55,11 @@ object VectorOps {
   /** ann3: IVF-style bucketed ANN — assign every vector to its nearest
     * label centroid (from ann2), then search top-3 neighbours only
     * within the same cell. At scale this turns the quadratic scan into
-    * |cell|-bounded work, the standard inverted-file trade-off. No SQL
-    * oracle (two chained argmins over floats); covered by ScalaTest
-    * against the exact path. */
+    * |cell|-bounded work, the standard inverted-file trade-off. Both
+    * argmins (cell assignment, in-cell ranking) order by the similarity
+    * rounded to 9 decimals with an id tie-break, so the result is
+    * stable across engines' last-ulp float differences and has an
+    * exact DuckDB oracle. */
   def ann3IvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -66,7 +68,7 @@ object VectorOps {
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p("centroid")).as("c_v"))
     val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("v"), col("c_v")))
+      .withColumn("sim", round(cosine(col("v"), col("c_v")), 9))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("label").asc)))
       .filter(col("rk") === 1)
@@ -101,32 +103,48 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Random-hyperplane signature assignment — the sublinear candidate
-    * path for cosine similarity at scale. Hyperplane components derive
-    * deterministically from md5(plane:dim). */
-  def hyperplaneBuckets(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
-    val dims = 64
-    // deterministic pseudo-random plane weights in [-1, 1)
-    val w: Array[Array[Double]] = Array.tabulate(planes, dims) { (j, d) =>
+  /** Deterministic pseudo-random integer plane weights in
+    * [-1e6, 1e6], derived from md5(plane:dim) — shared between the
+    * Spark signature and the DuckDB oracle literal. */
+  private[operators] def planeWeights(planes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dims) { (j, d) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
-      (java.lang.Long.parseLong(hex, 16) % 2000001L).toDouble / 1000000.0 - 1.0
+      java.lang.Long.parseLong(hex, 16) % 2000001L - 1000000L
     }
+
+  /** Random-hyperplane signature assignment — the sublinear candidate
+    * path for cosine similarity at scale.
+    *
+    * Integer-exact by construction: embeddings are quantized with
+    * `floor(x*1000)` (floor of a shared IEEE double — no rounding-rule
+    * hazards across engines) and dotted against integer plane weights;
+    * every partial sum stays < 2^53, so the signature is bit-identical
+    * in Spark and DuckDB and the bucket histogram has an exact oracle.
+    * Quantized-input hyperplane LSH is still genuine cosine LSH — the
+    * planes are random, only the input grid is 1e-3. */
+  def hyperplaneBuckets(s: SparkSession, dir: String, planes: Int = 8): DataFrame = {
+    val dims = 64
+    val w = planeWeights(planes, dims)
     val wLit = typedLit(w.map(_.toSeq).toSeq)
     val emb = embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("q", transform(col("v"), x => floor(x * 1000).cast("long")))
       .withColumn("planes", wLit)
     val sigBit = (j: Int) => when(
-      aggregate(zip_with(col("v"), element_at(col("planes"), j + 1),
-        (x, y) => x * y), lit(0.0), (acc, x) => acc + x) > 0, 1L << j).otherwise(0L)
+      aggregate(zip_with(col("q"), element_at(col("planes"), j + 1),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x) > 0, 1L << j).otherwise(0L)
     val sig = (0 until planes).map(sigBit).reduce(_ + _)
     emb.withColumn("sig", sig).select(col("vec_id"), col("sig"), col("v"))
   }
 
-  /** LSH candidate pairs: same-signature vectors, verified by exact
-    * cosine. Bounded by ScalaTest (subset of brute force; recall on
-    * the top similarity tail). */
+  /** dd8: LSH-verified embedding dedup — the bucketed form of dd7:
+    * hyperplane-signature buckets generate candidates (equi-join on
+    * `sig`, cost bounded by bucket sizes — no crossJoin of two large
+    * sides anywhere in the plan), exact cosine verifies. The scale
+    * path for embedding near-dup detection; dd7's quadratic form
+    * remains as the exact baseline/test oracle. */
   def lshCandidatePairs(s: SparkSession, dir: String, planes: Int = 8,
                         minSim: Double = 0.45): DataFrame = {
     val bucketed = hyperplaneBuckets(s, dir, planes)
@@ -140,9 +158,9 @@ object VectorOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** ann4 (rows-only gate entry): hyperplane-LSH bucket histogram —
-    * signature sizes demonstrate the bucketing; float sign boundaries
-    * make the signature itself engine-specific, so no SQL oracle. */
+  /** ann4: hyperplane-LSH bucket histogram — signature sizes
+    * demonstrate the bucketing; integer-exact signature (see
+    * [[hyperplaneBuckets]]) makes the oracle exact. */
   def ann4HyperplaneLsh(s: SparkSession, dir: String): DataFrame =
     hyperplaneBuckets(s, dir)
       .groupBy(col("sig")).agg(count(lit(1)).as("n_vectors"))
@@ -153,7 +171,9 @@ object VectorOps {
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
     "ann4_hyperplane_lsh" -> (ann4HyperplaneLsh _),
-    "dd7_embedding_dups" -> (dd7EmbeddingDups _)
+    "dd7_embedding_dups" -> (dd7EmbeddingDups _),
+    "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
+      lshCandidatePairs(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,7 +200,75 @@ object VectorOps {
            FROM embeddings)
          SELECT label, dim, round(avg(val), 9) AS centroid
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
-    // ann3, ann4: rows-only (see Scaladoc).
+    "ann3_ivf_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         e AS (
+           SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+                  generate_subscripts(embedding, 1) - 1 AS dim
+           FROM embeddings),
+         cent AS (
+           SELECT label, dim, round(avg(val), 9) AS c FROM e GROUP BY 1, 2),
+         cvec AS (
+           SELECT label, list(c ORDER BY dim) AS c_v FROM cent GROUP BY label),
+         asgn AS (
+           SELECT vec_id, v, label AS cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               round(list_dot_product(v, c_v) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(c_v, c_v))), 9) DESC, label ASC) AS rk
+           FROM emb, cvec),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE rk = 1),
+         sims AS (
+           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
+    "ann4_hyperplane_lsh" -> {
+      val w = planeWeights(8, 64)
+      val sigExpr = (0 until 8).map { j =>
+        val lst = w(j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(q, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH emb AS (
+            SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          sig AS (SELECT vec_id, $sigExpr AS sig FROM emb)
+          SELECT sig, count(*) AS n_vectors FROM sig
+          GROUP BY sig ORDER BY sig"""
+    },
+    "dd8_lsh_embedding_dups" -> {
+      val w = planeWeights(8, 64)
+      val sigExpr = (0 until 8).map { j =>
+        val lst = w(j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(q, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          sig AS (SELECT vec_id, v, $sigExpr AS sig FROM emb),
+          pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM sig a JOIN sig b
+              ON a.sig = b.sig AND a.vec_id < b.vec_id)
+          SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
+          ORDER BY 1, 2"""
+    },
     "dd7_embedding_dups" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
