@@ -81,6 +81,7 @@ object Stress {
     val typedCount = time("typed cogroup+index de9im count")(
       graft.operators.TypedGiant.de9im(src, tgt).count())
     println(s"[stress] typed pairs=$typedCount")
+
     graft.spark.DfCache.release(spark)
     spark.stop()
   }

@@ -22,7 +22,8 @@ object ConfigRunner {
   case class JobConf(source: DatasetConf, target: DatasetConf, relation: String,
                      algorithm: String, budget: Int, mainWF: String,
                      batchSize: Int, violations: Int, precisionLimit: Double,
-                     exportPath: Option[String])
+                     exportPath: Option[String],
+                     scheme: String = "SIMPLE", secondaryWF: String = "")
 
   /** Minimal two-level YAML subset: `key:` section headers with
     * two-space-indented `sub: value` entries, plus top-level
@@ -65,7 +66,14 @@ object ConfigRunner {
       batchSize = yaml.getOrElse("configurations.batchSize", "100").toInt,
       violations = yaml.getOrElse("configurations.violations", "3").toInt,
       precisionLimit = yaml.getOrElse("configurations.precisionLimit", "0.1").toDouble,
-      exportPath = yaml.get("configurations.exportPath"))
+      exportPath = yaml.get("configurations.exportPath"),
+      scheme = yaml.getOrElse("configurations.ws", "SIMPLE") match {
+        case "HYBRID" => "HYBRID"; case "COMPOSITE" => "COMPOSITE"; case _ => "SIMPLE"
+      },
+      secondaryWF = yaml.getOrElse("configurations.secondaryWF", "") match {
+        case "JS" => "w_js"; case "CF" => "w_cf"; case "MBRO" => "w_mbro"
+        case w => w
+      })
   }
 
   private def load(spark: SparkSession, d: DatasetConf): DataFrame =
@@ -92,7 +100,9 @@ object ConfigRunner {
           if (rel == "DE9IM") "intersects" else rel.toLowerCase)
       case ("DYNAMIC_PROGRESSIVE_GIANT", rel) =>
         link.dynamicProgressive(conf.budget, conf.mainWF,
-          if (rel == "DE9IM") "intersects" else rel.toLowerCase).toDF()
+          if (rel == "DE9IM") "intersects" else rel.toLowerCase,
+          conf.scheme,
+          if (conf.scheme == "SIMPLE") "" else conf.secondaryWF).toDF()
       case ("EARLY_STOPPING", rel) =>
         link.earlyStopping(conf.mainWF,
           if (rel == "DE9IM") "intersects" else rel.toLowerCase,

@@ -66,10 +66,15 @@ case class SpatialLink(source: DataFrame, target: DataFrame,
   def reciprocalTopK(k: Int, weight: String = "w_js"): DataFrame =
     Progressive.reciprocalTopK(source, target, weight, k)
 
-  /** Sequential algorithms (per-partition PQ with feedback / batches). */
+  /** Sequential algorithms (per-partition PQ with feedback / batches).
+    * `scheme`/`secondary` select the reference's multi-weight PQ
+    * orderings (SIMPLE / COMPOSITE / HYBRID). */
   def dynamicProgressive(budget: Int, weight: String = "w_js",
-                         relation: String = "intersects"): Dataset[VerifiedPair] =
-    ProgressiveTyped.dynamicProgressive(source, target, weight, budget, relation)
+                         relation: String = "intersects",
+                         scheme: String = "SIMPLE",
+                         secondary: String = ""): Dataset[VerifiedPair] =
+    ProgressiveTyped.dynamicProgressive(source, target, weight, budget, relation,
+      scheme, secondary)
   def earlyStopping(weight: String = "w_js", relation: String = "intersects",
                     batchSize: Int = 100, precisionLevel: Double = 0.1,
                     maxViolations: Int = 3): Dataset[VerifiedPair] =

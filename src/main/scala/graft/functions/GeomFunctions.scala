@@ -259,7 +259,17 @@ case class TileCover(children: Seq[Expression]) extends Expression with CodegenF
     val Seq(minx, miny, maxx, maxy, tx, ty) = vs.map(_.asInstanceOf[Double])
     val x0 = math.floor(minx / tx).toLong; val x1 = math.floor(maxx / tx).toLong
     val y0 = math.floor(miny / ty).toLong; val y1 = math.floor(maxy / ty).toLong
-    val n = ((x1 - x0 + 1) * (y1 - y0 + 1)).toInt
+    // Guard the Long product BEFORE the Int cast: a geometry spanning a
+    // huge number of θ-tiles (tiny θ, bad coordinates, or one
+    // continent-sized MBR) would otherwise overflow into a negative
+    // array size or silently explode the row count by millions.
+    val nL = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if (nL > TileCover.MaxTiles)
+      throw new IllegalArgumentException(
+        s"tile_cover: MBR [$minx,$miny,$maxx,$maxy] spans $nL θ-tiles " +
+        s"(cap ${TileCover.MaxTiles}). Use a coarser θ (AVG tiling over a " +
+        "source with comparable extents) or pre-split the geometry.")
+    val n = nL.toInt
     val out = new Array[Long](n)
     var i = 0; var x = x0
     while (x <= x1) { var y = y0; while (y <= y1) { out(i) = Jts.encodeTile(x, y); i += 1; y += 1 }; x += 1 }
@@ -267,6 +277,11 @@ case class TileCover(children: Seq[Expression]) extends Expression with CodegenF
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(cs)
+}
+object TileCover {
+  /** Per-geometry θ-tile cap — past this the tile join's replication
+    * factor is the bottleneck, not a tractable plan. */
+  val MaxTiles: Long = 4L * 1000 * 1000
 }
 
 /** Fine-grained envelopes (DS-JedAI FineGrainedEnvelopes
@@ -357,7 +372,7 @@ object GeomFunctions {
   def st_area(geom: Column): Column = mk(StArea(ex(geom)))
   def st_im(l: Column, r: Column): Column = mk(StIm(ex(l), ex(r)))
   def st_im_adaptive(l: Column, r: Column, thetaX: Double, thetaY: Double,
-                     minPoints: Int = 128): Column =
+                     minPoints: Int = 64): Column =
     mk(StImAdaptive(Seq(ex(l), ex(r),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaY),

@@ -39,7 +39,23 @@ object SegmentedIM {
       Decompose.gridSegments(b, thetaX, thetaY))
 
   /** Variant with pre-computed (cached) segment lists — decomposition
-    * amortizes across the many pairs a geometry participates in. */
+    * amortizes across the many pairs a geometry participates in.
+    *
+    * Candidate selection is a two-stage screen, per segment:
+    *  1. envelope test against the OTHER geometry's envelope;
+    *  2. tile-ADJACENCY test against the other's occupied tile set
+    *     (the per-entity segment index of the reference's
+    *     IndexedDecomposedEntity, `segmented/IndexedDecomposedEntity
+    *     .scala:14-34`): keep a segment only if its tile is within
+    *     Chebyshev distance 1 of a tile the other geometry occupies.
+    * An excluded segment is then ≥ 1 full tile away from every point
+    * of the other geometry — strictly disjoint from it — which is
+    * exactly the condition the exactness argument above needs (the
+    * plain envelope test proves the same via env(B) ⊇ B). The
+    * adjacency screen is much tighter when the bodies do not approach
+    * each other even though their MBRs overlap (L-shapes, diagonal
+    * neighbours), often emptying a candidate set entirely → the
+    * disjoint matrix is returned with NO JTS relate at all. */
   def im(a: Geometry, b: Geometry,
          segsAIn: => Seq[(Long, Long, Geometry)],
          segsBIn: => Seq[(Long, Long, Geometry)]): IntersectionMatrix = {
@@ -50,8 +66,33 @@ object SegmentedIM {
 
     val segsA = segsAIn
     val segsB = segsBIn
-    val candA = segsA.collect { case (_, _, g) if g.getEnvelopeInternal.intersects(envB) => g }
-    val candB = segsB.collect { case (_, _, g) if g.getEnvelopeInternal.intersects(envA) => g }
+    def tileSet(segs: Seq[(Long, Long, Geometry)]): java.util.HashSet[Long] = {
+      val s = new java.util.HashSet[Long](segs.size * 2)
+      segs.foreach { case (sx, sy, _) => s.add((sx << 32) | (sy & 0xFFFFFFFFL)) }
+      s
+    }
+    val tilesA = tileSet(segsA)
+    val tilesB = tileSet(segsB)
+    def nearOther(sx: Long, sy: Long, other: java.util.HashSet[Long]): Boolean = {
+      var dx = -1L
+      while (dx <= 1) {
+        var dy = -1L
+        while (dy <= 1) {
+          if (other.contains(((sx + dx) << 32) | ((sy + dy) & 0xFFFFFFFFL))) return true
+          dy += 1
+        }
+        dx += 1
+      }
+      false
+    }
+    val candA = segsA.collect {
+      case (sx, sy, g)
+        if g.getEnvelopeInternal.intersects(envB) && nearOther(sx, sy, tilesB) => g
+    }
+    val candB = segsB.collect {
+      case (sx, sy, g)
+        if g.getEnvelopeInternal.intersects(envA) && nearOther(sx, sy, tilesA) => g
+    }
     val aTrimmed = candA.size < segsA.size
     val bTrimmed = candB.size < segsB.size
     if (!aTrimmed && !bTrimmed) return a.relate(b) // no savings possible

@@ -128,7 +128,7 @@ object Progressive {
     // + geom * budget instead of geom * candidates. Requires UNIQUE
     // entity ids per side (the engine-wide entity contract, mirroring
     // the reference's originalID identification of output pairs).
-    val narrow = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+    val narrow = withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
       .select(col("s_id"), col("t_id"), col(weight))
     val bounded = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)
@@ -147,7 +147,7 @@ object Progressive {
     val theta = SpatialJoin.computeTheta(source)
     val w = Window.partitionBy(col("t_id"))
       .orderBy(col(weight).desc, col("s_id").asc)
-    withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+    withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("t_id"), col("s_id"), col(weight), col("rk"))
@@ -163,7 +163,7 @@ object Progressive {
       .orderBy(col(weight).desc, col("s_id").asc)
     val bySource = Window.partitionBy(col("s_id"))
       .orderBy(col(weight).desc, col("t_id").asc)
-    withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+    withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
       .withColumn("rk_t", row_number().over(byTarget))
       .withColumn("rk_s", row_number().over(bySource))
       .filter(col("rk_t") <= k && col("rk_s") <= k)
@@ -194,7 +194,7 @@ object Progressive {
                budget: Int = Int.MaxValue): DataFrame = {
     val theta = SpatialJoin.computeTheta(source)
     val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
-    val narrow = withWeights(SpatialJoin.candidatePairs(source, target, theta), theta)
+    val narrow = withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
       .select(col("s_id"), col("t_id"), col(weight))
     val bounded = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)

@@ -38,7 +38,7 @@ object ProgressiveQueries {
     val n = Progressive.totalTiles(src, theta)
     val ordering = Seq(col("w_x2").desc, col("s_id").asc, col("t_id").asc)
     Ranks.withGlobalRank(Progressive.withChi2Weight(
-        SpatialJoin.candidatePairs(src, tgt, theta), theta, n), ordering)
+        SpatialJoin.candidatePairsNarrow(src, tgt, theta), theta, n), ordering)
       .filter(col("rank") <= 100)
       .select(col("rank"), col("s_id"), col("t_id"), col("w_x2"))
   }
@@ -49,7 +49,7 @@ object ProgressiveQueries {
     val theta = SpatialJoin.computeTheta(src)
     val ordering = Progressive.schemeOrdering("HYBRID", "w_js", "w_mbro")
     Ranks.withGlobalRank(
-        Progressive.withWeights(SpatialJoin.candidatePairs(src, tgt, theta), theta)
+        Progressive.withWeights(SpatialJoin.candidatePairsNarrow(src, tgt, theta), theta)
           .withColumn("w_hybrid", col("w_js") * col("w_mbro")), ordering)
       .filter(col("rank") <= 150)
       .select(col("s_id"), col("t_id"), col("w_hybrid"))
@@ -61,7 +61,7 @@ object ProgressiveQueries {
     val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
     val theta = SpatialJoin.computeTheta(src)
     Ranks.withGlobalRank(
-        SpatialJoin.candidatePairs(src, tgt, theta)
+        SpatialJoin.candidatePairsNarrow(src, tgt, theta)
           .withColumn("w_rand", Progressive.randomWeight),
         Seq(col("w_rand").desc, col("s_id").asc, col("t_id").asc))
       .filter(col("rank") <= 150)

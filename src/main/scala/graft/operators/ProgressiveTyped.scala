@@ -6,9 +6,14 @@ import graft.functions.Jts
 import graft.model.Relation
 
 /** Candidate pair as carried into the sequential per-partition
-  * algorithms: ids, WKB geometry payloads, and the scheduling weight. */
+  * algorithms: ids, WKB geometry payloads, and up to three scheduling
+  * weights (w2/w3 are 0 unless a multi-weight ordering asks for them —
+  * the reference's CompositeWP / ThinMultiCompositePair carry the same
+  * extra weights, `model/weightedPairs/CompositeWP.scala:27-48`,
+  * `ThinMultiCompositePair.scala:8-25`). */
 case class CandPair(s_id: String, t_id: String,
-                    s_geom: Array[Byte], t_geom: Array[Byte], w: Double)
+                    s_geom: Array[Byte], t_geom: Array[Byte],
+                    w: Double, w2: Double = 0.0, w3: Double = 0.0)
 
 /** Verified pair emitted by the sequential algorithms, tagged with the
   * in-partition verification order. */
@@ -26,14 +31,19 @@ case class VerifiedPair(s_id: String, t_id: String, part: Int,
 object ProgressiveTyped {
 
   private def weightedCandidates(source: DataFrame, target: DataFrame,
-                                 weight: String): Dataset[CandPair] = {
+                                 weights: Seq[String]): Dataset[CandPair] = {
     val theta = SpatialJoin.computeTheta(source)
     val cands = Progressive.withWeights(
       SpatialJoin.candidatePairs(source, target, theta), theta)
     val spark = cands.sparkSession
     import spark.implicits._
-    cands.select(col("s_id"), col("t_id"), col("s_geom"), col("t_geom"),
-      col(weight).cast("double").as("w")).as[CandPair]
+    val ws = (weights.take(3) ++ Seq.fill(3 - math.min(3, weights.length))(""))
+      .zip(Seq("w", "w2", "w3"))
+      .map { case (c, n) =>
+        (if (c.isEmpty) lit(0.0) else col(c).cast("double")).as(n)
+      }
+    cands.select(Seq(col("s_id"), col("t_id"), col("s_geom"), col("t_geom"))
+      ++ ws: _*).as[CandPair]
   }
 
   /** DynamicProgressiveGIAnt (reference
@@ -43,8 +53,16 @@ object ProgressiveTyped {
     * boosted by (1 + relatedMatches) and the queue re-orders. Lazy
     * re-insertion keeps the PQ O(log n) amortized. */
   def dynamicProgressive(source: DataFrame, target: DataFrame, weight: String,
-                         budget: Int, relation: String): Dataset[VerifiedPair] = {
-    val cands = weightedCandidates(source, target, weight)
+                         budget: Int, relation: String,
+                         scheme: String = "SIMPLE",
+                         secondary: String = ""): Dataset[VerifiedPair] = {
+    val schemeU = scheme.toUpperCase
+    require(Set("SIMPLE", "COMPOSITE", "HYBRID")(schemeU),
+      s"unknown scheme: $scheme")
+    require(schemeU == "SIMPLE" || secondary.nonEmpty,
+      s"scheme $schemeU needs a secondary weight column")
+    val cands = weightedCandidates(source, target,
+      if (secondary.isEmpty) Seq(weight) else Seq(weight, secondary))
     val spark = cands.sparkSession
     import spark.implicits._
     val numParts = math.max(1, cands.rdd.getNumPartitions)
@@ -56,13 +74,36 @@ object ProgressiveTyped {
         val rel = Relation.of(relation)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val matches = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+        // The dynamic boost multiplies the MAIN ordering weight
+        // (reference WeightedPairT.getMainWeight * (1+relatedMatches));
+        // COMPOSITE's secondary is a static tie-breaker, HYBRID boosts
+        // the product (its main weight IS the product).
+        def mainOf(c: CandPair): Double = schemeU match {
+          case "HYBRID" => c.w * c.w2
+          case _        => c.w
+        }
         def boosted(c: CandPair): Double =
-          c.w * (1 + matches(c.s_id) + matches(c.t_id))
-        // max-heap with lazy re-insertion on stale weights
+          mainOf(c) * (1 + matches(c.s_id) + matches(c.t_id))
+        def secondOf(c: CandPair): Double = schemeU match {
+          case "COMPOSITE" => c.w2
+          case _           => 0.0
+        }
+        // max-heap on (boosted main, secondary) with deterministic id
+        // tie-break and lazy re-insertion on stale weights
         val pq = new java.util.PriorityQueue[(Double, CandPair)](
-          all.length, (a: (Double, CandPair), b: (Double, CandPair)) =>
-            java.lang.Double.compare(b._1, a._1))
-        all.foreach(c => pq.add((c.w, c)))
+          all.length, (a: (Double, CandPair), b: (Double, CandPair)) => {
+            val m = java.lang.Double.compare(b._1, a._1)
+            if (m != 0) m
+            else {
+              val s = java.lang.Double.compare(secondOf(b._2), secondOf(a._2))
+              if (s != 0) s
+              else {
+                val i = a._2.s_id.compareTo(b._2.s_id)
+                if (i != 0) i else a._2.t_id.compareTo(b._2.t_id)
+              }
+            }
+          })
+        all.foreach(c => pq.add((mainOf(c), c)))
         val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
         var order = 0
         while (order < localBudget && !pq.isEmpty) {
@@ -85,16 +126,25 @@ object ProgressiveTyped {
     * verify the weight-ranked stream in batches; count qualifying pairs
     * per batch; after `maxViolations` consecutive batches yielding
     * fewer than precisionLevel x first-batch matches, stop the
-    * partition. */
-  def earlyStopping(source: DataFrame, target: DataFrame, weight: String,
+    * partition.
+    *
+    * Ordering is the reference's fixed THIN_MULTI_COMPOSITE weighting —
+    * lexicographic (JS, CF, MBRO) (`EarlyStoppingLinker.scala:27-31`,
+    * `ThinMultiCompositePair.scala:8-25`) — when `weight` is the
+    * default "w_js"; passing another main weight keeps CF/MBRO as the
+    * remaining lexicographic levels. */
+  def earlyStopping(source: DataFrame, target: DataFrame,
+                    weight: String = "w_js",
                     relation: String, batchSize: Int = 100,
                     precisionLevel: Double = 0.1,
                     maxViolations: Int = 3): Dataset[VerifiedPair] = {
-    val cands = weightedCandidates(source, target, weight)
+    val rest = Seq("w_cf", "w_mbro").filterNot(_ == weight)
+    val cands = weightedCandidates(source, target, weight +: rest)
     val spark = cands.sparkSession
     import spark.implicits._
     cands
-      .sortWithinPartitions(col("w").desc, col("s_id").asc, col("t_id").asc)
+      .sortWithinPartitions(col("w").desc, col("w2").desc, col("w3").desc,
+        col("s_id").asc, col("t_id").asc)
       .mapPartitions { it =>
         val rel = Relation.of(relation)
         val pid = org.apache.spark.TaskContext.getPartitionId()

@@ -68,13 +68,24 @@ object SpatialJoin {
   private def prefixed(df: DataFrame, p: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
 
-  /** Candidate pairs after tile join + MBR filter + reference-point
-    * dedup. Output: s_* and t_* columns, one row per qualifying pair. */
-  def candidatePairs(source: DataFrame, target: DataFrame, theta: Theta): DataFrame = {
-    val s = prefixed(source, "s_").withColumn("tile",
+  /** Narrow candidate pairs: tile join + MBR filter + reference-point
+    * dedup over every entity column EXCEPT the geometry blob. Output:
+    * s_* and t_* columns (no s_geom/t_geom), one row per pair.
+    *
+    * The tile explode replicates each row once per covered θ-tile —
+    * replicating the WKB blob there multiplies shuffle volume by the
+    * tile count (ruinous for large geometries) and lets Catalyst
+    * broadcast a deceptively "small" pre-explode side that is huge
+    * after the generate. Narrow rows (~50 B) keep the replication
+    * harmless; [[candidatePairs]] joins the blobs back per surviving
+    * pair, which is one hash join per side against the entity frames
+    * (persist them when parsing is expensive — the gate queries do). */
+  def candidatePairsNarrow(source: DataFrame, target: DataFrame,
+                           theta: Theta): DataFrame = {
+    val s = prefixed(source.drop("geom"), "s_").withColumn("tile",
       explode(tile_cover(col("s_minx"), col("s_miny"), col("s_maxx"), col("s_maxy"),
         theta.x, theta.y)))
-    val t = prefixed(target, "t_").withColumn("tile",
+    val t = prefixed(target.drop("geom"), "t_").withColumn("tile",
       explode(tile_cover(col("t_minx"), col("t_miny"), col("t_maxx"), col("t_maxy"),
         theta.x, theta.y)))
     val mbrIntersects =
@@ -90,6 +101,15 @@ object SpatialJoin {
       .filter(mbrIntersects && col("tile") === refTile)
       .drop("tile")
   }
+
+  /** Candidate pairs after tile join + MBR filter + reference-point
+    * dedup. Output: s_* and t_* columns, one row per qualifying pair.
+    * Entity ids must be unique per side (the engine-wide contract,
+    * like the reference's originalID). */
+  def candidatePairs(source: DataFrame, target: DataFrame, theta: Theta): DataFrame =
+    candidatePairsNarrow(source, target, theta)
+      .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+      .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
 
   /** Holistic DE-9IM: verify every candidate pair once; emit ids, the
     * DE-9IM string, and the ten relation booleans. Matches GIA.nt
@@ -108,7 +128,7 @@ object SpatialJoin {
     * neighbourhood cost), plain relate otherwise. Results identical to
     * [[de9im]]; use when operand size varies wildly. */
   def de9imAdaptive(source: DataFrame, target: DataFrame,
-                    minPoints: Int = 128): DataFrame = {
+                    minPoints: Int = 64): DataFrame = {
     val theta = computeTheta(source)
     candidatePairs(source, target, theta)
       .withColumn("im", st_im_adaptive(col("s_geom"), col("t_geom"),

@@ -73,6 +73,66 @@ class ProgressiveTypedSpec extends AnyFunSuite {
     }
   }
 
+  private def weightMap(cols: String*): Map[(String, String), Seq[Double]] = {
+    val src = entitiesDf(source); val tgt = entitiesDf(target)
+    val theta = SpatialJoin.computeTheta(src)
+    Progressive.withWeights(SpatialJoin.candidatePairs(src, tgt, theta), theta)
+      .select(col("s_id") +: col("t_id") +: cols.map(c => col(c).cast("double")): _*)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        cols.indices.map(i => r.getDouble(2 + i)))
+      .toMap
+  }
+
+  private def assertLexicographicOrder(
+      parts: Iterable[Seq[Seq[Double]]], what: String): Unit =
+    parts.foreach { inOrder =>
+      inOrder.zip(inOrder.tail).foreach { case (a, b) =>
+        val cmp = a.zip(b).collectFirst { case (x, y) if x != y => x > y }
+        assert(cmp.getOrElse(true), s"$what: $a must sort before $b")
+      }
+    }
+
+  test("COMPOSITE scheme orders by main weight with secondary tie-break " +
+       "(reference CompositeWP ordering)") {
+    // never-qualifying relation → no boosts → order is the pure ordering
+    val got = ProgressiveTyped.dynamicProgressive(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      budget = 1000000, relation = "equals",
+      scheme = "COMPOSITE", secondary = "w_cf").collect()
+    val ws = weightMap("w_js", "w_cf")
+    assertLexicographicOrder(
+      got.groupBy(_.part).values.map(_.sortBy(_.verify_order)
+        .map(p => ws((p.s_id, p.t_id))).toSeq),
+      "COMPOSITE (w_js, w_cf)")
+  }
+
+  test("HYBRID scheme orders by the weight product " +
+       "(reference HybridWP ordering)") {
+    val got = ProgressiveTyped.dynamicProgressive(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      budget = 1000000, relation = "equals",
+      scheme = "HYBRID", secondary = "w_mbro").collect()
+    val ws = weightMap("w_js", "w_mbro")
+    assertLexicographicOrder(
+      got.groupBy(_.part).values.map(_.sortBy(_.verify_order)
+        .map(p => Seq(ws((p.s_id, p.t_id)).product)).toSeq),
+      "HYBRID (w_js * w_mbro)")
+  }
+
+  test("early stopping verifies in THIN_MULTI_COMPOSITE order " +
+       "(JS, CF, MBRO lexicographic — reference EarlyStoppingLinker)") {
+    val got = ProgressiveTyped.earlyStopping(
+      entitiesDf(source), entitiesDf(target), "w_js",
+      relation = "intersects", batchSize = 10,
+      precisionLevel = 0.0, maxViolations = 1).collect()
+    val ws = weightMap("w_js", "w_cf", "w_mbro")
+    assertLexicographicOrder(
+      got.groupBy(_.part).values.map(_.sortBy(_.verify_order)
+        .map(p => ws((p.s_id, p.t_id))).toSeq),
+      "THIN_MULTI_COMPOSITE (w_js, w_cf, w_mbro)")
+  }
+
   test("early stopping verifies everything when precision level is zero") {
     val got = ProgressiveTyped.earlyStopping(
       entitiesDf(source), entitiesDf(target), "w_js",

@@ -57,6 +57,24 @@ class SegmentedIMSpec extends AnyFunSuite {
     assert(adaptive === plain)
   }
 
+  test("tile-adjacency screen: overlapping MBRs, far-apart bodies " +
+       "(and touching bodies are never screened out)") {
+    // L-shape hugging the bottom/left; small box near the top-right
+    // corner of the L's MBR — MBRs overlap, bodies are ~80 units apart
+    val l = rd.read("POLYGON((0 0, 100 0, 100 10, 10 10, 10 100, 0 100, 0 0))")
+    val boxFar = rd.read("POLYGON((80 80, 95 80, 95 95, 80 95, 80 80))")
+    // box touching the L's inner corner exactly
+    val boxTouch = rd.read("POLYGON((10 10, 30 10, 30 30, 10 30, 10 10))")
+    // box overlapping the L's vertical arm
+    val boxOverlap = rd.read("POLYGON((5 40, 25 40, 25 60, 5 60, 5 40))")
+    for {
+      theta <- Seq(4.0, 9.0, 25.0)
+      (a, b) <- Seq((l, boxFar), (boxFar, l), (l, boxTouch), (boxTouch, l),
+                    (l, boxOverlap), (boxOverlap, l))
+    } assert(SegmentedIM.im(a, b, theta, theta).toString === a.relate(b).toString,
+      s"theta=$theta")
+  }
+
   test("segmented IM on canonical containment and touch cases") {
     val outer = rd.read("POLYGON((0 0, 100 0, 100 100, 0 100, 0 0))")
     val inner = rd.read("POLYGON((40 40, 60 40, 60 60, 40 60, 40 40))")
