@@ -20,7 +20,17 @@ object Evaluation {
                                 precision: Double, pgr: Double)
 
   /** Evaluate a ranked verification stream (columns: rank, qualifies)
-    * against the total qualifying count of the ground truth. */
+    * against the total qualifying count of the ground truth.
+    *
+    * DRIVER-SIDE BOUND: the stream is collected, so memory is
+    * O(verifications) = O(budget) on the driver — the same bound as
+    * the reference's take/takeOrdered evaluation
+    * (`DistributedProgressiveInterlinking.scala:188-217`). Fine at
+    * evaluation budgets (10⁴-10⁶ rows, two small columns); at the
+    * reference's takeBudget extreme (2·10⁷) expect ~hundreds of MB —
+    * evaluate on a sampled prefix, or use [[Progressive.pgrCurve]]
+    * whose running sum is computed distributed and only 10 checkpoint
+    * rows reach the driver. */
   def evaluate(ranked: DataFrame, totalQualifying: Long): ProgressiveQuality = {
     val rows = ranked.select(col("rank"), col("qualifies"))
       .orderBy(col("rank")).collect()

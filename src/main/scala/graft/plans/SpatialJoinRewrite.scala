@@ -21,14 +21,57 @@ import graft.functions.{StPredicate, TileCover}
   * the reference's GIA.nt (SedonaExp's `WHERE ST_Predicate(...)` form,
   * `experiments/SedonaExp.scala:92-102`) as a native plan rule.
   *
-  * θ comes from the session conf (`graft.theta.x` / `graft.theta.y`,
-  * default 1.0): optimizer rules must not launch jobs, so the
-  * data-derived θ of the API path is supplied by the caller here.
+  * θ resolution order:
+  *  1. explicit session conf (`graft.theta.x` / `graft.theta.y`) —
+  *     callers who already know their θ pin it and no job runs;
+  *  2. DATA-DERIVED: the reference's AVG dynamic tiling
+  *     (`model/TileGranularities.scala:33-36`) computed over the LEFT
+  *     (source) child by executing a two-value aggregate at rewrite
+  *     time, memoized by the child's canonicalized plan so repeated
+  *     optimizer passes and repeated queries over the same frame pay
+  *     one job. The aggregate plan contains no spatial join, so the
+  *     rule cannot re-enter itself through it;
+  *  3. 1.0 fallback if the statistics job fails or yields no rows.
   *
   * Register with:
   * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
   */
-case class SpatialJoinRewrite(thetaX: Double, thetaY: Double) extends Rule[LogicalPlan] {
+case class SpatialJoinRewrite(session: org.apache.spark.sql.SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private val thetaCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, (Double, Double)]()
+
+  /** θ for this join: conf pin → derived-from-source → 1.0. */
+  private def thetaFor(left: LogicalPlan, m: Map[String, Attribute]): (Double, Double) = {
+    val confX = session.conf.getOption("graft.theta.x")
+    val confY = session.conf.getOption("graft.theta.y")
+    if (confX.isDefined && confY.isDefined)
+      return (confX.get.toDouble, confY.get.toDouble)
+    thetaCache.computeIfAbsent(left.canonicalized, _ => derive(left, m))
+  }
+
+  private def derive(left: LogicalPlan, m: Map[String, Attribute]): (Double, Double) =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+      import org.apache.spark.sql.types.DoubleType
+      // avg extent per axis, zero-extent inputs excluded (the
+      // reference's degenerate-extent guard)
+      def avgExtent(lo: Attribute, hi: Attribute, name: String) =
+        Alias(Average(If(GreaterThan(hi, lo), Subtract(hi, lo),
+          Literal(null, DoubleType))).toAggregateExpression(), name)()
+      val agg = Aggregate(Nil,
+        Seq(avgExtent(m("minx"), m("maxx"), "__tx"),
+            avgExtent(m("miny"), m("maxy"), "__ty")), left)
+      val rows = session.sessionState.executePlan(agg).executedPlan.executeTake(1)
+      if (rows.isEmpty) (1.0, 1.0)
+      else {
+        val r = rows.head
+        val tx = if (r.isNullAt(0)) 1.0 else math.max(r.getDouble(0), 1e-9)
+        val ty = if (r.isNullAt(1)) 1.0 else math.max(r.getDouble(1), 1e-9)
+        (tx, ty)
+      }
+    } catch { case scala.util.control.NonFatal(_) => (1.0, 1.0) }
 
   private def side(plan: LogicalPlan, prefix: String): Option[Map[String, Attribute]] = {
     val names = Seq("minx", "miny", "maxx", "maxy")
@@ -86,6 +129,7 @@ case class SpatialJoinRewrite(thetaX: Double, thetaY: Double) extends Rule[Logic
       val rg = pred.right.asInstanceOf[Attribute]
       val j2 = (side(left, lg.name.stripSuffix("geom")), side(right, rg.name.stripSuffix("geom"))) match {
         case (Some(l), Some(r)) =>
+          val (thetaX, thetaY) = thetaFor(left, l)
           val lTile = AttributeReference("__ltile", LongType, nullable = false)()
           val rTile = AttributeReference("__rtile", LongType, nullable = false)()
           def gen(child: LogicalPlan, m: Map[String, Attribute], out: Attribute) =
@@ -126,11 +170,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.functions._
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectOptimizerRule { session =>
-      SpatialJoinRewrite(
-        session.conf.get("graft.theta.x", "1.0").toDouble,
-        session.conf.get("graft.theta.y", "1.0").toDouble)
-    }
+    e.injectOptimizerRule(session => SpatialJoinRewrite(session))
     // SQL surface: the geometry vocabulary callable from spark.sql(...)
     def info(name: String) = new ExpressionInfo(classOf[StGeomFromWkt].getName, name)
     e.injectFunction((FunctionIdentifier("st_geomfromwkt"), info("st_geomfromwkt"),

@@ -79,4 +79,29 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(gotMixed === expected.filter { case (a, b) => a != b })
   }
+
+  test("rewrite derives θ from the source data when no conf is set") {
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.unset("graft.theta.x")
+    spark.conf.unset("graft.theta.y")
+    try {
+      val src = entitiesDf(TestGeoms.corpus(seed = 81, n = 50, world = 40), "s_")
+      val tgt = entitiesDf(TestGeoms.corpus(seed = 82, n = 40, world = 40), "t_")
+      val joined = src.join(tgt,
+        st_predicate(col("s_geom"), col("t_geom"), "intersects"))
+      val phys = joined.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"),
+        s"expected tile rewrite without conf θ, got cartesian:\n$phys")
+      val got = joined.select("s_id", "t_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val expected = SpatialJoin.relate(
+        src.columns.foldLeft(src)((d, c) => d.withColumnRenamed(c, c.stripPrefix("s_"))),
+        tgt.columns.foldLeft(tgt)((d, c) => d.withColumnRenamed(c, c.stripPrefix("t_"))),
+        "intersects").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expected)
+    } finally {
+      spark.conf.set("graft.theta.x", "4.0")
+      spark.conf.set("graft.theta.y", "4.0")
+    }
+  }
 }
