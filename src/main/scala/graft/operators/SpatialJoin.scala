@@ -114,10 +114,16 @@ object SpatialJoin {
   /** Holistic DE-9IM: verify every candidate pair once; emit ids, the
     * DE-9IM string, and the ten relation booleans. Matches GIA.nt
     * semantics: only MBR-intersecting pairs are verified
-    * (`linkers/GIAnt.scala:32-37`). */
+    * (`linkers/GIAnt.scala:32-37`).
+    *
+    * Verification is ADAPTIVE by default (identical results, spec-
+    * asserted): analytic interval IM for rectangle pairs, exact
+    * segmented IM above the point cutoff, plain JTS relate otherwise —
+    * rectangle-heavy workloads skip JTS entirely. */
   def de9im(source: DataFrame, target: DataFrame, theta: Theta): DataFrame =
     candidatePairs(source, target, theta)
-      .withColumn("im", st_im(col("s_geom"), col("t_geom")))
+      .withColumn("im", st_im_adaptive(col("s_geom"), col("t_geom"),
+        theta.x, theta.y))
       .select(col("s_id"), col("t_id"), col("im.*"))
 
   def de9im(source: DataFrame, target: DataFrame): DataFrame =
