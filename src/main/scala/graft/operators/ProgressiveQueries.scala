@@ -56,6 +56,22 @@ object ProgressiveQueries {
       .orderBy(col("s_id"), col("t_id"))
   }
 
+  /** COMPOSITE weighting scheme: secondary weight breaks main-weight
+    * ties (reference CompositeWP ordering). w_cf is integer-valued, so
+    * ties in the tile-Jaccard main weight are common and the secondary
+    * genuinely decides order. */
+  def pr8CompositeScheme(s: SparkSession, dir: String): DataFrame = {
+    val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
+    val theta = SpatialJoin.computeTheta(src)
+    val ordering = Progressive.schemeOrdering("COMPOSITE", "w_js", "w_cf")
+    Ranks.withGlobalRank(
+        Progressive.withWeights(SpatialJoin.candidatePairsNarrow(src, tgt, theta), theta),
+        ordering)
+      .filter(col("rank") <= 150)
+      .select(col("s_id"), col("t_id"), col("w_js"), col("w_cf"))
+      .orderBy(col("s_id"), col("t_id"))
+  }
+
   /** RANDOM scheduling baseline with a deterministic hash weight. */
   def pr7RandomBudget(s: SparkSession, dir: String): DataFrame = {
     val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
@@ -76,7 +92,8 @@ object ProgressiveQueries {
     "pr3_reciprocal_topk" -> (pr3ReciprocalTopK _),
     "pr4_pgr_curve" -> (pr4PgrCurve _),
     "pr5_chi2_topk" -> (pr5Chi2TopK _),
-    "pr6_hybrid_scheme" -> (pr6HybridScheme _)
+    "pr6_hybrid_scheme" -> (pr6HybridScheme _),
+    "pr8_composite_scheme" -> (pr8CompositeScheme _)
   )
 
   // --- oracle plumbing ---
@@ -194,6 +211,15 @@ object ProgressiveQueries {
              row_number() OVER (ORDER BY w_js * w_mbro DESC, s_id ASC, t_id ASC) AS rk
            FROM weighted)
          SELECT s_id, t_id, w_hybrid FROM ranked WHERE rk <= 150
+         ORDER BY s_id, t_id""",
+    "pr8_composite_scheme" ->
+      s"""$candCte,
+         ranked AS (
+           SELECT s_id, t_id, w_js, w_cf,
+             row_number() OVER (ORDER BY w_js DESC, w_cf DESC,
+                                s_id ASC, t_id ASC) AS rk
+           FROM weighted)
+         SELECT s_id, t_id, w_js, w_cf FROM ranked WHERE rk <= 150
          ORDER BY s_id, t_id""",
     "pr4_pgr_curve" ->
       s"""$candCte,
