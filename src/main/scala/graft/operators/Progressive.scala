@@ -46,7 +46,10 @@ object Progressive {
     pairs
       .withColumn("w_cf", cf)
       .withColumn("w_js", cf / (tilesS + tilesT - cf))
-      .withColumn("w_mbro", ia / (areaS + areaT - ia))
+      // degenerate (zero-area) operands would make this 0/0 = NaN,
+      // which sorts engine-specifically; define their overlap as 0
+      .withColumn("w_mbro",
+        when(areaS + areaT - ia > 0, ia / (areaS + areaT - ia)).otherwise(0.0))
   }
 
   /** Pearson χ² weight (reference

@@ -128,7 +128,7 @@ object ProgressiveQueries {
        weighted AS (
          SELECT s_id, t_id, contains_q, cf,
            cf / (tiles_s + tiles_t - cf) AS w_js,
-           ia / (areas - ia) AS w_mbro,
+           CASE WHEN areas - ia > 0 THEN ia / (areas - ia) ELSE 0 END AS w_mbro,
            CAST(cf AS BIGINT) AS w_cf
          FROM cand)"""
 
