@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed exact global ranking / running totals without a
   * single-partition `WindowExec`.
@@ -58,7 +59,16 @@ object Ranks {
     val withVals = values.zip(valNames).foldLeft(df) {
       case (d, (v, n)) => d.withColumn(n, v.cast("long"))
     }
-    val sorted = withVals
+    // The range exchange evaluates its child an extra time (the
+    // boundary-sampling pass runs the full upstream lineage before the
+    // shuffle map stage does). Callers feed NARROW frames (ids +
+    // weights, ~24 B/row), so persisting the input here makes the
+    // expensive upstream — candidate join, weighting, any JTS
+    // predicate — run exactly once for the whole rank pipeline. The
+    // cache is dropped as soon as pass 1 has materialized the sort
+    // shuffle, whose files pass 2 and every downstream consumer reuse.
+    val input = withVals.persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input
       .repartitionByRange(ordering: _*)
       .sortWithinPartitions(ordering: _*)
     val schema = sorted.schema
@@ -81,6 +91,8 @@ object Ranks {
         }
         Iterator((pid, acc))
     }.collect()
+    // Shuffle files now exist; later passes read them, never the input.
+    input.unpersist(blocking = false)
     val byPid = partStats.toMap
     val offsets = Array.ofDim[Long](nParts + 1, nVals + 1)
     var p = 0

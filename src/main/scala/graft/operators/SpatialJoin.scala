@@ -193,10 +193,12 @@ object SpatialJoin {
       .distinct()
   }
 
-  /** Count candidate pairs without verifying (reference J9). */
+  /** Count candidate pairs without verifying (reference J9). A count
+    * needs no geometry, so this goes through the narrow pair frame —
+    * no WKB join-backs in the plan. */
   def countVerifications(source: DataFrame, target: DataFrame): Long = {
     val theta = computeTheta(source)
-    candidatePairs(source, target, theta).count()
+    candidatePairsNarrow(source, target, theta).count()
   }
 
   /** Per-partition verification diagnostics (reference A6): run the

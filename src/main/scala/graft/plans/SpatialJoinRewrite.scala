@@ -41,6 +41,10 @@ case class SpatialJoinRewrite(session: org.apache.spark.sql.SparkSession)
 
   private val thetaCache =
     new java.util.concurrent.ConcurrentHashMap[LogicalPlan, (Double, Double)]()
+  // A long-lived session optimizing many distinct spatial joins would
+  // otherwise grow the canonicalized-plan key set without bound; a miss
+  // after eviction only re-runs the two-value θ aggregate.
+  private val MaxThetaEntries = 64
 
   /** θ for this join: conf pin → derived-from-source → 1.0. */
   private def thetaFor(left: LogicalPlan, m: Map[String, Attribute]): (Double, Double) = {
@@ -48,6 +52,7 @@ case class SpatialJoinRewrite(session: org.apache.spark.sql.SparkSession)
     val confY = session.conf.getOption("graft.theta.y")
     if (confX.isDefined && confY.isDefined)
       return (confX.get.toDouble, confY.get.toDouble)
+    if (thetaCache.size >= MaxThetaEntries) thetaCache.clear()
     thetaCache.computeIfAbsent(left.canonicalized, _ => derive(left, m))
   }
 
