@@ -88,6 +88,17 @@ object StressSkew {
     val l3b = time("L3 again (warm)")(
       SkewBalancing.rebalancedSegmentedDe9im(src, tgt, 0.0).count())
     println(s"[skew] warm rows l2=$l2b l3=$l3b")
+
+    // Dense-partition dynamic PQ: hot targets collect thousands of
+    // candidates per partition, but the typed drain holds only
+    // O(localBudget) pairs (bounded fill) — verified count must equal
+    // the budget exactly (proration sums to min(budget, candidates)).
+    val budget = 2000
+    val dyn = time(s"dynamic progressive, budget=$budget over dense corpus")(
+      graft.operators.ProgressiveTyped.dynamicProgressive(
+        src, tgt, "w_js", budget, "intersects").count())
+    println(s"[skew] dynamic verified=$dyn (budget=$budget) " +
+      s"bounded=${dyn == budget}")
     graft.spark.DfCache.release(spark)
     spark.stop()
   }

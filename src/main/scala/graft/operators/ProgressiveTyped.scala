@@ -46,12 +46,49 @@ object ProgressiveTyped {
       ++ ws: _*).as[CandPair]
   }
 
+  /** Largest-remainder proration of the global budget over partitions
+    * by candidate share — the analogue of the reference's source-share
+    * proration (`ProgressiveGIAnt.scala:26` gives each partition
+    * budget x its share of source entities; here the unit of work is
+    * the candidate pair, so shares are pair counts). Deterministic:
+    * fractional remainders break ties by partition id. The allocations
+    * sum to min(budget, total) exactly. */
+  private[graft] def prorate(counts: Map[Int, Long], budget: Int): Map[Int, Int] = {
+    val total = counts.values.sum
+    if (total == 0L) Map.empty
+    else {
+      val capped = math.min(budget.toLong, total)
+      val exact = counts.toSeq.sortBy(_._1).map { case (pid, c) =>
+        (pid, c, capped.toDouble * c / total)
+      }
+      val base = exact.map { case (pid, c, e) =>
+        (pid, c, math.min(math.floor(e).toLong, c), e - math.floor(e))
+      }
+      var rem = capped - base.map(_._3).sum
+      val bumped = base.sortBy { case (pid, _, _, frac) => (-frac, pid) }.map {
+        case (pid, c, b, _) =>
+          if (rem > 0 && b < c) { rem -= 1; pid -> (b + 1) } else pid -> b
+      }
+      bumped.map { case (pid, b) => pid -> math.min(b, Int.MaxValue.toLong).toInt }.toMap
+    }
+  }
+
   /** DynamicProgressiveGIAnt (reference
     * `DynamicProgressiveGIAnt.scala:25-88`): drain candidates best-first
     * under a per-partition budget; every time a verified pair
     * qualifies, the weights of queued pairs sharing either entity are
     * boosted by (1 + relatedMatches) and the queue re-orders. Lazy
-    * re-insertion keeps the PQ O(log n) amortized. */
+    * re-insertion keeps the PQ O(log n) amortized.
+    *
+    * Memory is budget-bounded like the reference's `ComparisonPQ`
+    * (maximumSize = localBudget, `ComparisonPQ.scala:10-70`): the
+    * initial fill streams candidates through a min-heap capped at the
+    * partition's prorated budget, so a dense partition holds
+    * O(localBudget) pairs, never O(candidates). Boosts only apply to
+    * queued pairs (reference semantics), so the kept SET is the
+    * base-weight top-localBudget and the dynamic reordering decides
+    * emission order. The candidate frame is persisted (one upstream
+    * evaluation feeds both the count job and the drain). */
   def dynamicProgressive(source: DataFrame, target: DataFrame, weight: String,
                          budget: Int, relation: String,
                          scheme: String = "SIMPLE",
@@ -63,16 +100,23 @@ object ProgressiveTyped {
       s"scheme $schemeU needs a secondary weight column")
     val cands = weightedCandidates(source, target,
       if (secondary.isEmpty) Seq(weight) else Seq(weight, secondary))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = cands.sparkSession
     import spark.implicits._
-    val numParts = math.max(1, cands.rdd.getNumPartitions)
-    val localBudget = math.max(1, budget / numParts)
+    // One narrow job: per-partition candidate counts (materializes the
+    // persisted frame, so the drain below reads the cache).
+    val counts = cands.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> {
+        var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+      }), preservesPartitioning = true)
+      .collect().toMap
+    val localBudgets = prorate(counts, budget)
     cands.mapPartitions { it =>
-      val all = it.toArray
-      if (all.isEmpty) Iterator.empty
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val localBudget = localBudgets.getOrElse(pid, 0)
+      if (localBudget == 0) Iterator.empty
       else {
         val rel = Relation.of(relation)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val matches = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
         // The dynamic boost multiplies the MAIN ordering weight
         // (reference WeightedPairT.getMainWeight * (1+relatedMatches));
@@ -88,10 +132,29 @@ object ProgressiveTyped {
           case "COMPOSITE" => c.w2
           case _           => 0.0
         }
+        // Bounded fill: min-heap ("worst kept pair" at the head) capped
+        // at localBudget — the reference ComparisonPQ's maximumSize.
+        val worstFirst = new java.util.PriorityQueue[CandPair](
+          localBudget + 1, (a: CandPair, b: CandPair) => {
+            val m = java.lang.Double.compare(mainOf(a), mainOf(b))
+            if (m != 0) m
+            else {
+              val s = java.lang.Double.compare(secondOf(a), secondOf(b))
+              if (s != 0) s
+              else {
+                val i = b.s_id.compareTo(a.s_id)
+                if (i != 0) i else b.t_id.compareTo(a.t_id)
+              }
+            }
+          })
+        it.foreach { c =>
+          worstFirst.add(c)
+          if (worstFirst.size > localBudget) worstFirst.poll()
+        }
         // max-heap on (boosted main, secondary) with deterministic id
         // tie-break and lazy re-insertion on stale weights
         val pq = new java.util.PriorityQueue[(Double, CandPair)](
-          all.length, (a: (Double, CandPair), b: (Double, CandPair)) => {
+          worstFirst.size + 1, (a: (Double, CandPair), b: (Double, CandPair)) => {
             val m = java.lang.Double.compare(b._1, a._1)
             if (m != 0) m
             else {
@@ -103,7 +166,7 @@ object ProgressiveTyped {
               }
             }
           })
-        all.foreach(c => pq.add((mainOf(c), c)))
+        worstFirst.forEach(c => pq.add((mainOf(c), c)))
         val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
         var order = 0
         while (order < localBudget && !pq.isEmpty) {

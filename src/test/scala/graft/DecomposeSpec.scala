@@ -124,4 +124,19 @@ class DecomposeSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(seg === plain)
   }
+
+  test("flatten explodes collections into members and keeps atoms intact") {
+    val rdp = new WKTReader()
+    val mp = rdp.read(TestGeoms.multiPolygon(new scala.util.Random(7), 10, 10, 3))
+    val members = Decompose.flatten(mp)
+    assert(members.length === mp.getNumGeometries && members.length > 1)
+    assert(math.abs(members.map(_.getArea).sum - mp.getArea) < 1e-9)
+    members.foreach(m => assert(m.getGeometryType === "Polygon"))
+    val gc = rdp.read("GEOMETRYCOLLECTION(POINT(1 1), LINESTRING(0 0, 2 2), " +
+      "POLYGON((0 0, 3 0, 3 3, 0 3, 0 0)))")
+    assert(Decompose.flatten(gc).map(_.getGeometryType) ===
+      Seq("Point", "LineString", "Polygon"))
+    val atom = rdp.read("POINT(5 5)")
+    assert(Decompose.flatten(atom) === Seq(atom))
+  }
 }

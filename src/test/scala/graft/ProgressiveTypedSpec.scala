@@ -43,13 +43,38 @@ class ProgressiveTypedSpec extends AnyFunSuite {
     assert(got.map(p => (p.s_id, p.t_id)).distinct.length === got.length)
   }
 
-  test("dynamic progressive respects the budget") {
+  test("dynamic progressive spends the budget exactly when candidates " +
+       "are plentiful") {
     val budget = 10
     val got = ProgressiveTyped.dynamicProgressive(
       entitiesDf(source), entitiesDf(target), "w_js",
       budget = budget, relation = "intersects").collect()
-    assert(got.length <= budget)
-    assert(got.nonEmpty)
+    // proration sums to min(budget, total candidates); this corpus has
+    // far more candidates than 10
+    assert(got.length === budget)
+  }
+
+  test("budget proration: largest-remainder, capped by counts, sums to " +
+       "min(budget, total)") {
+    // 90/10 split of a 10-pair budget → 9/1
+    assert(ProgressiveTyped.prorate(Map(0 -> 90L, 1 -> 10L), 10)
+      === Map(0 -> 9, 1 -> 1))
+    // remainders go to the largest fractional share (pid tie-break)
+    val p = ProgressiveTyped.prorate(Map(0 -> 1L, 1 -> 1L, 2 -> 1L), 2)
+    assert(p.values.sum === 2 && p.values.forall(_ <= 1))
+    // budget above total: every partition gets exactly its count
+    assert(ProgressiveTyped.prorate(Map(0 -> 3L, 1 -> 5L), 100)
+      === Map(0 -> 3, 1 -> 5))
+    // empty input
+    assert(ProgressiveTyped.prorate(Map.empty, 10) === Map.empty)
+    // a zero-candidate partition never gets budget
+    assert(ProgressiveTyped.prorate(Map(0 -> 0L, 1 -> 4L), 2)
+      === Map(0 -> 0, 1 -> 2))
+  }
+
+  test("dense partitions get proportionally more budget than sparse ones") {
+    val p = ProgressiveTyped.prorate(Map(0 -> 1000L, 1 -> 10L, 2 -> 10L), 51)
+    assert(p(0) === 50 && p(1) + p(2) === 1)
   }
 
   test("dynamic boosting verifies neighbours of matches earlier than " +

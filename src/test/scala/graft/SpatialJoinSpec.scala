@@ -205,4 +205,18 @@ class SpatialJoinSpec extends AnyFunSuite {
     val th = SpatialJoin.computeTheta(entitiesDf(pts))
     assert(th.x === 1.0 && th.y === 1.0)
   }
+
+  test("countVerifications equals the MBR-intersecting pair count and " +
+       "plans no geometry join-backs") {
+    val expected = bruteForce().size.toLong
+    assert(SpatialJoin.countVerifications(entitiesDf(source), entitiesDf(target))
+      === expected)
+    // the count path must stay narrow: no WKB blobs in the plan
+    val theta = SpatialJoin.computeTheta(entitiesDf(source))
+    val plan = SpatialJoin
+      .candidatePairsNarrow(entitiesDf(source), entitiesDf(target), theta)
+      .queryExecution.optimizedPlan
+    assert(!plan.output.map(_.name).contains("s_geom"))
+    assert(!plan.toString.contains("s_geom"))
+  }
 }
