@@ -40,6 +40,27 @@ object GeoQueries {
       rectWkt(xmin, ymin, xmax, ymax).as("wkt"))
   }
 
+  /** Triangles from customer: v0=(ax,ay), v1=(ax+w,ay), v2=(ax+u,ay+h)
+    * with w,h >= 2 and apex offset u in [-14,14] — positive area w*h/2,
+    * CCW, integer coordinates. The horizontal base edge makes one SAT
+    * axis collapse into the y-axis, so the DuckDB oracle needs only two
+    * extra separating axes per pair (see [[TriangleSql]]). These put
+    * the NON-rectangle verification path (JTS relate / segmented IM)
+    * through the hash-checked driver gate. */
+  private def customerTriangleWkt(df: DataFrame): DataFrame = {
+    val ax = (col("c_custkey") * 19) % 970
+    val ay = (col("c_custkey") * 31) % 970
+    val w = lit(2) + col("c_custkey") % 17
+    val h = lit(2) + col("c_custkey") % 13
+    val u = (col("c_custkey") * 7) % 29 - 14
+    df.select(col("c_custkey").as("id"),
+      concat(lit("POLYGON(("),
+        ax, lit(" "), ay, lit(", "),
+        ax + w, lit(" "), ay, lit(", "),
+        ax + u, lit(" "), ay + h, lit(", "),
+        ax, lit(" "), ay, lit("))")).as("wkt"))
+  }
+
   /** Points from customer. */
   private def customerPointWkt(df: DataFrame): DataFrame =
     df.select(col("c_custkey").as("id"),
@@ -88,6 +109,20 @@ object GeoQueries {
     memo(s, dir, "customerPoints") {
       SpatialJoin.entities(customerPointWkt(customer(s, dir)), col("id"), col("wkt"))
     }
+  private[graft] def customerTriangles(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "customerTriangles") {
+      SpatialJoin.entities(customerTriangleWkt(customer(s, dir)), col("id"), col("wkt"))
+    }
+
+  /** Mixed-shape corpus (boxes ∪ triangles) with ids prefixed for the
+    * engine-wide uniqueness contract — part keys and customer keys
+    * collide numerically. */
+  private[graft] def mixedCorpus(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mixedCorpus") {
+      partBoxes(s, dir).withColumn("id", concat(lit("b"), col("id")))
+        .unionByName(
+          customerTriangles(s, dir).withColumn("id", concat(lit("t"), col("id"))))
+    }
 
   // Shared oracle CTEs mirroring the derivations above.
   private[graft] val geomCtes =
@@ -107,6 +142,84 @@ object GeoQueries {
          SELECT c_custkey AS id,
                 (c_custkey*17)%1000 AS x, (c_custkey*23)%1000 AS y
          FROM customer)"""
+
+  // Triangle CTE mirroring customerTriangleWkt: base vertices and the
+  // derived envelope (apex offset u can push x beyond either base end).
+  private[graft] val triCte =
+    """tri AS (
+         SELECT c_custkey AS id,
+                (c_custkey*19)%970 AS ax, (c_custkey*31)%970 AS ay,
+                2 + c_custkey%17 AS w, 2 + c_custkey%13 AS h,
+                (c_custkey*7)%29 - 14 AS u
+         FROM customer),
+       trie AS (
+         SELECT id, ax, ay, w, h, u,
+                least(ax, ax+u) AS xmin, greatest(ax+w, ax+u) AS xmax,
+                ay AS ymin, ay+h AS ymax
+         FROM tri)"""
+
+  /** Triangle-box topology as closed-form SQL over the `trie` (alias s)
+    * and box (alias t) CTEs — the separating axis theorem for a convex
+    * triangle against an axis-aligned box. The box contributes the x
+    * and y axes; the triangle's horizontal base edge has normal
+    * (0, w) ∝ y-axis (redundant), so only the two sloped edge normals
+    * n1 = (-h, u-w) (edge v1→v2) and n2 = (h, -u) (edge v2→v0) remain.
+    * Closed sets intersect iff projections overlap INCLUSIVELY on all
+    * four axes; interiors intersect iff they overlap STRICTLY on all
+    * four (both operands have positive extent along every axis, so the
+    * open-interval argument applies). All arithmetic is small-integer
+    * exact in both engines. */
+  private object TriangleSql {
+    private def dot(nx: String, ny: String, x: String, y: String) =
+      s"(($nx)*($x) + ($ny)*($y))"
+    private def axisOverlap(nx: String, ny: String, strict: Boolean): String = {
+      val tpro = Seq(("s.ax", "s.ay"), ("s.ax+s.w", "s.ay"), ("s.ax+s.u", "s.ay+s.h"))
+        .map { case (x, y) => dot(nx, ny, x, y) }
+      val bpro = Seq(("t.xmin", "t.ymin"), ("t.xmin", "t.ymax"),
+                     ("t.xmax", "t.ymin"), ("t.xmax", "t.ymax"))
+        .map { case (x, y) => dot(nx, ny, x, y) }
+      val tlo = s"least(${tpro.mkString(", ")})"
+      val thi = s"greatest(${tpro.mkString(", ")})"
+      val blo = s"least(${bpro.mkString(", ")})"
+      val bhi = s"greatest(${bpro.mkString(", ")})"
+      val op = if (strict) ">" else ">="
+      s"($thi $op $blo AND $bhi $op $tlo)"
+    }
+    private def envOverlap(strict: Boolean): String = {
+      val le = if (strict) "<" else "<="
+      val ge = if (strict) ">" else ">="
+      s"(s.xmin $le t.xmax AND s.xmax $ge t.xmin AND " +
+        s"s.ymin $le t.ymax AND s.ymax $ge t.ymin)"
+    }
+    private def sat(strict: Boolean): String =
+      Seq(envOverlap(strict),
+        axisOverlap("-s.h", "s.u - s.w", strict),
+        axisOverlap("s.h", "-s.u", strict)).mkString("(", " AND ", ")")
+    val intersects: String = sat(strict = false)
+    val interiorsIntersect: String = sat(strict = true)
+    // Closed point-in-triangle: the triangle is CCW (area w*h/2 > 0),
+    // so a point is in the closed triangle iff every directed-edge
+    // cross product is >= 0.
+    private def insideTri(px: String, py: String): String = Seq(
+      s"(($py) - s.ay >= 0)",
+      s"((s.u - s.w)*(($py) - s.ay) - s.h*(($px) - s.ax - s.w) >= 0)",
+      s"(-s.u*(($py) - s.ay - s.h) + s.h*(($px) - s.ax - s.u) >= 0)"
+    ).mkString("(", " AND ", ")")
+    /** Triangle contains box: all four corners in the closed triangle
+      * (positive-area operands make the interior condition automatic,
+      * as in the box-box oracle). */
+    val contains: String = Seq(
+      insideTri("t.xmin", "t.ymin"), insideTri("t.xmin", "t.ymax"),
+      insideTri("t.xmax", "t.ymin"), insideTri("t.xmax", "t.ymax"))
+      .mkString("(", " AND ", ")")
+    /** Triangle within box: envelope containment suffices (the box IS
+      * its envelope). */
+    val within: String =
+      "(s.xmin >= t.xmin AND s.xmax <= t.xmax AND " +
+        "s.ymin >= t.ymin AND s.ymax <= t.ymax)"
+    val touches: String = s"($intersects AND NOT $interiorsIntersect)"
+    val overlaps: String = s"($interiorsIntersect AND NOT $contains AND NOT $within)"
+  }
 
   // --- queries ---
 
@@ -141,12 +254,29 @@ object GeoQueries {
       supplierBoxesTemporal(s, dir), "intersects", maxDays = 2)
       .orderBy(col("s_id"), col("t_id"))
 
+  /** Triangle ∩ box single-relation join — the general-polygon (non-
+    * rectangle) verification path through the hash-checked gate: every
+    * source geometry is a triangle, so NO pair can take the analytic
+    * rectangle-pair fast path; verification is genuine JTS relate /
+    * segmented IM. */
+  def sp6TriangleBoxIntersects(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.relate(customerTriangles(s, dir), supplierBoxes(s, dir), "intersects")
+      .orderBy(col("s_id"), col("t_id"))
+
+  /** Holistic relation counts over the mixed-shape corpus (boxes ∪
+    * triangles vs boxes) — rectangle fast path and general relate in
+    * ONE hash-checked aggregate. */
+  def sp7MixedRelationCounts(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.relationCounts(mixedCorpus(s, dir), supplierBoxes(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
     "sp3_relation_counts" -> (sp3RelationCounts _),
     "sp4_de9im_pairs"    -> (sp4De9imPairs _),
-    "sp5_temporal_join"  -> (sp5TemporalJoin _)
+    "sp5_temporal_join"  -> (sp5TemporalJoin _),
+    "sp6_triangle_box"   -> (sp6TriangleBoxIntersects _),
+    "sp7_mixed_relation_counts" -> (sp7MixedRelationCounts _)
   )
 
   // Rectangle topology in SQL:
@@ -213,6 +343,45 @@ object GeoQueries {
            ($sqlTouches) AS touches,
            ($sqlOverlaps) AS overlaps
          FROM sb s, tb t WHERE $sqlIntersects
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+    "sp6_triangle_box" ->
+      s"""$geomCtes, $triCte
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
+         FROM trie s, tb t WHERE ${TriangleSql.intersects}
+         ORDER BY 1, 2""",
+    // Mixed corpus: verifications = MBR-intersecting pairs (for the
+    // box-box half the MBR IS the geometry, so the filter is the
+    // intersects predicate; for the triangle half it is the envelope
+    // test). equals/crosses are constant FALSE for triangle-box pairs
+    // (a triangle can never equal a rectangle; areal-areal never
+    // crosses), and covers/coveredby coincide with contains/within for
+    // positive-area operands — same conventions as sp3.
+    "sp7_mixed_relation_counts" ->
+      s"""$geomCtes, $triCte,
+         mixed_pairs AS (
+           SELECT ($sqlIntersects) AS i, ($sqlContains) AS c,
+                  ($sqlWithin) AS w, ($sqlOverlaps) AS o,
+                  ($sqlTouches) AS tch, ($sqlEquals) AS e
+           FROM sb s, tb t
+           WHERE s.xmin <= t.xmax AND s.xmax >= t.xmin
+             AND s.ymin <= t.ymax AND s.ymax >= t.ymin
+           UNION ALL
+           SELECT (${TriangleSql.intersects}), (${TriangleSql.contains}),
+                  (${TriangleSql.within}), (${TriangleSql.overlaps}),
+                  (${TriangleSql.touches}), FALSE
+           FROM trie s, tb t
+           WHERE s.xmin <= t.xmax AND s.xmax >= t.xmin
+             AND s.ymin <= t.ymax AND s.ymax >= t.ymin)
+         SELECT count(*) AS verifications,
+           CAST(sum(CASE WHEN i THEN 1 ELSE 0 END) AS BIGINT) AS intersects,
+           CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS contains,
+           CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS within,
+           CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS covers,
+           CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS coveredby,
+           CAST(0 AS BIGINT) AS crosses,
+           CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS overlaps,
+           CAST(sum(CASE WHEN tch THEN 1 ELSE 0 END) AS BIGINT) AS touches,
+           CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS equals
+         FROM mixed_pairs"""
   )
 }
