@@ -72,6 +72,29 @@ object ProgressiveQueries {
       .orderBy(col("s_id"), col("t_id"))
   }
 
+  /** ISP (inverse sum of points) weighted budget over the MIXED-shape
+    * corpus: boxes carry 5 ring points, triangles 4, targets 5 — so the
+    * weight takes two genuine values (1/9 triangle-source, 1/10
+    * box-source) and the budget cut crosses both groups with the id
+    * tie-break deciding inside each. Point counts come from the real
+    * geometry (`st_numpoints` over the WKB), not the derivation — the
+    * oracle knows them only because the shapes are deterministic. */
+  def pr9IspBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.st_numpoints
+    val src = GeoQueries.mixedCorpus(s, dir)
+      .withColumn("npoints", st_numpoints(col("geom")))
+    val tgt = GeoQueries.supplierBoxes(s, dir)
+      .withColumn("npoints", st_numpoints(col("geom")))
+    val theta = SpatialJoin.computeTheta(src)
+    Ranks.withGlobalRank(
+        SpatialJoin.candidatePairsNarrow(src, tgt, theta)
+          .withColumn("w_isp", Progressive.ispWeight),
+        Seq(col("w_isp").desc, col("s_id").asc, col("t_id").asc))
+      .filter(col("rank") <= 100)
+      .select(col("s_id"), col("t_id"), col("w_isp"))
+      .orderBy(col("s_id"), col("t_id"))
+  }
+
   /** RANDOM scheduling baseline with a deterministic hash weight. */
   def pr7RandomBudget(s: SparkSession, dir: String): DataFrame = {
     val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
@@ -93,7 +116,8 @@ object ProgressiveQueries {
     "pr4_pgr_curve" -> (pr4PgrCurve _),
     "pr5_chi2_topk" -> (pr5Chi2TopK _),
     "pr6_hybrid_scheme" -> (pr6HybridScheme _),
-    "pr8_composite_scheme" -> (pr8CompositeScheme _)
+    "pr8_composite_scheme" -> (pr8CompositeScheme _),
+    "pr9_isp_budget" -> (pr9IspBudget _)
   )
 
   // --- oracle plumbing ---
@@ -220,6 +244,26 @@ object ProgressiveQueries {
                                 s_id ASC, t_id ASC) AS rk
            FROM weighted)
          SELECT s_id, t_id, w_js, w_cf FROM ranked WHERE rk <= 150
+         ORDER BY s_id, t_id""",
+    "pr9_isp_budget" ->
+      s"""${GeoQueries.geomCtes}, ${GeoQueries.triCte},
+         mixed AS (
+           SELECT 'b' || CAST(id AS VARCHAR) AS s_id,
+                  xmin, xmax, ymin, ymax, 5 AS np FROM sb
+           UNION ALL
+           SELECT 't' || CAST(id AS VARCHAR),
+                  xmin, xmax, ymin, ymax, 4 FROM trie),
+         cand9 AS (
+           SELECT m.s_id, CAST(t.id AS VARCHAR) AS t_id,
+                  CAST(1 AS DOUBLE) / (m.np + 5) AS w_isp
+           FROM mixed m, tb t
+           WHERE m.xmin <= t.xmax AND m.xmax >= t.xmin
+             AND m.ymin <= t.ymax AND m.ymax >= t.ymin),
+         ranked9 AS (
+           SELECT s_id, t_id, w_isp,
+             row_number() OVER (ORDER BY w_isp DESC, s_id ASC, t_id ASC) AS rk
+           FROM cand9)
+         SELECT s_id, t_id, w_isp FROM ranked9 WHERE rk <= 100
          ORDER BY s_id, t_id""",
     "pr4_pgr_curve" ->
       s"""$candCte,
