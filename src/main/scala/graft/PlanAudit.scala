@@ -23,11 +23,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 object PlanAudit {
 
   // dd7/ann1: documented exact baselines (bucketed scale paths are
-  // dd8/ann3/ann4). ann3: the cell-assignment crossJoin broadcasts the
-  // CENTROID table — #labels rows (8 here) — which is the standard IVF
-  // coarse-quantizer shape, not an unbounded join.
+  // dd8/ann3/ann4). ann3/ann5: the cell-assignment crossJoin broadcasts
+  // the CENTROID table — #labels rows for ann3, ceil(sqrt(n)) for ann5 —
+  // which is the standard IVF coarse-quantizer shape (every vector must
+  // score every centroid), not an unbounded data-data join.
   private val allowedUnbounded =
-    Set("dd7_embedding_dups", "ann1_cosine_topk", "ann3_ivf_topk")
+    Set("dd7_embedding_dups", "ann1_cosine_topk", "ann3_ivf_topk",
+        "ann5_ivf_scaled")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

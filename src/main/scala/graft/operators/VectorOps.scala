@@ -85,6 +85,65 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ann5: SCALE-READY IVF — the 100 TB shape of ann3. ann3's coarse
+    * quantizer is the 8 data labels, so its in-cell self-join keys on 8
+    * values and parallelism collapses at scale; here the codebook is
+    * k = ceil(sqrt(n)) centroids trained by one distributed Lloyd
+    * iteration over deterministic seed vectors (every floor(n/k)-th
+    * vec_id), so cell-key cardinality GROWS with the corpus and in-cell
+    * candidate work per query is nprobe * n/k. The centroid table is
+    * O(sqrt n) rows — broadcast for both assignment and query probing;
+    * the only shuffle is the per-cell equi-join. No SQL oracle (k-means
+    * is not ANSI-expressible) → rows-only gate entry; the exactness
+    * property (nprobe = k recovers brute force) is spec-verified. */
+  def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
+                    nprobe: Int = 4): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    def assign(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("csim", round(cosine(col("v"), col("c_v")), 9))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("cell"))
+    // memoized training: seeds -> one Lloyd step; tiny result reused by
+    // the assignment and probe arms of the DAG
+    val trained = graft.spark.DfCache.memo(s, s"$dir#ann5cents") {
+      val n = emb.count()
+      val nc = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val step = math.max(1L, n / nc)
+      val seeds = emb.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("cell"), col("v").as("c_v"))
+      assign(seeds)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("cell"), transform(col("pairs"), p => round(p("m"), 9)).as("c_v"))
+    }
+    val assigned = assign(trained)
+    val probed = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .crossJoin(broadcast(trained))
+      .withColumn("csim", round(cosine(col("q_v"), col("c_v")), 9))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("cell"))
+    probed
+      .join(assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v")),
+        "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
     * exceeds a data-calibrated threshold (this synthetic corpus tops
     * out near 0.51, so 0.45 marks its "near-duplicate" tail; rounded
@@ -171,6 +230,7 @@ object VectorOps {
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
     "ann4_hyperplane_lsh" -> (ann4HyperplaneLsh _),
+    "ann5_ivf_scaled" -> ((s: SparkSession, dir: String) => ann5IvfScaled(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
       lshCandidatePairs(s, dir))

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.VectorOps
+
+/** Properties of the scale-ready IVF path (ann5): codebook cardinality
+  * grows as sqrt(n), probing all cells recovers the exact brute-force
+  * answer, and the default nprobe achieves high recall against it.
+  */
+class IvfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Exact brute-force cosine top-k over the same query set. */
+  private def bruteTopK(k: Int): Set[(Long, Long)] = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorOps.cosine(col("q_v"), col("v")), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("probing every cell recovers the exact brute-force top-k") {
+    // nprobe >= number of centroids -> candidate set is the whole
+    // corpus, so IVF must equal brute force bit-for-bit
+    val exact = bruteTopK(3)
+    val got = VectorOps.ann5IvfScaled(spark, dir, k = 3, nprobe = 1000)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact)
+  }
+
+  test("default nprobe keeps high recall at a fraction of the scan") {
+    val exact = bruteTopK(3)
+    val got = VectorOps.ann5IvfScaled(spark, dir)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for nprobe=4")
+    assert(got.size === exact.size) // still k results per query
+  }
+
+  test("codebook cardinality scales as sqrt(n), not label count") {
+    val n = Tables.embeddings(spark, dir).count()
+    val cells = VectorOps.ann5IvfScaled(spark, dir, k = 3, nprobe = 1000)
+    // distinct assigned cells cannot exceed the codebook, and the
+    // codebook must be ~sqrt(n) (far above the 10-label quantizer)
+    val trained = graft.spark.DfCache.memo(spark, s"$dir#ann5cents")(
+      sys.error("ann5 must have memoized its codebook"))
+    val kCells = trained.count()
+    assert(kCells > 10, s"expected >10 centroids, got $kCells")
+    assert(kCells <= math.ceil(math.sqrt(n.toDouble)).toInt + 1)
+    cells.collect() // materialize to ensure the pipeline executes
+  }
+}
