@@ -135,8 +135,15 @@ object Progressive {
       .select(col("s_id"), col("t_id"), col(weight))
     val bounded = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)
-    bounded
+    // The rank filter bounds this side at `budget` narrow rows, but
+    // Catalyst cannot see that through the filter — without the hint it
+    // may shuffle the ENTITY frames instead. Budget rows are broadcast-
+    // able by construction (the reference materializes the same bounded
+    // set in its per-partition PQs), so both join-backs hash the
+    // bounded side and the entities stream.
+    val withS = broadcast(bounded)
       .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+    broadcast(withS)
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
@@ -199,9 +206,12 @@ object Progressive {
     val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
     val narrow = withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
       .select(col("s_id"), col("t_id"), col(weight))
-    val bounded = Ranks.withGlobalRank(narrow, ordering)
+    val ranked = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)
-      .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+    // budget-bounded side broadcast for the geometry join-backs (see
+    // progressiveVerify)
+    val bounded = broadcast(broadcast(ranked)
+        .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id"))
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
