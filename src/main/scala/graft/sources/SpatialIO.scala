@@ -94,6 +94,27 @@ object SpatialIO {
     mk(graft.functions.GeoJsonToWkt(ex(gj)))
   }
 
+  /** ESRI Shapefile reader — reference S4 (upstream `Reader.scala:
+    * 150-155` returns null; this is a working re-implementation from
+    * the public format spec, see [[Shapefile]]). Distribution shape:
+    * `binaryFile` source yields one row per .shp file, each parsed in
+    * an executor task — a directory of shapefiles parallelizes
+    * per-file, which matches how shapefile corpora ship (many
+    * county/tile files). Attributes (.dbf) are not read; ids are
+    * `<fileName>#<recordNumber>`, unique per the entity contract. */
+  def readShapefile(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val rows = bin.flatMap { case (p, bytes) =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      Shapefile.parse(bytes).map { case (rec, g) => (s"$name#$rec", g.toText) }
+    }.toDF("id", "wkt")
+    SpatialJoin.entities(rows, col("id"), col("wkt"))
+  }
+
   /** Qualifying-pair export, CSV with header — reference S7
     * `Utils.exportCSV`. */
   def writePairsCsv(pairs: DataFrame, path: String): Unit =

@@ -91,4 +91,89 @@ class SpatialIOSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(back === Set(("a", "b"), ("c", "d")))
   }
+
+  // --- shapefile fixture: serialize records per the public spec ---
+
+  private def shpRecord(recNo: Int, content: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + content.length)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(recNo).putInt(content.length / 2).put(content)
+    b.array()
+  }
+  private def leBuf(n: Int): java.nio.ByteBuffer = {
+    val b = java.nio.ByteBuffer.allocate(n)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN); b
+  }
+  private def pointContent(shapeType: Int, xy: Double*): Array[Byte] = {
+    val b = leBuf(4 + 8 * xy.length)
+    b.putInt(shapeType); xy.foreach(b.putDouble); b.array()
+  }
+  private def partsContent(shapeType: Int, parts: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+    val n = parts.map(_.length).sum
+    val b = leBuf(44 + 4 * parts.length + 16 * n)
+    b.putInt(shapeType)
+    Seq(0.0, 0.0, 0.0, 0.0).foreach(b.putDouble) // box (readers recompute)
+    b.putInt(parts.length).putInt(n)
+    parts.scanLeft(0)(_ + _.length).init.foreach(b.putInt)
+    parts.flatten.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    b.array()
+  }
+  private def multiPointContent(pts: Seq[(Double, Double)]): Array[Byte] = {
+    val b = leBuf(40 + 16 * pts.length)
+    b.putInt(8)
+    Seq(0.0, 0.0, 0.0, 0.0).foreach(b.putDouble)
+    b.putInt(pts.length)
+    pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    b.array()
+  }
+  private def shpFile(records: Array[Byte]*): Array[Byte] = {
+    val body = records.flatten.toArray
+    val b = java.nio.ByteBuffer.allocate(100 + body.length)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994)
+    b.putInt(24, (100 + body.length) / 2)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000)
+    b.putInt(32, 5)
+    b.position(100); b.put(body)
+    b.array()
+  }
+
+  test("shapefile reader: points, polylines, polygons with holes, " +
+       "multipoints, Z-points, null shapes") {
+    // shell CW (spec), hole CCW
+    val shell = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val hole = Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0))
+    val file = shpFile(
+      shpRecord(1, pointContent(1, 3.0, 4.0)),
+      shpRecord(2, pointContent(11, 7.0, 8.0, 1.5, 2.5)), // PointZ: Z/M ignored
+      shpRecord(3, partsContent(3, Seq(Seq((0.0, 0.0), (5.0, 5.0), (9.0, 2.0))))),
+      shpRecord(4, partsContent(5, Seq(shell, hole))),
+      shpRecord(5, multiPointContent(Seq((1.0, 1.0), (2.0, 2.0)))),
+      shpRecord(6, leBuf(4).putInt(0).array()) // null shape: skipped
+    )
+    val dir = Files.createTempDirectory("shp")
+    Files.write(dir.resolve("corpus.shp"), file)
+    val got = SpatialIO.readShapefile(spark, dir.toString)
+      .select("id", "geom").collect()
+      .map(r => r.getString(0) -> graft.functions.Jts.fromWkb(r.getAs[Array[Byte]]("geom")))
+      .toMap
+    assert(got.keySet === Set(1, 2, 3, 4, 5).map(i => s"corpus.shp#$i"))
+    assert(got("corpus.shp#1").toText === "POINT (3 4)")
+    assert(got("corpus.shp#2").toText === "POINT (7 8)")
+    assert(got("corpus.shp#3").getGeometryType === "LineString" &&
+      got("corpus.shp#3").getNumPoints === 3)
+    val poly = got("corpus.shp#4").asInstanceOf[org.locationtech.jts.geom.Polygon]
+    assert(poly.getNumInteriorRing === 1)
+    assert(poly.getArea === 100.0 - 4.0)
+    assert(got("corpus.shp#5").getGeometryType === "MultiPoint")
+  }
+
+  test("shapefile polygon assembly survives nonconformant all-CCW rings") {
+    val ccwRing = Seq((0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0), (0.0, 0.0))
+    val parsed = graft.sources.Shapefile.parse(
+      shpFile(shpRecord(1, partsContent(5, Seq(ccwRing)))))
+    assert(parsed.length === 1)
+    assert(parsed.head._2.getArea === 36.0)
+  }
 }
