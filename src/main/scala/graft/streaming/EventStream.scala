@@ -1,9 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Typed rows of the stateful sessionizer. The watermarked event-time
+  * column must survive into the typed stream (the event-time timeout
+  * checker requires it), so the timestamp itself is carried. */
+case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp) {
+  def us: Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+}
+case class OpenSession(start: Long, last: Long, n: Long)
+case class UserSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
 /** Structured-streaming surface over the `events` table shape —
   * beyond the reference (DS-JedAI is batch-only, SURVEY §2.10); a
@@ -43,6 +53,60 @@ object EventStream {
            round(sum(col("value")), 2).as("sum_value"))
       .select(col("event_type"), col("window.start").as("hour"),
         col("n_events"), col("sum_value"))
+
+  /** Stateful streaming sessionization — the custom-state streaming
+    * operator (`flatMapGroupsWithState` + event-time timeout): per-user
+    * sessions separated by a `gapMinutes` inactivity gap, the same
+    * semantics as the batch q14 sessionize query, but computed
+    * INCREMENTALLY with bounded per-user state.
+    *
+    * A session is emitted when a later event closes it (gap exceeded)
+    * or when the event-time watermark passes `last + gap` (timeout) —
+    * so emission is append-mode and each session appears exactly once.
+    * State per user is one OpenSession (24 bytes): scale is
+    * O(active users), not O(events). Events within a micro-batch are
+    * processed in (ts, event_id) order; cross-batch reordering beyond
+    * the watermark delay is the watermark contract, as usual. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 lateness: String = "2 hours"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def close(user: Long, o: OpenSession) = UserSession(user, o.start, o.last, o.n)
+    def fn(user: Long, rows: Iterator[SessionEvent],
+           state: GroupState[OpenSession]): Iterator[UserSession] =
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(close(user, s))
+      } else {
+        val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        var open = state.getOption
+        sorted.foreach { e =>
+          open = open match {
+            case Some(o) if e.us - o.last <= gapUs =>
+              Some(OpenSession(o.start, math.max(o.last, e.us), o.n + 1))
+            case Some(o) =>
+              out += close(user, o)
+              Some(OpenSession(e.us, e.us, 1))
+            case None => Some(OpenSession(e.us, e.us, 1))
+          }
+        }
+        open.foreach { o =>
+          state.update(o)
+          // fire once the watermark passes the gap after the last event
+          state.setTimeoutTimestamp(o.last / 1000 + gapUs / 1000)
+        }
+        out.iterator
+      }
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Run the hourly aggregation over static parquet via the streaming
     * engine into an in-memory sink; returns the finished query. */

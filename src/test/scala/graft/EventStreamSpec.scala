@@ -56,6 +56,47 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer: incremental gap-close and event-time " +
+       "timeout emit each session exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Timeline base = day 1, not epoch 0: the stateful operator's
+    // late-row filter drops rows at exactly the initial zero watermark.
+    def m(minutes: Long): Long = (minutes + 1440) * 60L * 1000000L
+    val mem = MemoryStream[(Long, Long, Long)] // (user_id, event_id, us)
+    val events = mem.toDF().toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.EventStream.sessionize(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    def sessions(): Set[(Long, Long, Long, Long)] =
+      spark.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // batch 1: A has two events 10 min apart (one open session),
+      // B one event; nothing closes (watermark far behind)
+      mem.addData((1L, 1L, m(0)), (1L, 2L, m(10)), (2L, 3L, m(0)))
+      q.processAllAvailable()
+      assert(sessions() === Set.empty)
+      // batch 2: A's event 190 min later exceeds the 30-min gap -> A's
+      // first session closes by DATA. The eviction watermark advances
+      // within the trigger to 200 - 120 lateness = 80 min, which passes
+      // B's timeout (last + gap = 30 min) -> B closes by TIMEOUT.
+      mem.addData((1L, 4L, m(200)))
+      q.processAllAvailable()
+      assert(sessions() === Set(
+        (1L, m(0), m(10), 2L), (2L, m(0), m(0), 1L)))
+      // batch 3: unrelated user pushes the eviction watermark to
+      // 880 min, past A's open-session timeout (230 min) -> A's second
+      // session times out; the new user's own session stays open
+      mem.addData((9L, 5L, m(1000)))
+      q.processAllAvailable()
+      assert(sessions() === Set(
+        (1L, m(0), m(10), 2L), (2L, m(0), m(0), 1L), (1L, m(200), m(200), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")
