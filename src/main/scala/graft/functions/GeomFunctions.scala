@@ -250,30 +250,34 @@ case class StPredicate(left: Expression, right: Expression, relation: String)
   * replicated pairs emit exactly once (DS-JedAI
   * `linkers/LinkerT.scala:30-41`).
   */
-case class TileCover(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class TileCover(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.exists(_ == null)) return null
     val Seq(minx, miny, maxx, maxy, tx, ty) = vs.map(_.asInstanceOf[Double])
-    val x0 = math.floor(minx / tx).toLong; val x1 = math.floor(maxx / tx).toLong
-    val y0 = math.floor(miny / ty).toLong; val y1 = math.floor(maxy / ty).toLong
-    // Guard the Long product BEFORE the Int cast: a geometry spanning a
-    // huge number of θ-tiles (tiny θ, bad coordinates, or one
-    // continent-sized MBR) would otherwise overflow into a negative
-    // array size or silently explode the row count by millions.
-    val nL = (x1 - x0 + 1) * (y1 - y0 + 1)
-    if (nL > TileCover.MaxTiles)
-      throw new IllegalArgumentException(
-        s"tile_cover: MBR [$minx,$miny,$maxx,$maxy] spans $nL θ-tiles " +
-        s"(cap ${TileCover.MaxTiles}). Use a coarser θ (AVG tiling over a " +
-        "source with comparable extents) or pre-split the geometry.")
-    val n = nL.toInt
-    val out = new Array[Long](n)
-    var i = 0; var x = x0
-    while (x <= x1) { var y = y0; while (y <= y1) { out(i) = Jts.encodeTile(x, y); i += 1; y += 1 }; x += 1 }
-    new GenericArrayData(out)
+    TileCover.compute(minx, miny, maxx, maxy, tx, ty)
+  }
+  // Codegen as a static call: tile_cover sits under the explode of
+  // EVERY tile join — the CodegenFallback boxed-row path would break
+  // the hot scan stage's whole-stage codegen.
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode):
+      org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val evalChildren = gens.map(_.code).reduce(_ + _)
+    val nullCheck =
+      if (nullable) gens.map(g => s"${g.isNull}").mkString(" || ") else "false"
+    val args = gens.map(g => s"${g.value}").mkString(", ")
+    ev.copy(code = code"""
+      $evalChildren
+      boolean ${ev.isNull} = $nullCheck;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.TileCover.compute($args);
+      }""")
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(cs)
@@ -282,6 +286,28 @@ object TileCover {
   /** Per-geometry θ-tile cap — past this the tile join's replication
     * factor is the bottleneck, not a tractable plan. */
   val MaxTiles: Long = 4L * 1000 * 1000
+
+  /** Shared loop for interpreted and generated code. */
+  def compute(minx: Double, miny: Double, maxx: Double, maxy: Double,
+              tx: Double, ty: Double): GenericArrayData = {
+    val x0 = math.floor(minx / tx).toLong; val x1 = math.floor(maxx / tx).toLong
+    val y0 = math.floor(miny / ty).toLong; val y1 = math.floor(maxy / ty).toLong
+    // Guard the Long product BEFORE the Int cast: a geometry spanning a
+    // huge number of θ-tiles (tiny θ, bad coordinates, or one
+    // continent-sized MBR) would otherwise overflow into a negative
+    // array size or silently explode the row count by millions.
+    val nL = (x1 - x0 + 1) * (y1 - y0 + 1)
+    if (nL > MaxTiles)
+      throw new IllegalArgumentException(
+        s"tile_cover: MBR [$minx,$miny,$maxx,$maxy] spans $nL θ-tiles " +
+        s"(cap $MaxTiles). Use a coarser θ (AVG tiling over a " +
+        "source with comparable extents) or pre-split the geometry.")
+    val n = nL.toInt
+    val out = new Array[Long](n)
+    var i = 0; var x = x0
+    while (x <= x1) { var y = y0; while (y <= y1) { out(i) = Jts.encodeTile(x, y); i += 1; y += 1 }; x += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Fine-grained envelopes (DS-JedAI FineGrainedEnvelopes
