@@ -50,16 +50,24 @@ object TextOps {
       .orderBy(col("fp"))
   }
 
-  /** dd3: n-gram Jaccard near-dup pairs. Blocking key = fingerprint of
-    * the first 32 normalized chars (the scale path: candidates only
-    * form within a block, never all-pairs); verification = exact
-    * Jaccard over distinct tokens via array_intersect/array_union. */
+  /** dd3: n-gram Jaccard near-dup pairs. Blocking key = the MINIMUM
+    * shingle hash (single-permutation MinHash): unlike a text-prefix
+    * fingerprint, it is similarity-preserving — any early edit breaks
+    * a prefix block, while two documents with shingle-Jaccard J share
+    * the min-hash block with probability J. Candidates only form
+    * within a block, never all-pairs; verification = exact Jaccard
+    * over distinct tokens via array_intersect/array_union. The banded
+    * multi-permutation form (higher recall, tunable) is dd5. */
   def dd3JaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
-    val docs = documents(s, dir).select(
-      col("doc_id"),
-      md5(substring(norm, 1, 32)).as("block"),
-      array_distinct(tokens(col("text"))).as("words"))
+    import graft.functions.GeomFunctions.barrier
+    val docs = documents(s, dir)
+      .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(
+        col("doc_id"),
+        array_min(transform(array_distinct(shinglesOf(col("w"))),
+          x => wordHash(x))).as("block"),
+        array_distinct(col("w")).as("words"))
     val a = docs.select(col("block"), col("doc_id").as("id_a"), col("words").as("w_a"))
     val b = docs.select(col("block"), col("doc_id").as("id_b"), col("words").as("w_b"))
     a.join(b, "block")
@@ -323,11 +331,13 @@ object TextOps {
                 min(doc_id) AS keep_id, count(*) AS n_members
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
     "dd3_jaccard_pairs" ->
-      s"""WITH docs AS (
-           SELECT doc_id,
-             md5(substr(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), 1, 32)) AS block,
-             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS words
-           FROM documents)
+      s"""WITH $shinglesCte,
+         docs AS (
+           SELECT sh.doc_id,
+             list_min(list_transform(sh.sset,
+               word -> CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P)) AS block,
+             list_distinct(words.w) AS words
+           FROM sh JOIN words ON sh.doc_id = words.doc_id)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
            CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
