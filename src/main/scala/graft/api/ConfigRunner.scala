@@ -61,6 +61,7 @@ object ConfigRunner {
       budget = yaml.getOrElse("configurations.budget", "10000000").toInt,
       mainWF = yaml.getOrElse("configurations.mainWF", "JS") match {
         case "JS" => "w_js"; case "CF" => "w_cf"; case "MBRO" => "w_mbro"
+        case "PEARSONS_X2" | "X2" => "w_x2"; case "ISP" => "w_isp"
         case w => w
       },
       batchSize = yaml.getOrElse("configurations.batchSize", "100").toInt,
@@ -72,6 +73,7 @@ object ConfigRunner {
       },
       secondaryWF = yaml.getOrElse("configurations.secondaryWF", "") match {
         case "JS" => "w_js"; case "CF" => "w_cf"; case "MBRO" => "w_mbro"
+        case "PEARSONS_X2" | "X2" => "w_x2"; case "ISP" => "w_isp"
         case w => w
       })
   }

@@ -121,8 +121,32 @@ object Progressive {
     * JTS predicate runs only on the `rank <= budget` survivors, so
     * geometry work is budget-bounded exactly like the reference's
     * prorated per-partition PQs. */
-  def progressiveVerify(source: DataFrame, target: DataFrame, weight: String,
+  /** Provision entity frames / candidate columns for any of the five
+    * reference weighting functions: CF/JS/MBRO come from the MBR tile
+    * closed forms, X2 additionally needs the global tile count, ISP
+    * needs per-entity point counts (added here from the geometry when
+    * requested — reference `WeightedPairFactory.scala:87-112`). */
+  private[operators] def provision(source: DataFrame, target: DataFrame,
+      weight: Set[String]): (DataFrame, DataFrame) =
+    if (weight.contains("w_isp"))
+      (source.withColumn("npoints",
+         graft.functions.GeomFunctions.st_numpoints(col("geom"))),
+       target.withColumn("npoints",
+         graft.functions.GeomFunctions.st_numpoints(col("geom"))))
+    else (source, target)
+
+  private[operators] def addWeights(cands: DataFrame, theta: Theta,
+      source: DataFrame, weights: Set[String]): DataFrame = {
+    var out = withWeights(cands, theta)
+    if (weights.contains("w_x2"))
+      out = withChi2Weight(out, theta, totalTiles(source, theta))
+    if (weights.contains("w_isp")) out = out.withColumn("w_isp", ispWeight)
+    out
+  }
+
+  def progressiveVerify(source0: DataFrame, target0: DataFrame, weight: String,
                         budget: Int, relation: String = "intersects"): DataFrame = {
+    val (source, target) = provision(source0, target0, Set(weight))
     val theta = SpatialJoin.computeTheta(source)
     val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
     // Rank NARROW rows (ids + weight, ~24 B) — the geometry blobs never
@@ -131,7 +155,8 @@ object Progressive {
     // + geom * budget instead of geom * candidates. Requires UNIQUE
     // entity ids per side (the engine-wide entity contract, mirroring
     // the reference's originalID identification of output pairs).
-    val narrow = withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
+    val narrow = addWeights(SpatialJoin.candidatePairsNarrow(source, target, theta),
+        theta, source, Set(weight))
       .select(col("s_id"), col("t_id"), col(weight))
     val bounded = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)

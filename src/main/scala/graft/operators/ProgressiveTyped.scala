@@ -30,11 +30,13 @@ case class VerifiedPair(s_id: String, t_id: String, part: Int,
   */
 object ProgressiveTyped {
 
-  private def weightedCandidates(source: DataFrame, target: DataFrame,
+  private def weightedCandidates(source0: DataFrame, target0: DataFrame,
                                  weights: Seq[String]): Dataset[CandPair] = {
+    val wanted = weights.filter(_.nonEmpty).toSet
+    val (source, target) = Progressive.provision(source0, target0, wanted)
     val theta = SpatialJoin.computeTheta(source)
-    val cands = Progressive.withWeights(
-      SpatialJoin.candidatePairs(source, target, theta), theta)
+    val cands = Progressive.addWeights(
+      SpatialJoin.candidatePairs(source, target, theta), theta, source, wanted)
     val spark = cands.sparkSession
     import spark.implicits._
     val ws = (weights.take(3) ++ Seq.fill(3 - math.min(3, weights.length))(""))

@@ -91,5 +91,36 @@ class ConfigRunnerSpec extends AnyFunSuite {
       .subsetOf(ConfigRunner.run(spark, conf("GIANT", "DE9IM"))
         .select("s_id", "t_id").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet))
+
+    // all five reference weighting functions dispatch through the
+    // config surface; with an exhaustive budget each yields the same
+    // qualifying SET (only verification order differs)
+    def confWf(wf: String) = ConfigRunner.jobConf(ConfigRunner.parseYaml(
+      s"""source:
+         |  path: $srcCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |target:
+         |  path: $tgtCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |relation: intersects
+         |configurations:
+         |  progressiveAlgorithm: PROGRESSIVE_GIANT
+         |  budget: 1000000
+         |  mainWF: $wf
+         |""".stripMargin))
+    assert(confWf("PEARSONS_X2").mainWF === "w_x2")
+    assert(confWf("ISP").mainWF === "w_isp")
+    val qualByWf = Seq("JS", "CF", "MBRO", "PEARSONS_X2", "ISP").map { wf =>
+      ConfigRunner.run(spark, confWf(wf))
+        .filter(org.apache.spark.sql.functions.col("qualifies"))
+        .select("s_id", "t_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    assert(qualByWf.head === batch)
+    assert(qualByWf.forall(_ === batch))
   }
 }
