@@ -60,14 +60,18 @@ object TextOps {
     * multi-permutation form (higher recall, tunable) is dd5. */
   def dd3JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GeomFunctions.barrier
-    val docs = documents(s, dir)
-      .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(
-        col("doc_id"),
-        array_min(transform(array_distinct(shinglesOf(col("w"))),
-          x => wordHash(x))).as("block"),
-        array_distinct(col("w")).as("words"))
+    // both join arms read the projection — session-cached so the
+    // shingle + hash pass runs once, not once per arm
+    val docs = graft.spark.DfCache.memo(s, s"$dir#dd3blocks") {
+      documents(s, dir)
+        .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(
+          col("doc_id"),
+          array_min(transform(array_distinct(shinglesOf(col("w"))),
+            x => wordHash(x))).as("block"),
+          array_distinct(col("w")).as("words"))
+    }
     val a = docs.select(col("block"), col("doc_id").as("id_a"), col("words").as("w_a"))
     val b = docs.select(col("block"), col("doc_id").as("id_b"), col("words").as("w_b"))
     a.join(b, "block")

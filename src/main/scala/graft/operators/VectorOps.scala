@@ -67,12 +67,16 @@ object VectorOps {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
       .select(col("label"), transform(col("pairs"), p => p("centroid")).as("c_v"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", round(cosine(col("v"), col("c_v")), 9))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("label").asc)))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cell"))
+    // both self-join arms read the assignment — session-cached so the
+    // crossJoin + argmin window runs once, not once per arm
+    val assigned = graft.spark.DfCache.memo(s, s"$dir#ann3assigned") {
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("v"), col("c_v")), 9))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("label").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("label").as("cell"))
+    }
     val l = assigned.select(col("cell"), col("vec_id").as("q_id"), col("v").as("q_v"))
     val r = assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v"))
     l.join(r, "cell")
@@ -206,7 +210,11 @@ object VectorOps {
     * remains as the exact baseline/test oracle. */
   def lshCandidatePairs(s: SparkSession, dir: String, planes: Int = 8,
                         minSim: Double = 0.45): DataFrame = {
-    val bucketed = hyperplaneBuckets(s, dir, planes)
+    // both join arms read the signatures — session-cached so the
+    // quantize + plane dot products run once, not once per arm
+    val bucketed = graft.spark.DfCache.memo(s, s"$dir#hyperplane$planes") {
+      hyperplaneBuckets(s, dir, planes)
+    }
     val l = bucketed.select(col("sig"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val r = bucketed.select(col("sig"), col("vec_id").as("id_b"), col("v").as("v_b"))
     l.join(r, "sig")

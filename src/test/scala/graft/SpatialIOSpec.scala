@@ -169,6 +169,21 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(got("corpus.shp#5").getGeometryType === "MultiPoint")
   }
 
+  test("shapefile polygon record with two shells becomes a MultiPolygon " +
+       "with the hole attached to its containing shell") {
+    val shellA = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val holeA = Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0))
+    val shellB = Seq((20.0, 0.0), (20.0, 5.0), (25.0, 5.0), (25.0, 0.0), (20.0, 0.0))
+    val parsed = graft.sources.Shapefile.parse(
+      shpFile(shpRecord(1, partsContent(5, Seq(shellA, holeA, shellB)))))
+    assert(parsed.length === 1)
+    val mp = parsed.head._2
+    assert(mp.getGeometryType === "MultiPolygon")
+    assert(mp.getNumGeometries === 2)
+    val areas = (0 until 2).map(mp.getGeometryN(_).getArea).sorted
+    assert(areas === Seq(25.0, 100.0 - 4.0))
+  }
+
   test("shapefile polygon assembly survives nonconformant all-CCW rings") {
     val ccwRing = Seq((0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0), (0.0, 0.0))
     val parsed = graft.sources.Shapefile.parse(
