@@ -61,6 +61,19 @@ object GeoQueries {
         ax, lit(" "), ay, lit("))")).as("wkt"))
   }
 
+  /** Horizontal segments from orders: LINESTRING(x0 y, x1 y) with
+    * length 3..27 — 1-D operands whose DE-9IM against a box is pure
+    * interval arithmetic (the segment is its own envelope), giving the
+    * gate its first non-trivial `crosses` and line-`touches` rows. */
+  private def orderSegmentWkt(df: DataFrame): DataFrame = {
+    val x0 = (col("o_orderkey") * 23) % 970
+    val y = (col("o_orderkey") * 41) % 990
+    val x1 = x0 + lit(3) + col("o_orderkey") % 25
+    df.select(col("o_orderkey").as("id"),
+      concat(lit("LINESTRING("), x0, lit(" "), y, lit(", "),
+        x1, lit(" "), y, lit(")")).as("wkt"))
+  }
+
   /** Points from customer. */
   private def customerPointWkt(df: DataFrame): DataFrame =
     df.select(col("c_custkey").as("id"),
@@ -112,6 +125,11 @@ object GeoQueries {
   private[graft] def customerTriangles(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "customerTriangles") {
       SpatialJoin.entities(customerTriangleWkt(customer(s, dir)), col("id"), col("wkt"))
+    }
+
+  private[graft] def orderSegments(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "orderSegments") {
+      SpatialJoin.entities(orderSegmentWkt(orders(s, dir)), col("id"), col("wkt"))
     }
 
   /** Mixed-shape corpus (boxes ∪ triangles) with ids prefixed for the
@@ -269,6 +287,15 @@ object GeoQueries {
   def sp7MixedRelationCounts(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.relationCounts(mixedCorpus(s, dir), supplierBoxes(s, dir))
 
+  /** Line ∩ box DE-9IM booleans — the 1-D operand path: `crosses` and
+    * the line-dimension `touches`/`within`/`coveredby` semantics are
+    * hash-checked (every prior gate relation was areal or 0-D). */
+  def sp8LineBoxDe9im(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.de9im(orderSegments(s, dir), supplierBoxes(s, dir))
+      .select(col("s_id"), col("t_id"), col("intersects"), col("crosses"),
+        col("touches"), col("within"), col("coveredby"))
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
@@ -276,7 +303,8 @@ object GeoQueries {
     "sp4_de9im_pairs"    -> (sp4De9imPairs _),
     "sp5_temporal_join"  -> (sp5TemporalJoin _),
     "sp6_triangle_box"   -> (sp6TriangleBoxIntersects _),
-    "sp7_mixed_relation_counts" -> (sp7MixedRelationCounts _)
+    "sp7_mixed_relation_counts" -> (sp7MixedRelationCounts _),
+    "sp8_line_box_de9im" -> (sp8LineBoxDe9im _)
   )
 
   // Rectangle topology in SQL:
@@ -343,6 +371,34 @@ object GeoQueries {
            ($sqlTouches) AS touches,
            ($sqlOverlaps) AS overlaps
          FROM sb s, tb t WHERE $sqlIntersects
+         ORDER BY 1, 2""",
+    // Horizontal-segment vs box DE-9IM in interval arithmetic:
+    //  interiors meet  <=> y strictly inside AND open x-ranges overlap
+    //  crosses (1,2)   <=> interiors meet AND part of the open segment
+    //                      lies outside the closed box
+    //  touches         <=> closed sets meet, interiors do not
+    //  within          <=> coveredby AND interiors meet (a segment on
+    //                      the boundary is covered but not within)
+    "sp8_line_box_de9im" ->
+      s"""$geomCtes,
+         seg AS (
+           SELECT o_orderkey AS id,
+                  (o_orderkey*23)%970 AS x0, (o_orderkey*41)%990 AS y,
+                  (o_orderkey*23)%970 + 3 + o_orderkey%25 AS x1
+           FROM orders)
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,
+           TRUE AS intersects,
+           (s.y > t.ymin AND s.y < t.ymax AND s.x1 > t.xmin AND s.x0 < t.xmax
+             AND (s.x0 < t.xmin OR s.x1 > t.xmax)) AS crosses,
+           (NOT (s.y > t.ymin AND s.y < t.ymax
+                 AND s.x1 > t.xmin AND s.x0 < t.xmax)) AS touches,
+           (s.x0 >= t.xmin AND s.x1 <= t.xmax
+             AND s.y > t.ymin AND s.y < t.ymax) AS within,
+           (s.x0 >= t.xmin AND s.x1 <= t.xmax
+             AND s.y >= t.ymin AND s.y <= t.ymax) AS coveredby
+         FROM seg s, tb t
+         WHERE s.x1 >= t.xmin AND s.x0 <= t.xmax
+           AND s.y >= t.ymin AND s.y <= t.ymax
          ORDER BY 1, 2""",
     "sp6_triangle_box" ->
       s"""$geomCtes, $triCte
