@@ -296,6 +296,24 @@ object GeoQueries {
         col("touches"), col("within"), col("coveredby"))
       .orderBy(col("s_id"), col("t_id"))
 
+  /** Segmented (decompose-join-verify) intersects join on the triangle
+    * corpus — the J8 grid-segment path through the hash gate; must
+    * equal sp6 exactly (same oracle SQL). */
+  def sp9SegmentedTriangle(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.relateSegmented(customerTriangles(s, dir), supplierBoxes(s, dir))
+      .orderBy(col("s_id"), col("t_id"))
+
+  /** Adaptive DE-9IM with the segmented-IM branch FORCED (minPoints=4,
+    * so every triangle-box pair is over the cutoff): `SegmentedIM`'s
+    * exact union-of-partial-matrices algorithm is hash-checked against
+    * the closed-form SAT oracle. */
+  def sp10SegmentedIm(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.de9imAdaptive(customerTriangles(s, dir), supplierBoxes(s, dir),
+      minPoints = 4)
+      .select(col("s_id"), col("t_id"), col("intersects"), col("contains"),
+        col("within"), col("touches"), col("overlaps"))
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
@@ -304,7 +322,9 @@ object GeoQueries {
     "sp5_temporal_join"  -> (sp5TemporalJoin _),
     "sp6_triangle_box"   -> (sp6TriangleBoxIntersects _),
     "sp7_mixed_relation_counts" -> (sp7MixedRelationCounts _),
-    "sp8_line_box_de9im" -> (sp8LineBoxDe9im _)
+    "sp8_line_box_de9im" -> (sp8LineBoxDe9im _),
+    "sp9_segmented_triangle" -> (sp9SegmentedTriangle _),
+    "sp10_segmented_im"  -> (sp10SegmentedIm _)
   )
 
   // Rectangle topology in SQL:
@@ -404,6 +424,24 @@ object GeoQueries {
       s"""$geomCtes, $triCte
          SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
          FROM trie s, tb t WHERE ${TriangleSql.intersects}
+         ORDER BY 1, 2""",
+    // identical semantics to sp6 via the segmented join path
+    "sp9_segmented_triangle" ->
+      s"""$geomCtes, $triCte
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
+         FROM trie s, tb t WHERE ${TriangleSql.intersects}
+         ORDER BY 1, 2""",
+    "sp10_segmented_im" ->
+      s"""$geomCtes, $triCte
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,
+           (${TriangleSql.intersects}) AS intersects,
+           (${TriangleSql.contains}) AS contains,
+           (${TriangleSql.within}) AS within,
+           (${TriangleSql.touches}) AS touches,
+           (${TriangleSql.overlaps}) AS overlaps
+         FROM trie s, tb t
+         WHERE s.xmin <= t.xmax AND s.xmax >= t.xmin
+           AND s.ymin <= t.ymax AND s.ymax >= t.ymin
          ORDER BY 1, 2""",
     // Mixed corpus: verifications = MBR-intersecting pairs (for the
     // box-box half the MBR IS the geometry, so the filter is the
