@@ -314,6 +314,19 @@ object GeoQueries {
         col("within"), col("touches"), col("overlaps"))
       .orderBy(col("s_id"), col("t_id"))
 
+  /** Fine-grained-envelope join (D3) on the triangle corpus, restricted
+    * to intersecting pairs: the sub-envelope filter provably preserves
+    * every non-disjoint pair (sub-envelopes cover the geometry), so the
+    * intersecting subset is exactly the SAT oracle's — the filter and
+    * the verification are both hash-checked without modelling the slab
+    * clipping in SQL. */
+  def sp11FineGrainedIm(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.de9imFineGrained(customerTriangles(s, dir), supplierBoxes(s, dir))
+      .filter(col("intersects"))
+      .select(col("s_id"), col("t_id"), col("contains"), col("within"),
+        col("touches"), col("overlaps"))
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
@@ -324,7 +337,8 @@ object GeoQueries {
     "sp7_mixed_relation_counts" -> (sp7MixedRelationCounts _),
     "sp8_line_box_de9im" -> (sp8LineBoxDe9im _),
     "sp9_segmented_triangle" -> (sp9SegmentedTriangle _),
-    "sp10_segmented_im"  -> (sp10SegmentedIm _)
+    "sp10_segmented_im"  -> (sp10SegmentedIm _),
+    "sp11_finegrained_im" -> (sp11FineGrainedIm _)
   )
 
   // Rectangle topology in SQL:
@@ -429,6 +443,15 @@ object GeoQueries {
     "sp9_segmented_triangle" ->
       s"""$geomCtes, $triCte
          SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
+         FROM trie s, tb t WHERE ${TriangleSql.intersects}
+         ORDER BY 1, 2""",
+    "sp11_finegrained_im" ->
+      s"""$geomCtes, $triCte
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,
+           (${TriangleSql.contains}) AS contains,
+           (${TriangleSql.within}) AS within,
+           (${TriangleSql.touches}) AS touches,
+           (${TriangleSql.overlaps}) AS overlaps
          FROM trie s, tb t WHERE ${TriangleSql.intersects}
          ORDER BY 1, 2""",
     "sp10_segmented_im" ->
