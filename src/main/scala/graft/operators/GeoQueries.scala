@@ -327,6 +327,18 @@ object GeoQueries {
         col("touches"), col("overlaps"))
       .orderBy(col("s_id"), col("t_id"))
 
+  /** Load-balanced DE-9IM (L1-L5) through the hash gate: zThreshold=0
+    * marks every above-average-cost target hot, so the z-score split,
+    * round-robin redistribution and redistributed-verify union all
+    * execute; results must be identical to the plain join, i.e. the
+    * same SAT oracle as sp10. */
+  def sp12BalancedIm(s: SparkSession, dir: String): DataFrame =
+    SkewBalancing.balancedDe9im(customerTriangles(s, dir), supplierBoxes(s, dir),
+      zThreshold = 0.0)
+      .select(col("s_id"), col("t_id"), col("intersects"), col("contains"),
+        col("within"), col("touches"), col("overlaps"))
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
@@ -338,7 +350,8 @@ object GeoQueries {
     "sp8_line_box_de9im" -> (sp8LineBoxDe9im _),
     "sp9_segmented_triangle" -> (sp9SegmentedTriangle _),
     "sp10_segmented_im"  -> (sp10SegmentedIm _),
-    "sp11_finegrained_im" -> (sp11FineGrainedIm _)
+    "sp11_finegrained_im" -> (sp11FineGrainedIm _),
+    "sp12_balanced_im" -> (sp12BalancedIm _)
   )
 
   // Rectangle topology in SQL:
@@ -453,6 +466,18 @@ object GeoQueries {
            (${TriangleSql.touches}) AS touches,
            (${TriangleSql.overlaps}) AS overlaps
          FROM trie s, tb t WHERE ${TriangleSql.intersects}
+         ORDER BY 1, 2""",
+    "sp12_balanced_im" ->
+      s"""$geomCtes, $triCte
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,
+           (${TriangleSql.intersects}) AS intersects,
+           (${TriangleSql.contains}) AS contains,
+           (${TriangleSql.within}) AS within,
+           (${TriangleSql.touches}) AS touches,
+           (${TriangleSql.overlaps}) AS overlaps
+         FROM trie s, tb t
+         WHERE s.xmin <= t.xmax AND s.xmax >= t.xmin
+           AND s.ymin <= t.ymax AND s.ymax >= t.ymin
          ORDER BY 1, 2""",
     "sp10_segmented_im" ->
       s"""$geomCtes, $triCte
