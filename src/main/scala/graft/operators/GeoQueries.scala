@@ -339,6 +339,19 @@ object GeoQueries {
         col("within"), col("touches"), col("overlaps"))
       .orderBy(col("s_id"), col("t_id"))
 
+  /** Typed cogroup+per-partition-index path (the reference's exact
+    * execution shape) through the hash gate: pairs + the intersects
+    * bit decoded from the DE-9IM string (disjoint <=> II, IB, BI, BB
+    * all 'F'). */
+  def sp13TypedGiant(s: SparkSession, dir: String): DataFrame = {
+    def cell(i: Int) = substring(col("de9im"), i, 1)
+    TypedGiant.de9im(customerTriangles(s, dir), supplierBoxes(s, dir))
+      .select(col("s_id"), col("t_id"),
+        (cell(1) =!= "F" || cell(2) =!= "F" || cell(4) =!= "F" || cell(5) =!= "F")
+          .as("intersects"))
+      .orderBy(col("s_id"), col("t_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
@@ -351,7 +364,8 @@ object GeoQueries {
     "sp9_segmented_triangle" -> (sp9SegmentedTriangle _),
     "sp10_segmented_im"  -> (sp10SegmentedIm _),
     "sp11_finegrained_im" -> (sp11FineGrainedIm _),
-    "sp12_balanced_im" -> (sp12BalancedIm _)
+    "sp12_balanced_im" -> (sp12BalancedIm _),
+    "sp13_typed_giant" -> (sp13TypedGiant _)
   )
 
   // Rectangle topology in SQL:
@@ -466,6 +480,14 @@ object GeoQueries {
            (${TriangleSql.touches}) AS touches,
            (${TriangleSql.overlaps}) AS overlaps
          FROM trie s, tb t WHERE ${TriangleSql.intersects}
+         ORDER BY 1, 2""",
+    "sp13_typed_giant" ->
+      s"""$geomCtes, $triCte
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,
+           (${TriangleSql.intersects}) AS intersects
+         FROM trie s, tb t
+         WHERE s.xmin <= t.xmax AND s.xmax >= t.xmin
+           AND s.ymin <= t.ymax AND s.ymax >= t.ymin
          ORDER BY 1, 2""",
     "sp12_balanced_im" ->
       s"""$geomCtes, $triCte
