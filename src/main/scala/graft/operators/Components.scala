@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative connected components over an undirected edge list — the
+  * clustering step of a near-duplicate pipeline (documents linked by
+  * verified similarity pairs collapse into clusters; the canonical doc
+  * is the cluster minimum).
+  *
+  * Algorithm: min-label propagation with pointer jumping. Every vertex
+  * starts labelled with its own id; each round a vertex takes the
+  * minimum label among itself and its neighbours (one distributed join
+  * + partial-aggregated groupBy), then labels shortcut through the
+  * label table itself (label := label(label)), which doubles the
+  * propagation distance per round — convergence in O(log diameter)
+  * rounds instead of O(diameter), the same asymptotic as the
+  * large-star/small-star MapReduce formulation (Kiveris et al., SoCC
+  * 2014). Fixpoint = every vertex holds the smallest reachable id.
+  *
+  * Two contracts that make the loop safe at scale:
+  *   - `localCheckpoint` per round truncates the logical plan — a
+  *     persisted-but-not-checkpointed loop grows its lineage (and plan
+  *     strings, and closure serialization) with every iteration;
+  *   - the previous round's labels are unpersisted as soon as the next
+  *     round materializes, so executor storage stays O(|V|).
+  *
+  * Only vertices that appear in an edge are emitted (isolated rows are
+  * their own singleton clusters by definition and need no join).
+  */
+object Components {
+
+  /** @param edges DataFrame with `src`, `dst` columns (undirected;
+    *              one row per edge, either orientation).
+    * @return (id, component) — component = min reachable vertex id. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // neighbour minimum
+      val prop = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("pid")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels.as("l")
+        .join(prop, col("l.id") === col("pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+      // pointer jump: label := min(label, label(label)) — labels are
+      // themselves vertex ids, so the lookup is a self-join
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("x.label") === col("jid"))
+        .select(col("x.id").as("id"),
+          least(col("x.label"), col("jlabel")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    und.unpersist(blocking = false)
+    labels.withColumnRenamed("label", "component")
+  }
+}

@@ -167,6 +167,18 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd9: near-duplicate CLUSTERS — connected components over the dd5
+    * LSH-verified pair graph (cluster id = smallest doc_id in the
+    * cluster): the step that turns pairwise near-dup evidence into a
+    * keep/drop decision at scale. Iterative min-label propagation over
+    * DataFrames ([[Components.connectedComponents]]); the oracle is a
+    * DuckDB recursive-CTE transitive closure over the same pairs. */
+  def dd9NearDupClusters(s: SparkSession, dir: String): DataFrame =
+    Components.connectedComponents(
+      dd5LshPairs(s, dir).select(col("id_a").as("src"), col("id_b").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** dd6: SimHash — 16-bit frequency-weighted signature from the word
     * hashes; each bit is the sign of a per-bit +1/-1 vote sum. */
   def dd6Simhash(s: SparkSession, dir: String): DataFrame = {
@@ -286,6 +298,7 @@ object TextOps {
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
     "dd3_jaccard_pairs" -> (dd3JaccardPairs _),
+    "dd9_neardup_clusters" -> (dd9NearDupClusters _),
     "dd4_minhash_signatures" -> (dd4MinhashSignatures _),
     "dd5_lsh_pairs" -> (dd5LshPairs _),
     "dd6_simhash" -> (dd6Simhash _),
@@ -311,6 +324,30 @@ object TextOps {
 
   private val hashExpr =
     s"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P"
+
+  // dd5's banded-LSH pair pipeline as a reusable CTE prefix (ends at
+  // `scored`: candidate pairs with exact shingle Jaccard).
+  private val dd5PairCtes: String = {
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS mh$i"
+    }.mkString(", ")
+    val bandList = (0 until 4).map { bi =>
+      s"'$bi:' || mh${2 * bi} || ':' || mh${2 * bi + 1}"
+    }.mkString("[", ", ", "]")
+    s"""$shinglesCte,
+        tok AS (SELECT doc_id, unnest(sset) AS word FROM sh),
+        hashed AS (SELECT doc_id, $hashExpr AS h FROM tok),
+        sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                 ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        scored AS (SELECT id_a, id_b,
+            CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
+          FROM cand JOIN sh sa ON sa.doc_id = id_a
+                    JOIN sh sb ON sb.doc_id = id_b)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "ta5_tf_score" ->
@@ -358,29 +395,23 @@ object TextOps {
           hashed AS (SELECT doc_id, $hashExpr AS h FROM tok)
           SELECT doc_id, $mins FROM hashed GROUP BY doc_id ORDER BY doc_id"""
     },
-    "dd5_lsh_pairs" -> {
-      val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
-        s"min((h * $a + $b) % $P) AS mh$i"
-      }.mkString(", ")
-      val bandList = (0 until 4).map { bi =>
-        s"'$bi:' || mh${2 * bi} || ':' || mh${2 * bi + 1}"
-      }.mkString("[", ", ", "]")
-      s"""WITH $shinglesCte,
-          tok AS (SELECT doc_id, unnest(sset) AS word FROM sh),
-          hashed AS (SELECT doc_id, $hashExpr AS h FROM tok),
-          sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-          bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig),
-          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b
-                   ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-          scored AS (SELECT id_a, id_b,
-              CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
-              CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
-            FROM cand JOIN sh sa ON sa.doc_id = id_a
-                      JOIN sh sb ON sb.doc_id = id_b)
+    "dd5_lsh_pairs" ->
+      s"""WITH $dd5PairCtes
           SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
-          ORDER BY 1, 2"""
-    },
+          ORDER BY 1, 2""",
+    // transitive closure of the dd5 pair graph; min reachable doc id
+    "dd9_neardup_clusters" ->
+      s"""WITH RECURSIVE $dd5PairCtes,
+          pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          verts AS (SELECT DISTINCT a AS id FROM und),
+          reach AS (
+            SELECT id, id AS r FROM verts
+            UNION
+            SELECT e.b AS id, reach.r FROM reach JOIN und e ON reach.id = e.a)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+          GROUP BY id ORDER BY doc_id""",
     "dd6_simhash" -> {
       val votes = (0 until 16).map { j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"

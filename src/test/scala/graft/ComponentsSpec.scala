@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Brute-force union-find oracle. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("two chains and a clique resolve to their minima") {
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 22L), (22L, 20L),
+      (40L, 41L))
+    assert(cc(edges) === Map(
+      3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      40L -> 40L, 41L -> 40L))
+  }
+
+  test("long path needs multiple propagation rounds") {
+    // path 100 -> 99 -> ... -> 1: diameter 99, converges via min-label
+    val edges = (1L until 100L).map(i => (i + 1, i))
+    val got = cc(edges)
+    assert(got.size === 100)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("random graph matches brute-force union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    assert(cc(edges) === unionFind(edges))
+  }
+}
