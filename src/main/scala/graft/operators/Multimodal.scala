@@ -73,9 +73,35 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_offset"))
   }
 
+  /** One output pixel of a resized media item (row-per-pixel so the
+    * gate comparator sees only scalar columns). */
+  case class ResizedPixel(doc_id: Long, out_w: Int, out_h: Int,
+                          px_index: Int, value: Int)
+
+  /** mm3: nearest-neighbour resize — the index arithmetic
+    * (out(i,j) = in(i*h/oh, j*w/ow)) and the per-partition batch shape
+    * are the real resize contract; a codec-backed implementation
+    * changes only how the source pixel grid is obtained. 4x4 -> 2x2
+    * here, i.e. source pixels (0,0),(0,2),(2,0),(2,2). */
+  def mm3Resize(s: SparkSession, dir: String, ow: Int = 2, oh: Int = 2): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .flatMap { r =>
+        for (i <- 0 until oh; j <- 0 until ow) yield {
+          val si = i * r.height / oh
+          val sj = j * r.width / ow
+          ResizedPixel(r.doc_id, ow, oh, i * ow + j,
+            r.payload(si * r.width + sj) & 0xFF)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("px_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
-    "mm2_frame_sample" -> (mm2FrameSample _)
+    "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_resize" -> ((s: SparkSession, dir: String) => mm3Resize(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,6 +115,21 @@ object Multimodal {
          FROM bytes, unnest(range(1, 17)) AS t(i)
          WHERE (i - 1) % 4 = 0
          ORDER BY doc_id, frame_offset""",
+    // nearest-neighbour 4x4 -> 2x2: source pixels at flat indices
+    // 0, 2, 8, 10 (1-based list positions 1, 3, 9, 11)
+    "mm3_resize" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents),
+         px AS (
+           SELECT doc_id, 0 AS px_index, b[1] AS value FROM bytes
+           UNION ALL SELECT doc_id, 1, b[3] FROM bytes
+           UNION ALL SELECT doc_id, 2, b[9] FROM bytes
+           UNION ALL SELECT doc_id, 3, b[11] FROM bytes)
+         SELECT doc_id, 2 AS out_w, 2 AS out_h, px_index, value
+         FROM px ORDER BY doc_id, px_index""",
     // Decode the same md5 payload byte-by-byte in SQL.
     "mm1_media_features" ->
       """WITH bytes AS (
