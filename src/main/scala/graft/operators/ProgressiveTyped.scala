@@ -15,6 +15,15 @@ case class CandPair(s_id: String, t_id: String,
                     s_geom: Array[Byte], t_geom: Array[Byte],
                     w: Double, w2: Double = 0.0, w3: Double = 0.0)
 
+/** Narrow candidate (ids + weights only — no geometry payloads). */
+case class NarrowCand(s_id: String, t_id: String,
+                      w: Double, w2: Double, w3: Double)
+
+/** Narrow candidate tagged with its origin partition. */
+case class PidCand(pid: Int, s_id: String, t_id: String,
+                   s_geom: Array[Byte], t_geom: Array[Byte],
+                   w: Double, w2: Double, w3: Double)
+
 /** Verified pair emitted by the sequential algorithms, tagged with the
   * in-partition verification order. */
 case class VerifiedPair(s_id: String, t_id: String, part: Int,
@@ -89,8 +98,16 @@ object ProgressiveTyped {
     * O(localBudget) pairs, never O(candidates). Boosts only apply to
     * queued pairs (reference semantics), so the kept SET is the
     * base-weight top-localBudget and the dynamic reordering decides
-    * emission order. The candidate frame is persisted (one upstream
-    * evaluation feeds both the count job and the drain). */
+    * emission order.
+    *
+    * Memory shape (the part the reference gets from per-partition
+    * entity arrays): everything persisted or held in a heap is NARROW
+    * (ids + weights, ~40 B/row) — a wide candidate row would carry
+    * BOTH geometry payloads, and on a dense partition around a large
+    * geometry that duplicates the payload once per pair (gigabytes for
+    * a 20k-point polygon with thousands of candidates). Geometries are
+    * joined back only for the selected top-localBudget pairs, so total
+    * wide data is bounded by the global budget. */
   def dynamicProgressive(source: DataFrame, target: DataFrame, weight: String,
                          budget: Int, relation: String,
                          scheme: String = "SIMPLE",
@@ -100,48 +117,51 @@ object ProgressiveTyped {
       s"unknown scheme: $scheme")
     require(schemeU == "SIMPLE" || secondary.nonEmpty,
       s"scheme $schemeU needs a secondary weight column")
-    val cands = weightedCandidates(source, target,
-      if (secondary.isEmpty) Seq(weight) else Seq(weight, secondary))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = cands.sparkSession
+    val weights = if (secondary.isEmpty) Seq(weight) else Seq(weight, secondary)
+    val wanted = weights.toSet
+    val (src, tgt) = Progressive.provision(source, target, wanted)
+    val theta = SpatialJoin.computeTheta(src)
+    val spark = src.sparkSession
     import spark.implicits._
-    // One narrow job: per-partition candidate counts (materializes the
-    // persisted frame, so the drain below reads the cache).
-    val counts = cands.rdd
+    val ws = (weights.take(3) ++ Seq.fill(3 - math.min(3, weights.length))(""))
+      .zip(Seq("w", "w2", "w3"))
+      .map { case (c, n) =>
+        (if (c.isEmpty) lit(0.0) else col(c).cast("double")).as(n)
+      }
+    val narrow = Progressive.addWeights(
+        SpatialJoin.candidatePairsNarrow(src, tgt, theta), theta, src, wanted)
+      .select(Seq(col("s_id"), col("t_id")) ++ ws: _*).as[NarrowCand]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Job 1 (materializes the narrow cache): per-partition pair counts.
+    val counts = narrow.rdd
       .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> {
         var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
       }), preservesPartitioning = true)
       .collect().toMap
     val localBudgets = prorate(counts, budget)
-    cands.mapPartitions { it =>
+    // The dynamic boost multiplies the MAIN ordering weight (reference
+    // WeightedPairT.getMainWeight * (1+relatedMatches)); COMPOSITE's
+    // secondary is a static tie-breaker, HYBRID boosts the product
+    // (its main weight IS the product).
+    def mainOf(w: Double, w2: Double): Double =
+      if (schemeU == "HYBRID") w * w2 else w
+    def secondOf(w2: Double): Double =
+      if (schemeU == "COMPOSITE") w2 else 0.0
+    // Phase 1 — bounded per-partition selection on NARROW rows:
+    // min-heap ("worst kept pair" at the head) capped at localBudget,
+    // the reference ComparisonPQ's maximumSize. Boosts only ever apply
+    // to queued pairs, so this IS the verified set.
+    val selected = narrow.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val localBudget = localBudgets.getOrElse(pid, 0)
-      if (localBudget == 0) Iterator.empty
+      val lb = localBudgets.getOrElse(pid, 0)
+      if (lb == 0) Iterator.empty
       else {
-        val rel = Relation.of(relation)
-        val matches = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-        // The dynamic boost multiplies the MAIN ordering weight
-        // (reference WeightedPairT.getMainWeight * (1+relatedMatches));
-        // COMPOSITE's secondary is a static tie-breaker, HYBRID boosts
-        // the product (its main weight IS the product).
-        def mainOf(c: CandPair): Double = schemeU match {
-          case "HYBRID" => c.w * c.w2
-          case _        => c.w
-        }
-        def boosted(c: CandPair): Double =
-          mainOf(c) * (1 + matches(c.s_id) + matches(c.t_id))
-        def secondOf(c: CandPair): Double = schemeU match {
-          case "COMPOSITE" => c.w2
-          case _           => 0.0
-        }
-        // Bounded fill: min-heap ("worst kept pair" at the head) capped
-        // at localBudget — the reference ComparisonPQ's maximumSize.
-        val worstFirst = new java.util.PriorityQueue[CandPair](
-          localBudget + 1, (a: CandPair, b: CandPair) => {
-            val m = java.lang.Double.compare(mainOf(a), mainOf(b))
+        val worstFirst = new java.util.PriorityQueue[NarrowCand](
+          lb + 1, (a: NarrowCand, b: NarrowCand) => {
+            val m = java.lang.Double.compare(mainOf(a.w, a.w2), mainOf(b.w, b.w2))
             if (m != 0) m
             else {
-              val s = java.lang.Double.compare(secondOf(a), secondOf(b))
+              val s = java.lang.Double.compare(secondOf(a.w2), secondOf(b.w2))
               if (s != 0) s
               else {
                 val i = b.s_id.compareTo(a.s_id)
@@ -151,39 +171,59 @@ object ProgressiveTyped {
           })
         it.foreach { c =>
           worstFirst.add(c)
-          if (worstFirst.size > localBudget) worstFirst.poll()
+          if (worstFirst.size > lb) worstFirst.poll()
         }
-        // max-heap on (boosted main, secondary) with deterministic id
-        // tie-break and lazy re-insertion on stale weights
-        val pq = new java.util.PriorityQueue[(Double, CandPair)](
-          worstFirst.size + 1, (a: (Double, CandPair), b: (Double, CandPair)) => {
-            val m = java.lang.Double.compare(b._1, a._1)
-            if (m != 0) m
-            else {
-              val s = java.lang.Double.compare(secondOf(b._2), secondOf(a._2))
-              if (s != 0) s
-              else {
-                val i = a._2.s_id.compareTo(b._2.s_id)
-                if (i != 0) i else a._2.t_id.compareTo(b._2.t_id)
-              }
-            }
-          })
-        worstFirst.forEach(c => pq.add((mainOf(c), c)))
-        val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
-        var order = 0
-        while (order < localBudget && !pq.isEmpty) {
-          val (w0, c) = pq.poll()
-          val wNow = boosted(c)
-          if (wNow > w0) pq.add((wNow, c)) // stale: re-enqueue, don't verify yet
-          else {
-            val q = rel.eval(Jts.fromWkb(c.s_geom), Jts.fromWkb(c.t_geom))
-            out += VerifiedPair(c.s_id, c.t_id, pid, order, q)
-            order += 1
-            if (q) { matches(c.s_id) += 1; matches(c.t_id) += 1 }
-          }
-        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[PidCand]
+        worstFirst.forEach(c =>
+          out += PidCand(pid, c.s_id, c.t_id, null, null, c.w, c.w2, c.w3))
         out.iterator
       }
+    }
+    // Phase 2 — geometry join-back for the selected pairs only
+    // (<= budget rows across all partitions).
+    val withGeoms = selected.toDF().drop("s_geom", "t_geom")
+      .join(src.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+      .join(tgt.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
+      .select(col("pid"), col("s_id"), col("t_id"), col("s_geom"), col("t_geom"),
+        col("w"), col("w2"), col("w3")).as[PidCand]
+    // Phase 3 — dynamic drain per ORIGIN partition (pid travels as
+    // data): at most localBudget wide rows per group in memory.
+    withGeoms.groupByKey(_.pid).flatMapGroups { (pid, rows) =>
+      val lb = localBudgets.getOrElse(pid, 0)
+      val rel = Relation.of(relation)
+      val matches = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      def boosted(c: PidCand): Double =
+        mainOf(c.w, c.w2) * (1 + matches(c.s_id) + matches(c.t_id))
+      // max-heap on (boosted main, secondary) with deterministic id
+      // tie-break and lazy re-insertion on stale weights
+      val pq = new java.util.PriorityQueue[(Double, PidCand)](
+        lb + 1, (a: (Double, PidCand), b: (Double, PidCand)) => {
+          val m = java.lang.Double.compare(b._1, a._1)
+          if (m != 0) m
+          else {
+            val s = java.lang.Double.compare(secondOf(b._2.w2), secondOf(a._2.w2))
+            if (s != 0) s
+            else {
+              val i = a._2.s_id.compareTo(b._2.s_id)
+              if (i != 0) i else a._2.t_id.compareTo(b._2.t_id)
+            }
+          }
+        })
+      rows.foreach(c => pq.add((mainOf(c.w, c.w2), c)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
+      var order = 0
+      while (order < lb && !pq.isEmpty) {
+        val (w0, c) = pq.poll()
+        val wNow = boosted(c)
+        if (wNow > w0) pq.add((wNow, c)) // stale: re-enqueue, don't verify yet
+        else {
+          val q = rel.eval(Jts.fromWkb(c.s_geom), Jts.fromWkb(c.t_geom))
+          out += VerifiedPair(c.s_id, c.t_id, pid, order, q)
+          order += 1
+          if (q) { matches(c.s_id) += 1; matches(c.t_id) += 1 }
+        }
+      }
+      out.iterator
     }
   }
 

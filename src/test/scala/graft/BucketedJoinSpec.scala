@@ -23,11 +23,30 @@ class BucketedJoinSpec extends AnyFunSuite {
       .getOrCreate()
   }
 
+  /** Drop the table AND its physical location. `getOrCreate` may hand
+    * this suite a session created by another suite (default warehouse
+    * under the repo), and a previously crashed JVM can leave an
+    * orphaned table directory that the fresh catalog does not know —
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS. */
+  private def dropHard(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == null) wh.toString else wh.getPath, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   test("tile-bucketed tables join without exchanges and match the " +
        "direct join") {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     import graft.functions.GeomFunctions._
+    dropHard("src_bucketed")
+    dropHard("tgt_bucketed")
 
     def entities(rows: Seq[(String, String)]) =
       SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
