@@ -37,6 +37,7 @@ object Bench {
       graft.operators.GeoQueries.supplierBoxes(spark, sfDir).count()
       graft.operators.GeoQueries.customerPoints(spark, sfDir).count()
       graft.operators.GeoQueries.customerTriangles(spark, sfDir).count()
+      graft.operators.GeoQueries.orderSegments(spark, sfDir).count()
       graft.operators.GeoQueries.mixedCorpus(spark, sfDir).count()
     } catch { case _: Throwable => }
     val warmup = (System.nanoTime() - w0) / 1e9

@@ -23,6 +23,13 @@ import SpatialJoin.Theta
   */
 object Progressive {
 
+  /** Budgets at or below this are broadcast as the build side of the
+    * geometry join-backs (narrow ids+weights rows, and then budget-many
+    * WKB-carrying rows); above it the join-backs run as ordinary
+    * shuffled joins — a multi-million-pair budget with geometry blobs
+    * must never be collected to the driver. */
+  val BroadcastableBudget: Int = 500000
+
   /** Tile-range helpers over candidate-pair columns. */
   private def tmin(c: Column, theta: Double) = floor(c / theta)
   private def tmax(c: Column, theta: Double) = floor(c / theta)
@@ -160,15 +167,18 @@ object Progressive {
       .select(col("s_id"), col("t_id"), col(weight))
     val bounded = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)
-    // The rank filter bounds this side at `budget` narrow rows, but
-    // Catalyst cannot see that through the filter — without the hint it
-    // may shuffle the ENTITY frames instead. Budget rows are broadcast-
-    // able by construction (the reference materializes the same bounded
-    // set in its per-partition PQs), so both join-backs hash the
-    // bounded side and the entities stream.
-    val withS = broadcast(bounded)
+    // The rank filter bounds this side at `budget` rows, but Catalyst
+    // cannot see that through the filter — without a hint it may
+    // shuffle the ENTITY frames instead. Hint ONLY when the budget is
+    // genuinely broadcast-sized: the second hinted frame carries WKB
+    // blobs, so a huge budget (ConfigRunner defaults to 10M; the
+    // exhaustive tests use MaxValue) must take the plain shuffled-join
+    // plan instead of collecting geometry to the driver.
+    def hinted(df: DataFrame): DataFrame =
+      if (budget <= Progressive.BroadcastableBudget) broadcast(df) else df
+    val withS = hinted(bounded)
       .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
-    broadcast(withS)
+    hinted(withS)
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
@@ -177,12 +187,14 @@ object Progressive {
 
   /** TopKPairs: keep the k best candidates of every target entity
     * (reference `TopKPairs.scala:25-76`, window form). */
-  def topKPerTarget(source: DataFrame, target: DataFrame, weight: String,
+  def topKPerTarget(source0: DataFrame, target0: DataFrame, weight: String,
                     k: Int): DataFrame = {
+    val (source, target) = provision(source0, target0, Set(weight))
     val theta = SpatialJoin.computeTheta(source)
     val w = Window.partitionBy(col("t_id"))
       .orderBy(col(weight).desc, col("s_id").asc)
-    withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
+    addWeights(SpatialJoin.candidatePairsNarrow(source, target, theta),
+        theta, source, Set(weight))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("t_id"), col("s_id"), col(weight), col("rk"))
@@ -191,14 +203,16 @@ object Progressive {
   /** ReciprocalTopK: a pair survives only if it is in the top-k of BOTH
     * its source and its target (reference `ReciprocalTopK.scala:26-69`):
     * two ranking windows, conjunctive filter. */
-  def reciprocalTopK(source: DataFrame, target: DataFrame, weight: String,
+  def reciprocalTopK(source0: DataFrame, target0: DataFrame, weight: String,
                      k: Int): DataFrame = {
+    val (source, target) = provision(source0, target0, Set(weight))
     val theta = SpatialJoin.computeTheta(source)
     val byTarget = Window.partitionBy(col("t_id"))
       .orderBy(col(weight).desc, col("s_id").asc)
     val bySource = Window.partitionBy(col("s_id"))
       .orderBy(col(weight).desc, col("t_id").asc)
-    withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
+    addWeights(SpatialJoin.candidatePairsNarrow(source, target, theta),
+        theta, source, Set(weight))
       .withColumn("rk_t", row_number().over(byTarget))
       .withColumn("rk_s", row_number().over(bySource))
       .filter(col("rk_t") <= k && col("rk_s") <= k)
@@ -233,9 +247,12 @@ object Progressive {
       .select(col("s_id"), col("t_id"), col(weight))
     val ranked = Ranks.withGlobalRank(narrow, ordering)
       .filter(col("rank") <= budget)
-    // budget-bounded side broadcast for the geometry join-backs (see
-    // progressiveVerify)
-    val bounded = broadcast(broadcast(ranked)
+    // budget-bounded side broadcast for the geometry join-backs ONLY
+    // when the budget is broadcast-sized (see progressiveVerify — the
+    // default budget here is unbounded)
+    def hinted(df: DataFrame): DataFrame =
+      if (budget <= Progressive.BroadcastableBudget) broadcast(df) else df
+    val bounded = hinted(hinted(ranked)
         .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id"))
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",

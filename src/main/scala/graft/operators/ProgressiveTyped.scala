@@ -178,7 +178,10 @@ object ProgressiveTyped {
           out += PidCand(pid, c.s_id, c.t_id, null, null, c.w, c.w2, c.w3))
         out.iterator
       }
-    }
+    }.localCheckpoint(true) // materialize (<= budget narrow rows) ...
+    // ... so the candidate cache can be dropped deterministically
+    // instead of leaking one persisted RDD per invocation
+    narrow.unpersist(blocking = false)
     // Phase 2 — geometry join-back for the selected pairs only
     // (<= budget rows across all partitions).
     val withGeoms = selected.toDF().drop("s_geom", "t_geom")

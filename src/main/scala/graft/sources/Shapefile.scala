@@ -42,7 +42,10 @@ object Shapefile {
       val content = pos + 8
       if (contentLen < 4 || content + contentLen > bytes.length) ok = false
       else {
-        record(buf, content).foreach(g => out += recNo -> g)
+        // one malformed record (bad part offsets, truncated points)
+        // skips that record, never the file
+        try record(buf, content).foreach(g => out += recNo -> g)
+        catch { case _: Exception => }
         pos = content + contentLen
       }
     }
@@ -92,19 +95,32 @@ object Shapefile {
   }
 
   private def assemblePolygon(rings0: Seq[Array[Coordinate]]): Geometry = {
-    // close unclosed rings defensively (spec requires closure)
-    val rings = rings0.filter(_.length >= 3).map { cs =>
-      if (cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
-    }.map(gf.createLinearRing(_))
+    // close unclosed rings defensively (spec requires closure); rings
+    // that are still degenerate after closure (under 4 coordinates —
+    // fewer than 3 distinct points) are skipped, not fatal
+    val rings = rings0.map { cs =>
+      if (cs.nonEmpty && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+    }.filter(_.length >= 4).flatMap { cs =>
+      try Some(gf.createLinearRing(cs)) catch { case _: Exception => None }
+    }
     val (shells0, holes) = rings.partition(r => !Orientation.isCCW(r.getCoordinates))
     // nonconformant files with no CW ring: treat everything as a shell
     val (shells, realHoles) =
       if (shells0.nonEmpty) (shells0, holes) else (holes, Seq.empty[LinearRing])
+    val shellPolys = shells.map(s => s -> gf.createPolygon(s))
+    // a hole belongs to the SMALLEST shell covering it: with nested
+    // shells every enclosing shell covers the hole, and attaching it
+    // to all of them would punch the inner shell's hole through the
+    // outer polygon too; covers (not contains) keeps holes whose first
+    // vertex touches the shell boundary
+    val holeOwner = realHoles.flatMap { h =>
+      val p = gf.createPoint(h.getCoordinateN(0))
+      val owners = shellPolys.filter(_._2.covers(p))
+      if (owners.isEmpty) None
+      else Some(owners.minBy(_._2.getArea)._1 -> h)
+    }.groupBy(_._1)
     val polys = shells.map { shell =>
-      val shellPoly = gf.createPolygon(shell)
-      val mine = realHoles.filter(h =>
-        shellPoly.contains(gf.createPoint(h.getCoordinateN(0))))
-      gf.createPolygon(shell, mine.toArray)
+      gf.createPolygon(shell, holeOwner.getOrElse(shell, Nil).map(_._2).toArray)
     }
     if (polys.length == 1) polys.head else gf.createMultiPolygon(polys.toArray)
   }

@@ -85,8 +85,24 @@ object EventStream {
         var open = state.getOption
         sorted.foreach { e =>
           open = open match {
+            // late (cross-batch) arrival BEFORE the open session: merge
+            // when within the gap of its start (session extends
+            // backwards); otherwise emit the stray as its own closed
+            // session — by the watermark contract anything that could
+            // still bridge the two is either already here or late
+            // beyond the allowed lateness
+            case Some(o) if e.us < o.start =>
+              if (o.start - e.us <= gapUs)
+                Some(OpenSession(e.us, o.last, o.n + 1))
+              else {
+                out += UserSession(user, e.us, e.us, 1)
+                Some(o)
+              }
+            // inside the open span: count it, bounds unchanged
+            case Some(o) if e.us <= o.last =>
+              Some(OpenSession(o.start, o.last, o.n + 1))
             case Some(o) if e.us - o.last <= gapUs =>
-              Some(OpenSession(o.start, math.max(o.last, e.us), o.n + 1))
+              Some(OpenSession(o.start, e.us, o.n + 1))
             case Some(o) =>
               out += close(user, o)
               Some(OpenSession(e.us, e.us, 1))

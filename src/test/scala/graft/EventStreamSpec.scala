@@ -97,6 +97,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late events within the watermark merge backwards into the open " +
+       "session or close immediately as strays") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(minutes: Long): Long = (minutes + 1440) * 60L * 1000000L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.EventStream.sessionize(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late").start()
+    def sessions(): Set[(Long, Long, Long, Long)] =
+      spark.table("sess_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      mem.addData((1L, 1L, m(100)), (1L, 2L, m(110))) // open [100, 110]
+      q.processAllAvailable()
+      assert(sessions() === Set.empty)
+      // batch 2, both events LATE but within the 2h watermark:
+      //  40' is >gap before the open start -> closes immediately as a
+      //  stray singleton; 85' is within the gap of start 100' -> the
+      //  open session extends backwards
+      mem.addData((1L, 3L, m(40)), (1L, 4L, m(85)))
+      q.processAllAvailable()
+      assert(sessions() === Set((1L, m(40), m(40), 1L)))
+      // far-future user flushes the (now backwards-extended) session
+      mem.addData((9L, 5L, m(2000)))
+      q.processAllAvailable()
+      assert(sessions() === Set(
+        (1L, m(40), m(40), 1L), (1L, m(85), m(110), 3L)))
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")

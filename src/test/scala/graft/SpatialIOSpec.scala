@@ -184,6 +184,26 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(areas === Seq(25.0, 100.0 - 4.0))
   }
 
+  test("nested shells: hole attaches only to the smallest covering " +
+       "shell; degenerate rings are skipped, not fatal") {
+    // outer CW shell 20x20, inner CW shell 10x10 inside it, hole 2x2
+    // inside the inner shell, plus a degenerate 2-distinct-point ring
+    val outer = Seq((0.0, 0.0), (0.0, 20.0), (20.0, 20.0), (20.0, 0.0), (0.0, 0.0))
+    val inner = Seq((5.0, 5.0), (5.0, 15.0), (15.0, 15.0), (15.0, 5.0), (5.0, 5.0))
+    val hole = Seq((9.0, 9.0), (11.0, 9.0), (11.0, 11.0), (9.0, 11.0), (9.0, 9.0))
+    val degenerate = Seq((1.0, 1.0), (2.0, 2.0), (1.0, 1.0))
+    val parsed = graft.sources.Shapefile.parse(
+      shpFile(shpRecord(1, partsContent(5, Seq(outer, inner, hole, degenerate)))))
+    assert(parsed.length === 1)
+    val mp = parsed.head._2
+    assert(mp.getNumGeometries === 2)
+    val areas = (0 until 2).map(mp.getGeometryN(_)
+      .asInstanceOf[org.locationtech.jts.geom.Polygon])
+    // hole punched the INNER shell only; outer stays solid
+    assert(areas.map(_.getArea).sorted === Seq(100.0 - 4.0, 400.0))
+    assert(areas.map(_.getNumInteriorRing).sorted === Seq(0, 1))
+  }
+
   test("shapefile polygon assembly survives nonconformant all-CCW rings") {
     val ccwRing = Seq((0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0), (0.0, 0.0))
     val parsed = graft.sources.Shapefile.parse(
