@@ -26,6 +26,47 @@ object Shapefile {
 
   private val gf = new GeometryFactory()
 
+  /** Minimal dBASE III (.dbf) attribute parser — the sibling table a
+    * shapefile's features are keyed by. Returns one field-name→value
+    * map per record in file order (the .shp/.dbf contract is 1:1 by
+    * position). Values are fixed-width ASCII, trimmed; the deletion
+    * flag is ignored so positions stay aligned with .shp records.
+    * Layout per the public dBASE spec: 32-byte header (record count at
+    * 4 LE, header size at 8 LE, record size at 10 LE), then 32-byte
+    * field descriptors (name bytes 0-10 NUL-padded, length at 16)
+    * until the 0x0D terminator, then fixed-width records each starting
+    * with a deletion byte. */
+  def parseDbf(bytes: Array[Byte]): Seq[Map[String, String]] = {
+    if (bytes.length < 32) return Seq.empty
+    val buf = ByteBuffer.wrap(bytes)
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    val nRecords = buf.getInt(4)
+    val headerSize = buf.getShort(8) & 0xFFFF
+    val recordSize = buf.getShort(10) & 0xFFFF
+    // field descriptors
+    var at = 32
+    val fields = Seq.newBuilder[(String, Int)]
+    while (at + 32 <= headerSize && bytes(at) != 0x0D) {
+      val nameBytes = bytes.slice(at, at + 11).takeWhile(_ != 0)
+      val len = bytes(at + 16) & 0xFF
+      fields += new String(nameBytes, "ASCII").trim -> len
+      at += 32
+    }
+    val fs = fields.result()
+    (0 until nRecords).flatMap { r =>
+      val base = headerSize + r * recordSize
+      if (base + recordSize > bytes.length) None
+      else {
+        var off = base + 1 // skip deletion flag
+        Some(fs.map { case (name, len) =>
+          val v = new String(bytes.slice(off, off + len), "ASCII").trim
+          off += len
+          name -> v
+        }.toMap)
+      }
+    }
+  }
+
   /** Parse a whole .shp file: (recordNumber, geometry) per non-null
     * record. */
   def parse(bytes: Array[Byte]): Seq[(Int, Geometry)] = {

@@ -102,16 +102,42 @@ object SpatialIO {
     * per-file, which matches how shapefile corpora ship (many
     * county/tile files). Attributes (.dbf) are not read; ids are
     * `<fileName>#<recordNumber>`, unique per the entity contract. */
-  def readShapefile(spark: SparkSession, path: String): DataFrame = {
+  def readShapefile(spark: SparkSession, path: String): DataFrame =
+    readShapefile(spark, path, idAttribute = None)
+
+  /** As above, but when `idAttribute` names a .dbf column, entity ids
+    * come from the sibling attribute table (matched per-file by the
+    * 1:1 record-order contract) instead of `<file>#<recordNumber>`.
+    * Files without a .dbf, or records without the attribute, keep the
+    * positional id. */
+  def readShapefile(spark: SparkSession, path: String,
+                    idAttribute: Option[String]): DataFrame = {
     import spark.implicits._
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.shp").load(path)
+    def files(glob: String) = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    val rows = bin.flatMap { case (p, bytes) =>
-      val name = p.substring(p.lastIndexOf('/') + 1)
-      Shapefile.parse(bytes).map { case (rec, g) => (s"$name#$rec", g.toText) }
-    }.toDF("id", "wkt")
+    def base(p: String): String = {
+      val f = p.substring(p.lastIndexOf('/') + 1)
+      f.substring(0, f.lastIndexOf('.'))
+    }
+    val geoms = files("*.shp").flatMap { case (p, bytes) =>
+      Shapefile.parse(bytes).map { case (rec, g) => (base(p), rec, g.toText) }
+    }.toDF("file", "rec", "wkt")
+    val rows = idAttribute match {
+      case None =>
+        geoms.select(concat(col("file"), lit(".shp#"), col("rec")).as("id"), col("wkt"))
+      case Some(attr) =>
+        val attrs = files("*.dbf").flatMap { case (p, bytes) =>
+          Shapefile.parseDbf(bytes).zipWithIndex.collect {
+            // .dbf rows are 0-based in file order; .shp records 1-based
+            case (m, i) if m.contains(attr) => (base(p), i + 1, m(attr))
+          }
+        }.toDF("file", "rec", "attr_id")
+        geoms.join(attrs, Seq("file", "rec"), "left")
+          .select(coalesce(col("attr_id"),
+            concat(col("file"), lit(".shp#"), col("rec"))).as("id"), col("wkt"))
+    }
     SpatialJoin.entities(rows, col("id"), col("wkt"))
   }
 

@@ -184,6 +184,62 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(areas === Seq(25.0, 100.0 - 4.0))
   }
 
+  /** dBASE III fixture: fields (name, type, length), rows of string
+    * values, fixed-width ASCII. */
+  private def dbfFile(fields: Seq[(String, Char, Int)],
+                      rows: Seq[Seq[String]]): Array[Byte] = {
+    val recordSize = 1 + fields.map(_._3).sum
+    val headerSize = 32 + 32 * fields.length + 1
+    val b = java.nio.ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 0x03.toByte)
+    b.putInt(4, rows.length)
+    b.putShort(8, headerSize.toShort)
+    b.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, tpe, len), i) =>
+      val at = 32 + 32 * i
+      val nb = name.getBytes("ASCII")
+      (0 until math.min(10, nb.length)).foreach(j => b.put(at + j, nb(j)))
+      b.put(at + 11, tpe.toByte)
+      b.put(at + 16, len.toByte)
+    }
+    b.put(32 + 32 * fields.length, 0x0D.toByte)
+    rows.zipWithIndex.foreach { case (row, r) =>
+      var off = headerSize + r * recordSize
+      b.put(off, ' '.toByte); off += 1
+      row.zip(fields).foreach { case (v, (_, _, len)) =>
+        val padded = v.padTo(len, ' ').take(len).getBytes("ASCII")
+        padded.indices.foreach(j => b.put(off + j, padded(j)))
+        off += len
+      }
+    }
+    b.put(b.capacity() - 1, 0x1A.toByte)
+    b.array()
+  }
+
+  test("shapefile ids come from a .dbf attribute when requested") {
+    val shp = shpFile(
+      shpRecord(1, pointContent(1, 1.0, 1.0)),
+      shpRecord(2, pointContent(1, 2.0, 2.0)),
+      shpRecord(3, pointContent(1, 3.0, 3.0)))
+    val dbf = dbfFile(
+      Seq(("NAME", 'C', 8), ("CODE", 'N', 4)),
+      Seq(Seq("alpha", "10"), Seq("beta", "20"), Seq("gamma", "30")))
+    val dir = Files.createTempDirectory("shpdbf")
+    Files.write(dir.resolve("corpus.shp"), shp)
+    Files.write(dir.resolve("corpus.dbf"), dbf)
+    val byAttr = SpatialIO.readShapefile(spark, dir.toString, Some("NAME"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(byAttr === Set("alpha", "beta", "gamma"))
+    val byCode = SpatialIO.readShapefile(spark, dir.toString, Some("CODE"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(byCode === Set("10", "20", "30"))
+    // unknown attribute falls back to positional ids
+    val fallback = SpatialIO.readShapefile(spark, dir.toString, Some("NOPE"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(fallback === Set(1, 2, 3).map(i => s"corpus.shp#$i"))
+  }
+
   test("nested shells: hole attaches only to the smallest covering " +
        "shell; degenerate rings are skipped, not fatal") {
     // outer CW shell 20x20, inner CW shell 10x10 inside it, hole 2x2
