@@ -59,9 +59,14 @@ object Components {
         .select(col("x.id").as("id"),
           least(col("x.label"), col("jlabel")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      // round 0 changes on any graph with a non-self edge — skip its
+      // convergence-count job (a trivial graph just pays one extra
+      // no-op round before round 1's count sees zero)
+      changed =
+        if (it == 0) 1L
+        else next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist(blocking = false)
       labels = next
       it += 1
