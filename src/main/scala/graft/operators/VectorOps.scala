@@ -97,9 +97,13 @@ object VectorOps {
     * vec_id), so cell-key cardinality GROWS with the corpus and in-cell
     * candidate work per query is nprobe * n/k. The centroid table is
     * O(sqrt n) rows — broadcast for both assignment and query probing;
-    * the only shuffle is the per-cell equi-join. No SQL oracle (k-means
-    * is not ANSI-expressible) → rows-only gate entry; the exactness
-    * property (nprobe = k recovers brute force) is spec-verified. */
+    * the only shuffle is the per-cell equi-join. Deterministic seeds
+    * (every floor(n/k)-th vec_id) + exactly ONE Lloyd step + argmin
+    * assignment make the whole training SQL-expressible, so the gate
+    * entry has an exact DuckDB oracle (seeds CTE → assign via
+    * row_number over rounded cosine → avg per cell → reassign →
+    * probe); the exactness property (nprobe = k recovers brute force)
+    * is additionally spec-verified. */
   def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
                     nprobe: Int = 4): DataFrame = {
     val emb = embeddings(s, dir)
@@ -203,22 +207,38 @@ object VectorOps {
   }
 
   /** dd8: LSH-verified embedding dedup — the bucketed form of dd7:
-    * hyperplane-signature buckets generate candidates (equi-join on
-    * `sig`, cost bounded by bucket sizes — no crossJoin of two large
-    * sides anywhere in the plan), exact cosine verifies. The scale
-    * path for embedding near-dup detection; dd7's quadratic form
+    * hyperplane signatures generate candidates, exact cosine verifies.
+    * The 8-plane signature is BANDED (4 bands x 2 planes, the dd5
+    * MinHash-LSH scheme): a pair is a candidate when ANY band matches,
+    * so recall for a pair at cosine angle theta is 1-(1-p^2)^4 with
+    * p = 1-theta/pi (~0.9 at sim 0.45) instead of the p^8 (~3%) an
+    * all-8-bits-must-match signature gives. Candidate generation is a
+    * narrow (vec_id, band, bsig) equi-join — cost bounded by band
+    * bucket sizes, never all-pairs — and the 64-double vectors join
+    * back only for candidate verification. dd7's quadratic form
     * remains as the exact baseline/test oracle. */
   def lshCandidatePairs(s: SparkSession, dir: String, planes: Int = 8,
-                        minSim: Double = 0.45): DataFrame = {
+                        bands: Int = 4, minSim: Double = 0.45): DataFrame = {
+    val rpb = planes / bands // planes (bits) per band
+    val mask = (1L << rpb) - 1
     // both join arms read the signatures — session-cached so the
     // quantize + plane dot products run once, not once per arm
     val bucketed = graft.spark.DfCache.memo(s, s"$dir#hyperplane$planes") {
       hyperplaneBuckets(s, dir, planes)
     }
-    val l = bucketed.select(col("sig"), col("vec_id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("sig"), col("vec_id").as("id_b"), col("v").as("v_b"))
-    l.join(r, "sig")
-      .filter(col("id_a") < col("id_b"))
+    val banded = bucketed.select(col("vec_id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * rpb).bitwiseAND(lit(mask))): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bsig"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"))
+    val vb = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
@@ -327,16 +347,84 @@ object VectorOps {
                 x -> CAST(floor(x * 1000) AS BIGINT)) AS q
             FROM embeddings),
           sig AS (SELECT vec_id, v, $sigExpr AS sig FROM emb),
+          bands AS (
+            SELECT vec_id, bd.band, (sig >> (bd.band * 2)) & 3 AS bsig
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) bd),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
           pairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT c.id_a, c.id_b,
               round(list_dot_product(a.v, b.v) /
                 (sqrt(list_dot_product(a.v, a.v)) *
                  sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-            FROM sig a JOIN sig b
-              ON a.sig = b.sig AND a.vec_id < b.vec_id)
+            FROM cand c
+            JOIN sig a ON a.vec_id = c.id_a
+            JOIN sig b ON b.vec_id = c.id_b)
           SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
           ORDER BY 1, 2"""
     },
+    "ann5_ivf_scaled" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
+         cent AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
+         cvec AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
+         asgn AS (
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
+         probe AS (
+           SELECT e.vec_id AS q_id, e.v AS q_v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
+         probed AS (SELECT q_id, q_v, cell FROM probe WHERE crk <= 4),
+         sims AS (
+           SELECT p.q_id, m.vec_id AS n_id,
+             round(list_dot_product(p.q_v, m.v) /
+               (sqrt(list_dot_product(p.q_v, p.q_v)) *
+                sqrt(list_dot_product(m.v, m.v))), 9) AS sim
+           FROM probed p JOIN cells m
+             ON p.cell = m.cell AND m.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
     "dd7_embedding_dups" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
