@@ -99,6 +99,17 @@ object StressSkew {
         src, tgt, "w_js", budget, "intersects").count())
     println(s"[skew] dynamic verified=$dyn (budget=$budget) " +
       s"bounded=${dyn == budget}")
+
+    // Early stopping over the same dense corpus: the sort runs on
+    // narrow rows and each 20k-vertex hot blob ships once per
+    // partition, never once per candidate pair — this completes in
+    // bounded memory where a wide-row sortWithinPartitions would spill
+    // the blob thousands of times.
+    val es = time("early stopping over dense corpus")(
+      graft.operators.ProgressiveTyped.earlyStopping(
+        src, tgt, "w_js", relation = "intersects", batchSize = 500,
+        precisionLevel = 0.5, maxViolations = 2).count())
+    println(s"[skew] earlyStopping verified=$es")
     graft.spark.DfCache.release(spark)
     spark.stop()
   }

@@ -5,17 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.Jts
 import graft.model.Relation
 
-/** Candidate pair as carried into the sequential per-partition
-  * algorithms: ids, WKB geometry payloads, and up to three scheduling
-  * weights (w2/w3 are 0 unless a multi-weight ordering asks for them —
-  * the reference's CompositeWP / ThinMultiCompositePair carry the same
-  * extra weights, `model/weightedPairs/CompositeWP.scala:27-48`,
+/** Narrow candidate (ids + weights only — no geometry payloads; up to
+  * three scheduling weights, w2/w3 are 0 unless a multi-weight ordering
+  * asks for them — the reference's CompositeWP /
+  * ThinMultiCompositePair carry the same extra weights,
+  * `model/weightedPairs/CompositeWP.scala:27-48`,
   * `ThinMultiCompositePair.scala:8-25`). */
-case class CandPair(s_id: String, t_id: String,
-                    s_geom: Array[Byte], t_geom: Array[Byte],
-                    w: Double, w2: Double = 0.0, w3: Double = 0.0)
-
-/** Narrow candidate (ids + weights only — no geometry payloads). */
 case class NarrowCand(s_id: String, t_id: String,
                       w: Double, w2: Double, w3: Double)
 
@@ -23,6 +18,14 @@ case class NarrowCand(s_id: String, t_id: String,
 case class PidCand(pid: Int, s_id: String, t_id: String,
                    s_geom: Array[Byte], t_geom: Array[Byte],
                    w: Double, w2: Double, w3: Double)
+
+/** Rank-tagged narrow candidate (early stopping phase 1: the sorted
+  * position within its origin partition). */
+case class RankedCand(pid: Int, rank: Int, s_id: String, t_id: String)
+
+/** Per-partition entity delivery row (side 0 = source, 1 = target):
+  * each geometry blob ships once per partition it participates in. */
+case class SideEnt(pid: Int, side: Int, eid: String, geom: Array[Byte])
 
 /** Verified pair emitted by the sequential algorithms, tagged with the
   * in-partition verification order. */
@@ -38,24 +41,6 @@ case class VerifiedPair(s_id: String, t_id: String, part: Int,
   * per-partition priority queue is local, and it is budget-bounded.
   */
 object ProgressiveTyped {
-
-  private def weightedCandidates(source0: DataFrame, target0: DataFrame,
-                                 weights: Seq[String]): Dataset[CandPair] = {
-    val wanted = weights.filter(_.nonEmpty).toSet
-    val (source, target) = Progressive.provision(source0, target0, wanted)
-    val theta = SpatialJoin.computeTheta(source)
-    val cands = Progressive.addWeights(
-      SpatialJoin.candidatePairs(source, target, theta), theta, source, wanted)
-    val spark = cands.sparkSession
-    import spark.implicits._
-    val ws = (weights.take(3) ++ Seq.fill(3 - math.min(3, weights.length))(""))
-      .zip(Seq("w", "w2", "w3"))
-      .map { case (c, n) =>
-        (if (c.isEmpty) lit(0.0) else col(c).cast("double")).as(n)
-      }
-    cands.select(Seq(col("s_id"), col("t_id"), col("s_geom"), col("t_geom"))
-      ++ ws: _*).as[CandPair]
-  }
 
   /** Largest-remainder proration of the global budget over partitions
     * by candidate share — the analogue of the reference's source-share
@@ -240,44 +225,85 @@ object ProgressiveTyped {
     * lexicographic (JS, CF, MBRO) (`EarlyStoppingLinker.scala:27-31`,
     * `ThinMultiCompositePair.scala:8-25`) — when `weight` is the
     * default "w_js"; passing another main weight keeps CF/MBRO as the
-    * remaining lexicographic levels. */
+    * remaining lexicographic levels.
+    *
+    * Memory shape (same discipline as [[dynamicProgressive]]): the sort
+    * runs over NARROW rows (ids + weights) only — a wide candidate row
+    * would carry both WKB payloads and a dense partition around a large
+    * geometry would duplicate the blob once per pair through the sort
+    * spill. Geometries ship once per (partition, entity) — the
+    * reference's per-partition entity arrays
+    * (`DistributedInterlinking.scala:37-52`) — and the sorted cogroup
+    * delivers candidates rank-ascending against that local lookup. */
   def earlyStopping(source: DataFrame, target: DataFrame,
                     weight: String = "w_js",
                     relation: String, batchSize: Int = 100,
                     precisionLevel: Double = 0.1,
                     maxViolations: Int = 3): Dataset[VerifiedPair] = {
     val rest = Seq("w_cf", "w_mbro").filterNot(_ == weight)
-    val cands = weightedCandidates(source, target, weight +: rest)
-    val spark = cands.sparkSession
+    val weights = weight +: rest
+    val wanted = weights.toSet
+    val (src, tgt) = Progressive.provision(source, target, wanted)
+    val theta = SpatialJoin.computeTheta(src)
+    val spark = src.sparkSession
     import spark.implicits._
-    cands
+    val ws = weights.take(3).zip(Seq("w", "w2", "w3"))
+      .map { case (c, n) => col(c).cast("double").as(n) }
+    // Phase 1 — narrow rank assignment: sort ids+weights within each
+    // candidate partition, tag with (pid, rank), pin with an eager
+    // checkpoint (two DAG branches below must see the same ranks).
+    val ranked = Progressive.addWeights(
+        SpatialJoin.candidatePairsNarrow(src, tgt, theta), theta, src, wanted)
+      .select(Seq(col("s_id"), col("t_id")) ++ ws: _*).as[NarrowCand]
       .sortWithinPartitions(col("w").desc, col("w2").desc, col("w3").desc,
         col("s_id").asc, col("t_id").asc)
       .mapPartitions { it =>
-        val rel = Relation.of(relation)
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
-        var firstBatchMatches = -1
-        var violations = 0
-        var order = 0
-        var batchMatches = 0
-        var stop = false
-        while (!stop && it.hasNext) {
-          val c = it.next()
-          val q = rel.eval(Jts.fromWkb(c.s_geom), Jts.fromWkb(c.t_geom))
-          out += VerifiedPair(c.s_id, c.t_id, pid, order, q)
-          if (q) batchMatches += 1
-          order += 1
-          if (order % batchSize == 0) {
-            if (firstBatchMatches < 0) firstBatchMatches = batchMatches
-            else if (batchMatches < precisionLevel * firstBatchMatches) {
-              violations += 1
-              if (violations >= maxViolations) stop = true
-            } else violations = 0
-            batchMatches = 0
+        var i = 0
+        it.map { c => val r = RankedCand(pid, i, c.s_id, c.t_id); i += 1; r }
+      }
+      .localCheckpoint(true)
+    // Phase 2 — entity delivery: each geometry blob once per partition
+    // it participates in (never once per pair).
+    def sideEnts(side: Int, idOf: RankedCand => String,
+                 ents: DataFrame): Dataset[SideEnt] =
+      ranked.map(c => (c.pid, idOf(c))).distinct()
+        .toDF("pid", "eid")
+        .join(ents.select(col("id").as("eid"), col("geom")), "eid")
+        .select(col("pid"), lit(side).as("side"), col("eid"), col("geom"))
+        .as[SideEnt]
+    val ents = sideEnts(0, _.s_id, src).union(sideEnts(1, _.t_id, tgt))
+    // Phase 3 — sorted cogroup: candidates arrive rank-ascending (the
+    // framework's external sort over narrow rows); entities build the
+    // per-partition lookup; verify sequentially with the stop rule.
+    ranked.groupByKey(_.pid)
+      .cogroupSorted(ents.groupByKey(_.pid))(col("rank").asc)() {
+        (pid, cands, es) =>
+          val geoms = new java.util.HashMap[String, org.locationtech.jts.geom.Geometry]()
+          es.foreach(e => geoms.put(s"${e.side}|${e.eid}", Jts.fromWkb(e.geom)))
+          val rel = Relation.of(relation)
+          val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
+          var firstBatchMatches = -1
+          var violations = 0
+          var order = 0
+          var batchMatches = 0
+          var stop = false
+          while (!stop && cands.hasNext) {
+            val c = cands.next()
+            val q = rel.eval(geoms.get("0|" + c.s_id), geoms.get("1|" + c.t_id))
+            out += VerifiedPair(c.s_id, c.t_id, pid, order, q)
+            if (q) batchMatches += 1
+            order += 1
+            if (order % batchSize == 0) {
+              if (firstBatchMatches < 0) firstBatchMatches = batchMatches
+              else if (batchMatches < precisionLevel * firstBatchMatches) {
+                violations += 1
+                if (violations >= maxViolations) stop = true
+              } else violations = 0
+              batchMatches = 0
+            }
           }
-        }
-        out.iterator
+          out
       }
   }
 }
