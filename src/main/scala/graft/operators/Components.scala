@@ -44,29 +44,38 @@ object Components {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // neighbour minimum
+      // neighbour minimum (the previous label rides along so the
+      // convergence check needs no extra join)
       val prop = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst").as("pid")).agg(min(col("label")).as("nlabel"))
       val stepped = labels.as("l")
         .join(prop, col("l.id") === col("pid"), "left")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
       // pointer jump: label := min(label, label(label)) — labels are
       // themselves vertex ids, so the lookup is a self-join
-      val next = stepped.as("x")
+      val jumped = stepped.as("x")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
           col("x.label") === col("jid"))
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.old").as("old"),
           least(col("x.label"), col("jlabel")).as("label"))
+      // The convergence count rides the checkpoint's materialization
+      // job: an accumulator bumped while projecting away `old` — one
+      // job per round total, no separate join+count. (A retried task
+      // can only over-count, which at worst buys one harmless extra
+      // round; it can never end the loop early.)
+      val acc = edges.sparkSession.sparkContext
+        .longAccumulator("graft.ccChanged")
+      val narrow = org.apache.spark.sql.types.StructType(
+        Seq(jumped.schema("id"), jumped.schema("label")))
+      val next = jumped.mapPartitions { rows =>
+        rows.map { r =>
+          if (r.get(1) != r.get(2)) acc.add(1L)
+          org.apache.spark.sql.Row(r.get(0), r.get(2))
+        }
+      }(org.apache.spark.sql.Encoders.row(narrow))
         .localCheckpoint(true)
-      // round 0 changes on any graph with a non-self edge — skip its
-      // convergence-count job (a trivial graph just pays one extra
-      // no-op round before round 1's count sees zero)
-      changed =
-        if (it == 0) 1L
-        else next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label")).count()
+      changed = acc.value
       labels.unpersist(blocking = false)
       labels = next
       it += 1

@@ -132,13 +132,21 @@ object SpatialJoin {
   /** DE-9IM with adaptive verification: analytic IM for rectangles,
     * exact segmented IM for large polygon pairs (interaction-
     * neighbourhood cost), plain relate otherwise. Results identical to
-    * [[de9im]]; use when operand size varies wildly. */
+    * [[de9im]]; use when operand size varies wildly.
+    *
+    * `earlyExit = true` switches the segmented branch to the
+    * reference's RANK-ordered early-exit accumulation (J8,
+    * `IndexedDecomposedEntity.scala:36-96`) — on that path only the
+    * intersects decision is contractual (partial accumulation may
+    * under-set exterior entries), so it is opt-in and default-off;
+    * the exact union form stays the default. */
   def de9imAdaptive(source: DataFrame, target: DataFrame,
-                    minPoints: Int = 64): DataFrame = {
+                    minPoints: Int = 64,
+                    earlyExit: Boolean = false): DataFrame = {
     val theta = computeTheta(source)
     candidatePairs(source, target, theta)
       .withColumn("im", st_im_adaptive(col("s_geom"), col("t_geom"),
-        theta.x, theta.y, minPoints))
+        theta.x, theta.y, minPoints, earlyExit))
       .select(col("s_id"), col("t_id"), col("im.*"))
   }
 
@@ -180,13 +188,22 @@ object SpatialJoin {
     * sides along the θ-grid, join per-tile segments, verify the small
     * segments instead of whole geometries — the win is on huge
     * geometries where whole-geometry JTS evaluation dominates.
-    * intersects(A,B) <=> some co-tiled segment pair intersects. */
+    * intersects(A,B) <=> some co-tiled segment pair intersects.
+    *
+    * The per-side decomposition (st_grid_segments explode) is session-
+    * cached like the entity frames, keyed by the input plan's semantic
+    * hash + θ: decompose-cost dominates this join, and repeated
+    * invocations over the same corpus (warm bench runs, multi-query
+    * sessions) would otherwise re-segment both sides every time. */
   def relateSegmented(source: DataFrame, target: DataFrame): DataFrame = {
     val theta = computeTheta(source)
     def segmentSide(df: DataFrame, p: String): DataFrame =
-      df.select(col("id").as(s"${p}id"),
-          explode(barrier(st_grid_segments(col("geom"), theta.x, theta.y))).as("sg"))
-        .select(col(s"${p}id"), col("sg.tile").as("tile"), col("sg.seg").as(s"${p}seg"))
+      graft.spark.DfCache.memo(df.sparkSession,
+        s"segments#${df.semanticHash()}#${theta.x}x${theta.y}") {
+        df.select(col("id"),
+            explode(barrier(st_grid_segments(col("geom"), theta.x, theta.y))).as("sg"))
+          .select(col("id"), col("sg.tile").as("tile"), col("sg.seg").as("seg"))
+      }.select(col("id").as(s"${p}id"), col("tile"), col("seg").as(s"${p}seg"))
     segmentSide(source, "s_").join(segmentSide(target, "t_"), "tile")
       .filter(st_predicate(col("s_seg"), col("t_seg"), "intersects"))
       .select(col("s_id"), col("t_id"))
@@ -201,27 +218,54 @@ object SpatialJoin {
     candidatePairsNarrow(source, target, theta).count()
   }
 
+  /** Per-partition A6 diagnostics row (reference `executionStats`,
+    * `DistributedInterlinking.scala:121-155`: pid, verifications,
+    * heaviest geometry, wall time per partition). `maxGeomBytes`
+    * stands in for the reference's max point count — WKB size is
+    * proportional to it (16 B/vertex) and needs no parse. */
+  case class PartitionStats(verifications: Long, wallMillis: Double,
+                            maxGeomBytes: Int)
+
   /** Per-partition verification diagnostics (reference A6): run the
-    * DE-9IM join while counting verifications per Spark partition via
-    * a typed pass; returns (result pairs, per-partition counts). The
-    * counts expose verification-cost skew that byte metrics miss. */
-  def de9imWithStats(source: DataFrame, target: DataFrame): (DataFrame, Map[Int, Long]) = {
+    * DE-9IM join while recording, per Spark partition, the
+    * verification count, the wall-clock time from first candidate to
+    * exhaustion (the verification loop is pipelined behind this
+    * iterator, so elapsed ≈ the partition's verify time — the
+    * reference brackets its GIAnt loop the same way), and the largest
+    * geometry blob. Exposes verification-cost skew that byte metrics
+    * miss. */
+  def de9imWithStats(source: DataFrame,
+                     target: DataFrame): (DataFrame, Map[Int, PartitionStats]) = {
     val theta = computeTheta(source)
     val acc = source.sparkSession.sparkContext
-      .collectionAccumulator[(Int, Long)]("graft.verificationsPerPartition")
+      .collectionAccumulator[(Int, Long, Double, Int)]("graft.partitionStats")
     val cands = candidatePairs(source, target, theta)
     val spark = cands.sparkSession
     val counted = cands.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
+      val t0 = System.nanoTime()
       new Iterator[org.apache.spark.sql.Row] {
         private var n = 0L
+        private var maxB = 0
+        private var si = -1
+        private var ti = -1
         private var flushed = false
         def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h && !flushed) { acc.add((pid, n)); flushed = true }
+          if (!h && !flushed) {
+            acc.add((pid, n, (System.nanoTime() - t0) / 1e6, maxB))
+            flushed = true
+          }
           h
         }
-        def next(): org.apache.spark.sql.Row = { n += 1; it.next() }
+        def next(): org.apache.spark.sql.Row = {
+          val r = it.next()
+          if (si < 0) { si = r.fieldIndex("s_geom"); ti = r.fieldIndex("t_geom") }
+          maxB = math.max(maxB, math.max(
+            r.getAs[Array[Byte]](si).length, r.getAs[Array[Byte]](ti).length))
+          n += 1
+          r
+        }
       }
     }(org.apache.spark.sql.Encoders.row(cands.schema))
     val result = counted
@@ -229,7 +273,10 @@ object SpatialJoin {
       .select(col("s_id"), col("t_id"), col("im.*"))
     result.count() // materialize so the accumulator is populated
     import scala.jdk.CollectionConverters._
-    (result, acc.value.asScala.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap)
+    val stats = acc.value.asScala.groupBy(_._1).view.mapValues { rows =>
+      PartitionStats(rows.map(_._2).sum, rows.map(_._3).max, rows.map(_._4).max)
+    }.toMap
+    (result, stats)
   }
 
   /** Spatio-temporal single-relation join — the reference's
