@@ -186,8 +186,12 @@ object StIm {
 /** Adaptive DE-9IM verification: rectangles → analytic interval IM;
   * large polygon pairs → exact segmented IM over cached θ-grid
   * segments (cost bounded by the interaction neighbourhood); everything
-  * else → plain JTS relate. children: wkb1, wkb2, θx, θy, minPoints
-  * (literals). Output schema identical to [[StIm]].
+  * else → plain JTS relate. children: wkb1, wkb2, θx, θy, minPoints,
+  * earlyExit (literals). With earlyExit=true the segmented branch uses
+  * the reference's RANK-ordered early-exit accumulation
+  * ([[graft.geometry.SegmentedIM.imEarlyExit]]) — only the intersects
+  * decision is contractual there, so it stays default-off. Output
+  * schema identical to [[StIm]].
   */
 case class StImAdaptive(children: Seq[Expression]) extends Expression with CodegenFallback {
   override def dataType: DataType = StIm.schema
@@ -198,6 +202,8 @@ case class StImAdaptive(children: Seq[Expression]) extends Expression with Codeg
     val thetaX = children(2).eval(input).asInstanceOf[Double]
     val thetaY = children(3).eval(input).asInstanceOf[Double]
     val minPts = children(4).eval(input).asInstanceOf[Int]
+    val earlyExit =
+      children.length > 5 && children(5).eval(input).asInstanceOf[Boolean]
     val wkb1 = l.asInstanceOf[Array[Byte]]; val wkb2 = r.asInstanceOf[Array[Byte]]
     val g1 = GeomCache.geometry(wkb1); val g2 = GeomCache.geometry(wkb2)
     val im =
@@ -209,9 +215,14 @@ case class StImAdaptive(children: Seq[Expression]) extends Expression with Codeg
             e2.getMinX, e2.getMinY, e2.getMaxX, e2.getMaxY))
       } else if (g1.getDimension == 2 && g2.getDimension == 2 &&
                  g1.getNumPoints + g2.getNumPoints >= minPts) {
-        graft.geometry.SegmentedIM.im(g1, g2,
-          GeomCache.segments(wkb1, thetaX, thetaY),
-          GeomCache.segments(wkb2, thetaX, thetaY))
+        if (earlyExit)
+          graft.geometry.SegmentedIM.imEarlyExit(g1, g2,
+            GeomCache.segments(wkb1, thetaX, thetaY),
+            GeomCache.segments(wkb2, thetaX, thetaY))
+        else
+          graft.geometry.SegmentedIM.im(g1, g2,
+            GeomCache.segments(wkb1, thetaX, thetaY),
+            GeomCache.segments(wkb2, thetaX, thetaY))
       } else g1.relate(g2)
     val d1 = g1.getDimension; val d2 = g2.getDimension
     new GenericInternalRow(Array[Any](
@@ -398,11 +409,12 @@ object GeomFunctions {
   def st_area(geom: Column): Column = mk(StArea(ex(geom)))
   def st_im(l: Column, r: Column): Column = mk(StIm(ex(l), ex(r)))
   def st_im_adaptive(l: Column, r: Column, thetaX: Double, thetaY: Double,
-                     minPoints: Int = 64): Column =
+                     minPoints: Int = 64, earlyExit: Boolean = false): Column =
     mk(StImAdaptive(Seq(ex(l), ex(r),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaX),
       org.apache.spark.sql.catalyst.expressions.Literal(thetaY),
-      org.apache.spark.sql.catalyst.expressions.Literal(minPoints))))
+      org.apache.spark.sql.catalyst.expressions.Literal(minPoints),
+      org.apache.spark.sql.catalyst.expressions.Literal(earlyExit))))
   def st_predicate(l: Column, r: Column, relation: String): Column =
     mk(StPredicate(ex(l), ex(r), relation))
   def tile_cover(minx: Column, miny: Column, maxx: Column, maxy: Column,

@@ -116,4 +116,59 @@ object SegmentedIM {
     im.set(2, 2, 2)
     im
   }
+
+  /** The reference's RANK-ordered EARLY-EXIT accumulation (J8,
+    * `model/entities/segmented/IndexedDecomposedEntity.scala:36-96` +
+    * `utils/geometryUtils/EnvelopeOp.scala:14-30`), FLAG-GATED and
+    * default-off: relate co-tiled segment pairs in envelope-rank order
+    * (shared-extent RANK1 first, then partial-overlap RANK2,
+    * containment RANK3; disjoint RANK0 never verified), union the
+    * intersecting matrices, and stop as soon as the
+    * equals/crosses/overlaps decision is made.
+    *
+    * NOT the default because partial accumulation can under-set
+    * exterior/boundary entries (segment cut edges are real boundaries
+    * of the segment polygons — the reference's own WARNING at
+    * `IndexedDecomposedEntity.scala:57-59` — and pairs after the exit
+    * point never contribute), so only the intersects DECISION is
+    * contractual; [[im]] keeps the provably exact full matrix. The
+    * differential spec pins intersects-equivalence against [[im]]. */
+  def imEarlyExit(a: Geometry, b: Geometry,
+                  segsAIn: => Seq[(Long, Long, Geometry)],
+                  segsBIn: => Seq[(Long, Long, Geometry)]): IntersectionMatrix = {
+    if (a.getDimension != 2 || b.getDimension != 2) return a.relate(b)
+    if (!a.getEnvelopeInternal.intersects(b.getEnvelopeInternal))
+      return new IntersectionMatrix("FF2FF1212")
+    val byTileB = segsBIn.groupBy { case (x, y, _) => (x, y) }
+    val pairs = segsAIn.flatMap { case (x, y, ga) =>
+      byTileB.getOrElse((x, y), Nil).map { case (_, _, gb) => (ga, gb) }
+    }
+    if (pairs.isEmpty) return new IntersectionMatrix("FF2FF1212")
+    // EnvelopeOp.getIntersectingEnvelopesType, mapped to sort keys
+    // (enumeration order RANK1 < RANK2 < RANK3 < RANK0)
+    def rank(g1: Geometry, g2: Geometry): Int = {
+      val e1 = g1.getEnvelopeInternal; val e2 = g2.getEnvelopeInternal
+      if (e1.disjoint(e2)) 3 // RANK0
+      else if (e1.contains(e2) || e2.contains(e1)) 2 // RANK3
+      else if ((e1.getMinX == e2.getMinX && e1.getMaxX == e2.getMaxX) ||
+               (e1.getMinY == e2.getMinY && e1.getMaxY == e2.getMaxY)) 0 // RANK1
+      else 1 // RANK2
+    }
+    val sorted = pairs.map(p => (rank(p._1, p._2), p)).sortBy(_._1)
+    val im = new IntersectionMatrix("FFFFFFFFF")
+    val d1 = a.getDimension; val d2 = b.getDimension
+    val it = sorted.iterator
+    var done = false
+    while (!done && it.hasNext) {
+      val (r, (g1, g2)) = it.next()
+      if (r == 3) done = true // sorted: every remaining pair is RANK0
+      else {
+        val m = g1.relate(g2)
+        if (m.isIntersects) im.add(m)
+        if (im.isEquals(d1, d2) &&
+            (im.isCrosses(d1, d2) || im.isOverlaps(d1, d2))) done = true
+      }
+    }
+    im
+  }
 }

@@ -30,6 +30,35 @@ object Progressive {
     * must never be collected to the driver. */
   val BroadcastableBudget: Int = 500000
 
+  /** Byte cap for GEOMETRY-CARRYING broadcast frames: a row-count gate
+    * alone is blind to blob width — 500k rows of 16 KB polygons is
+    * 8 GB, past the broadcast/driver limit, even though 500k narrow
+    * rows broadcast fine. */
+  val GeomBroadcastBytes: Long = 256L << 20
+
+  private val geomStatCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Long]
+
+  /** Average WKB size of an entity frame — one tiny agg job over the
+    * (usually session-cached) frame, memoized per plan so repeated
+    * progressive calls don't re-aggregate. Cap mirrors the θ-cache. */
+  private def avgGeomBytes(df: DataFrame): Long = {
+    if (geomStatCache.size > 64) geomStatCache.clear()
+    geomStatCache.getOrElseUpdate((df.sparkSession, df.semanticHash()), {
+      val r = df.agg(avg(octet_length(col("geom")))).first()
+      if (r.isNullAt(0)) 64L else math.max(16L, r.getDouble(0).toLong)
+    })
+  }
+
+  /** Broadcast `df` (which carries one WKB column from `ents` per row)
+    * only when both the row gate and the estimated byte gate pass. */
+  private[operators] def geomHinted(df: DataFrame, budget: Int,
+                                    ents: DataFrame): DataFrame =
+    if (budget <= BroadcastableBudget &&
+        budget.toLong * avgGeomBytes(ents) <= GeomBroadcastBytes)
+      broadcast(df)
+    else df
+
   /** Tile-range helpers over candidate-pair columns. */
   private def tmin(c: Column, theta: Double) = floor(c / theta)
   private def tmax(c: Column, theta: Double) = floor(c / theta)
@@ -170,15 +199,16 @@ object Progressive {
     // The rank filter bounds this side at `budget` rows, but Catalyst
     // cannot see that through the filter — without a hint it may
     // shuffle the ENTITY frames instead. Hint ONLY when the budget is
-    // genuinely broadcast-sized: the second hinted frame carries WKB
-    // blobs, so a huge budget (ConfigRunner defaults to 10M; the
-    // exhaustive tests use MaxValue) must take the plain shuffled-join
-    // plan instead of collecting geometry to the driver.
+    // genuinely broadcast-sized; the second frame additionally carries
+    // s_geom WKB blobs, so it gets the byte-estimate gate on top of
+    // the row gate (a huge budget — ConfigRunner defaults to 10M, the
+    // exhaustive tests use MaxValue — must take the plain shuffled-join
+    // plan instead of collecting geometry to the driver).
     def hinted(df: DataFrame): DataFrame =
       if (budget <= Progressive.BroadcastableBudget) broadcast(df) else df
     val withS = hinted(bounded)
       .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
-    hinted(withS)
+    Progressive.geomHinted(withS, budget, source)
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
@@ -249,11 +279,13 @@ object Progressive {
       .filter(col("rank") <= budget)
     // budget-bounded side broadcast for the geometry join-backs ONLY
     // when the budget is broadcast-sized (see progressiveVerify — the
-    // default budget here is unbounded)
+    // default budget here is unbounded; the geometry-carrying second
+    // frame additionally passes the byte-estimate gate)
     def hinted(df: DataFrame): DataFrame =
       if (budget <= Progressive.BroadcastableBudget) broadcast(df) else df
-    val bounded = hinted(hinted(ranked)
-        .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id"))
+    val bounded = Progressive.geomHinted(hinted(ranked)
+        .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id"),
+        budget, source)
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))

@@ -139,8 +139,11 @@ object Shapefile {
     // close unclosed rings defensively (spec requires closure); rings
     // that are still degenerate after closure (under 4 coordinates —
     // fewer than 3 distinct points) are skipped, not fatal
-    val rings = rings0.map { cs =>
-      if (cs.nonEmpty && cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
+    // empty parts (degenerate/duplicate part offsets) drop here — the
+    // closing step below reads cs.head, and an exception there would
+    // abort the whole record instead of just the one bad ring
+    val rings = rings0.filter(_.nonEmpty).map { cs =>
+      if (cs.head.equals2D(cs.last)) cs else cs :+ cs.head.copy()
     }.filter(_.length >= 4).flatMap { cs =>
       try Some(gf.createLinearRing(cs)) catch { case _: Exception => None }
     }

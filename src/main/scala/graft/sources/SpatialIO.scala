@@ -109,7 +109,10 @@ object SpatialIO {
     * come from the sibling attribute table (matched per-file by the
     * 1:1 record-order contract) instead of `<file>#<recordNumber>`.
     * Files without a .dbf, or records without the attribute, keep the
-    * positional id. */
+    * positional id; DUPLICATE attribute values (within or across
+    * files) are deterministically disambiguated with a positional
+    * suffix — the engine-wide unique-entity-id contract (join-backs,
+    * pair multiplicities) must hold no matter what the .dbf holds. */
   def readShapefile(spark: SparkSession, path: String,
                     idAttribute: Option[String]): DataFrame = {
     import spark.implicits._
@@ -124,9 +127,10 @@ object SpatialIO {
     val geoms = files("*.shp").flatMap { case (p, bytes) =>
       Shapefile.parse(bytes).map { case (rec, g) => (base(p), rec, g.toText) }
     }.toDF("file", "rec", "wkt")
+    val posId = concat(col("file"), lit(".shp#"), col("rec"))
     val rows = idAttribute match {
       case None =>
-        geoms.select(concat(col("file"), lit(".shp#"), col("rec")).as("id"), col("wkt"))
+        geoms.select(posId.as("id"), col("wkt"))
       case Some(attr) =>
         val attrs = files("*.dbf").flatMap { case (p, bytes) =>
           Shapefile.parseDbf(bytes).zipWithIndex.collect {
@@ -134,9 +138,16 @@ object SpatialIO {
             case (m, i) if m.contains(attr) => (base(p), i + 1, m(attr))
           }
         }.toDF("file", "rec", "attr_id")
+          // duplicate detection over the attribute table only (never
+          // the geometry rows): partitioned window, no null skew
+          .withColumn("dup", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("attr_id"))) > 1)
         geoms.join(attrs, Seq("file", "rec"), "left")
-          .select(coalesce(col("attr_id"),
-            concat(col("file"), lit(".shp#"), col("rec"))).as("id"), col("wkt"))
+          .select(
+            when(col("attr_id").isNull, posId)
+              .when(col("dup"), concat(col("attr_id"), lit("#"), posId))
+              .otherwise(col("attr_id")).as("id"),
+            col("wkt"))
     }
     SpatialJoin.entities(rows, col("id"), col("wkt"))
   }

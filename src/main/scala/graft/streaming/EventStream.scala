@@ -83,32 +83,54 @@ object EventStream {
         val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
         val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
         var open = state.getOption
+        // Late (cross-batch) arrivals that precede the open session by
+        // more than the gap accumulate into their own running session —
+        // two such strays within the gap of each other belong to ONE
+        // session (batch q14 semantics), so none may be emitted as a
+        // singleton while its bridging neighbour sits in the same
+        // batch. A stray chain that grows to within the gap of the
+        // open session's start merges into it.
+        var stray: Option[OpenSession] = None
         sorted.foreach { e =>
-          open = open match {
-            // late (cross-batch) arrival BEFORE the open session: merge
-            // when within the gap of its start (session extends
-            // backwards); otherwise emit the stray as its own closed
-            // session — by the watermark contract anything that could
-            // still bridge the two is either already here or late
-            // beyond the allowed lateness
+          open match {
             case Some(o) if e.us < o.start =>
-              if (o.start - e.us <= gapUs)
-                Some(OpenSession(e.us, o.last, o.n + 1))
-              else {
-                out += UserSession(user, e.us, e.us, 1)
-                Some(o)
+              if (o.start - e.us <= gapUs) stray match {
+                // the backwards-extending event may itself bridge a
+                // pending stray chain — then the whole chain joins too
+                case Some(st) if e.us - st.last <= gapUs =>
+                  open = Some(OpenSession(st.start, o.last, o.n + st.n + 1))
+                  stray = None
+                case _ =>
+                  open = Some(OpenSession(e.us, o.last, o.n + 1))
+              }
+              else stray match {
+                case Some(st) if e.us - st.last <= gapUs =>
+                  val grown = OpenSession(st.start, e.us, st.n + 1)
+                  if (o.start - grown.last <= gapUs) {
+                    open = Some(OpenSession(grown.start, o.last, o.n + grown.n))
+                    stray = None
+                  } else stray = Some(grown)
+                case Some(st) =>
+                  out += UserSession(user, st.start, st.last, st.n)
+                  stray = Some(OpenSession(e.us, e.us, 1))
+                case None =>
+                  stray = Some(OpenSession(e.us, e.us, 1))
               }
             // inside the open span: count it, bounds unchanged
             case Some(o) if e.us <= o.last =>
-              Some(OpenSession(o.start, o.last, o.n + 1))
+              open = Some(OpenSession(o.start, o.last, o.n + 1))
             case Some(o) if e.us - o.last <= gapUs =>
-              Some(OpenSession(o.start, e.us, o.n + 1))
+              open = Some(OpenSession(o.start, e.us, o.n + 1))
             case Some(o) =>
               out += close(user, o)
-              Some(OpenSession(e.us, e.us, 1))
-            case None => Some(OpenSession(e.us, e.us, 1))
+              open = Some(OpenSession(e.us, e.us, 1))
+            case None => open = Some(OpenSession(e.us, e.us, 1))
           }
         }
+        // whatever stray chain remains ends more than the gap before
+        // the open session's start; by the watermark contract anything
+        // that could still bridge it is already here or beyond lateness
+        stray.foreach(st => out += UserSession(user, st.start, st.last, st.n))
         open.foreach { o =>
           state.update(o)
           // fire once the watermark passes the gap after the last event

@@ -111,10 +111,13 @@ class DecomposeSpec extends AnyFunSuite {
     assert(p.x === 1.234568 && p.y === 9.876543) // snapped to 1e-6 grid
   }
 
-  test("per-partition verification stats sum to the total pair count") {
+  test("per-partition verification stats sum to the total pair count " +
+       "and carry wall-time + heaviest-blob diagnostics") {
     val (result, stats) = SpatialJoin.de9imWithStats(entitiesDf(source), entitiesDf(target))
-    assert(stats.values.sum === result.count())
+    assert(stats.values.map(_.verifications).sum === result.count())
     assert(stats.nonEmpty)
+    assert(stats.values.forall(s => s.wallMillis > 0.0))
+    assert(stats.values.filter(_.verifications > 0).forall(_.maxGeomBytes > 0))
   }
 
   test("segmented intersects join equals the whole-geometry join") {

@@ -131,6 +131,46 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late strays bridging each other form ONE session; a stray chain " +
+       "reaching the open session's start merges into it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(minutes: Long): Long = (minutes + 1440) * 60L * 1000000L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.EventStream.sessionize(events, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_strays").start()
+    def sessions(): Set[(Long, Long, Long, Long)] =
+      spark.table("sess_strays").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // both users open [100, 110]
+      mem.addData((1L, 1L, m(100)), (1L, 2L, m(110)),
+                  (2L, 3L, m(100)), (2L, 4L, m(110)))
+      q.processAllAvailable()
+      assert(sessions() === Set.empty)
+      // user 1: strays 20' and 40' bridge each other (20 min <= gap)
+      // but end >gap before 100' -> ONE two-event stray session, not
+      // two singletons (the batch q14 semantics).
+      // user 2: strays 45' and 72' chain (27 min <= gap) and the chain
+      // reaches within the gap of 100' -> merges INTO the open session.
+      mem.addData((1L, 5L, m(20)), (1L, 6L, m(40)),
+                  (2L, 7L, m(45)), (2L, 8L, m(72)))
+      q.processAllAvailable()
+      assert(sessions() === Set((1L, m(20), m(40), 2L)))
+      // far-future user flushes both open sessions
+      mem.addData((9L, 9L, m(3000)))
+      q.processAllAvailable()
+      assert(sessions() === Set(
+        (1L, m(20), m(40), 2L),
+        (1L, m(100), m(110), 2L),
+        (2L, m(45), m(110), 4L)))
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")

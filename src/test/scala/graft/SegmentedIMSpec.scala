@@ -75,6 +75,33 @@ class SegmentedIMSpec extends AnyFunSuite {
       s"theta=$theta")
   }
 
+  test("RANK early-exit form (flag-gated J8 variant) always agrees with " +
+       "the exact union form on the intersects decision") {
+    val big = (0 until 8).map(_ => star(50 + rnd.nextDouble() * 20,
+      50 + rnd.nextDouble() * 20, 35 + rnd.nextDouble() * 15))
+    val small = (0 until 30).map(_ => star(rnd.nextDouble() * 100,
+      rnd.nextDouble() * 100, 2 + rnd.nextDouble() * 6))
+    val geoms = big ++ small
+    var exits = 0
+    for {
+      theta <- Seq(3.0, 7.0, 15.0)
+      a <- geoms; b <- geoms
+    } {
+      import graft.geometry.Decompose.gridSegments
+      val exact = SegmentedIM.im(a, b, theta, theta)
+      val early = SegmentedIM.imEarlyExit(a, b,
+        gridSegments(a, theta, theta), gridSegments(b, theta, theta))
+      // only the intersects DECISION is contractual for the early-exit
+      // form (exterior entries may be under-set by design)
+      assert(early.isIntersects === exact.isIntersects,
+        s"theta=$theta a=${a.getNumPoints}pts b=${b.getNumPoints}pts")
+      if (early.toString != exact.toString) exits += 1
+    }
+    // the early exit / partial accumulation must actually fire on this
+    // corpus, otherwise the test proves nothing
+    assert(exits > 0, "early-exit path never diverged — corpus too easy")
+  }
+
   test("segmented IM on canonical containment and touch cases") {
     val outer = rd.read("POLYGON((0 0, 100 0, 100 100, 0 100, 0 0))")
     val inner = rd.read("POLYGON((40 40, 60 40, 60 60, 40 60, 40 40))")

@@ -240,6 +240,41 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(fallback === Set(1, 2, 3).map(i => s"corpus.shp#$i"))
   }
 
+  test("duplicate .dbf attribute values are disambiguated — the unique " +
+       "entity-id contract holds no matter what the attribute holds") {
+    val shp = shpFile(
+      shpRecord(1, pointContent(1, 1.0, 1.0)),
+      shpRecord(2, pointContent(1, 2.0, 2.0)),
+      shpRecord(3, pointContent(1, 3.0, 3.0)))
+    val dbf = dbfFile(
+      Seq(("NAME", 'C', 8)),
+      Seq(Seq("same"), Seq("same"), Seq("only")))
+    val dir = Files.createTempDirectory("shpdup")
+    Files.write(dir.resolve("corpus.shp"), shp)
+    Files.write(dir.resolve("corpus.dbf"), dbf)
+    val ids = SpatialIO.readShapefile(spark, dir.toString, Some("NAME"))
+      .select("id").collect().map(_.getString(0)).toSet
+    // duplicates get positional suffixes; the unique value stays bare
+    assert(ids === Set("same#corpus.shp#1", "same#corpus.shp#2", "only"))
+  }
+
+  test("an empty polygon part (degenerate part offsets) drops only that " +
+       "ring, not the whole record") {
+    // two parts sharing the same offset -> first part is empty
+    val shell = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val n = shell.length
+    val b = leBuf(44 + 4 * 2 + 16 * n)
+    b.putInt(5)
+    Seq(0.0, 0.0, 0.0, 0.0).foreach(b.putDouble)
+    b.putInt(2).putInt(n)
+    b.putInt(0).putInt(0) // duplicate offsets: part 0 is empty
+    shell.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+    val parsed = graft.sources.Shapefile.parse(
+      shpFile(shpRecord(1, b.array())))
+    assert(parsed.length === 1, "record must survive the degenerate part")
+    assert(parsed.head._2.getArea === 100.0)
+  }
+
   test("nested shells: hole attaches only to the smallest covering " +
        "shell; degenerate rings are skipped, not fatal") {
     // outer CW shell 20x20, inner CW shell 10x10 inside it, hole 2x2

@@ -94,7 +94,7 @@ class TriangleGateSpec extends AnyFunSuite {
     val (result, stats) = SpatialJoin.de9imWithStats(
       GeoQueries.customerTriangles(spark, dir),
       GeoQueries.supplierBoxes(spark, dir))
-    assert(stats.values.sum === result.count())
-    assert(stats.values.sum > 0)
+    assert(stats.values.map(_.verifications).sum === result.count())
+    assert(stats.values.map(_.verifications).sum > 0)
   }
 }
