@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
+
+/** Synthetic corpus scaling — S10, the reference's jitter generator
+  * (`experiments/GeometryTransformer.scala:43-91`): produce `times`
+  * perturbed copies of an entity corpus, each coordinate shifted by a
+  * random amount in [0.5, 1.5) via one of three modes (translate +,
+  * translate −, scale ×), so a small benchmark dataset grows into a
+  * larger one with the same shape statistics.
+  *
+  * Differences from the reference, both deliberate:
+  *  - DETERMINISTIC: the reference seeds from wall-clock time; here the
+  *    per-row RNG is seeded from (seed, copy, entity id), so the same
+  *    inputs always produce the same corpus — reproducible benchmarks,
+  *    and no shared RNG bottleneck across executor threads.
+  *  - Distributed as a typed map over the entity frame (one row per
+  *    (entity, copy)), not a driver-side loop of saveAsTextFile jobs;
+  *    writing is the caller's choice of sink.
+  */
+object Jitter {
+
+  private val gf = new GeometryFactory()
+
+  /** One perturbed copy of `g` — reference `geometryTransformation`
+    * semantics (shift in [0.5, 1.5), mode drawn per coordinate from
+    * {translate+, translate−, scale}). Extension over upstream (which
+    * passes multi-geometries and collections through unchanged):
+    * collection members are transformed individually, so Multi*
+    * corpora scale too. */
+  private[sources] def transform(g: Geometry, rng: scala.util.Random): Geometry = {
+    def coords(cs: Array[Coordinate]): Array[Coordinate] = cs.map { c =>
+      val shift = 0.5 + rng.nextDouble() * 1.0
+      rng.nextInt(3) match {
+        case 0 => new Coordinate(c.x + shift, c.y + shift)
+        case 1 => new Coordinate(c.x - shift, c.y - shift)
+        case _ => new Coordinate(c.x * shift, c.y * shift)
+      }
+    }
+    g.getGeometryType match {
+      case Geometry.TYPENAME_POINT => gf.createPoint(coords(g.getCoordinates).head)
+      case Geometry.TYPENAME_LINESTRING => gf.createLineString(coords(g.getCoordinates))
+      case Geometry.TYPENAME_POLYGON =>
+        // close the ring explicitly: per-coordinate jitter would tear
+        // the shell (first/last must stay equal for a valid ring)
+        val cs = coords(g.getCoordinates.dropRight(1))
+        gf.createPolygon(cs :+ cs.head.copy())
+      case _ if g.getNumGeometries > 1 || g.getGeometryType.startsWith("Multi") =>
+        gf.buildGeometry(java.util.Arrays.asList(
+          (0 until g.getNumGeometries).map(i => transform(g.getGeometryN(i), rng)): _*))
+      case _ => g
+    }
+  }
+
+  /** `times` jittered copies of an entity frame (`id`, `geom` WKB
+    * columns): one output row per (entity, copy), ids suffixed `~<i>`
+    * so the unique-entity-id contract holds across copies. Feed the
+    * result back through `SpatialJoin.entities` via the `wkt` column. */
+  def jitteredCopies(entities: DataFrame, times: Int,
+                     seed: Long = 42L): DataFrame = {
+    val spark = entities.sparkSession
+    import spark.implicits._
+    val copies: Dataset[(String, String)] =
+      entities.select(col("id").cast("string"), col("geom"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (id, wkb) =>
+          val g = graft.functions.Jts.fromWkb(wkb)
+          (1 to times).map { i =>
+            val rng = new scala.util.Random(
+              seed * 1000003L + i * 7919L + id.hashCode.toLong)
+            (s"$id~$i", transform(g, rng).toText)
+          }
+        }
+    copies.toDF("id", "wkt")
+  }
+}
