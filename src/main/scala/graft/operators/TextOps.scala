@@ -299,8 +299,50 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** dd10: train/eval contamination check — the pre-training hygiene
+    * pass every LLM data pipeline runs: flag training documents whose
+    * normalized fingerprint (dd2's bounded-prefix form) collides with
+    * an evaluation-set document. Eval set here = every 20th doc_id
+    * (the gate corpus has no separate eval table); in production the
+    * eval side is a second corpus. Scale shape: one fingerprint
+    * projection (session-cached, shared base), then a hash equi-join
+    * on the fingerprint — cost bounded by fingerprint bucket sizes,
+    * never a text comparison across corpora. */
+  def dd10Contamination(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.spark.DfCache.memo(s, s"$dir#dd10fp") {
+      val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
+      documents(s, dir)
+        .select(col("doc_id"), md5(substring(norm, 1, 64)).as("fp"))
+    }
+    val evalSide = fps.filter(col("doc_id") % 20 === 0)
+      .select(col("fp"), col("doc_id").as("eval_id"))
+    val trainSide = fps.filter(col("doc_id") % 20 =!= 0)
+      .select(col("fp"), col("doc_id").as("train_id"))
+    trainSide.join(evalSide, "fp")
+      .select(col("train_id"), col("eval_id"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** ta6: deterministic stratified sampling — downsample the dominant
+    * language hard (10%) and keep half of everything else, the
+    * standard rebalancing step of a multilingual training mix. The
+    * sampling key is a content-independent md5 bucket of the doc id:
+    * deterministic (reproducible runs, exact oracle), uniform within
+    * each stratum, and a pure map-side filter — no shuffle, no state,
+    * survives any scale. */
+  def ta6StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100)
+      .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(50))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta5_tf_score" -> (ta5TfScore _),
+    "ta6_stratified_sample" -> (ta6StratifiedSample _),
+    "dd10_contamination" -> (dd10Contamination _),
     "ta4_bpe_tokens" -> (ta4BpeTokens _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
@@ -378,6 +420,23 @@ object TextOps {
       """SELECT md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))), '\s+', ' ', 'g'), 1, 64)) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_members
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+    "dd10_contamination" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))), '\s+', ' ', 'g'), 1, 64)) AS fp
+           FROM documents)
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id
+         FROM fp t JOIN fp e ON t.fp = e.fp
+         WHERE e.doc_id % 20 = 0 AND t.doc_id % 20 <> 0
+         ORDER BY 1, 2""",
+    "ta6_stratified_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, bucket FROM b
+         WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+         ORDER BY doc_id""",
     "dd3_jaccard_pairs" ->
       s"""WITH $shinglesCte,
          docs AS (
