@@ -41,17 +41,22 @@ object Components {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    val labelType = labels.schema("label").dataType
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // neighbour minimum (the previous label rides along so the
-      // convergence check needs no extra join)
+      // Neighbour minimum in ONE join + ONE groupBy: edge-propagated
+      // labels union the self rows, and the self row (unique per id)
+      // smuggles the previous label through the aggregate as
+      // max(old) — no separate left-join to re-attach vertices without
+      // incoming edges, and no extra join for the convergence check.
       val prop = und.join(labels, und("src") === labels("id"))
-        .groupBy(col("dst").as("pid")).agg(min(col("label")).as("nlabel"))
-      val stepped = labels.as("l")
-        .join(prop, col("l.id") === col("pid"), "left")
-        .select(col("l.id").as("id"), col("l.label").as("old"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labelType).as("old"))
+      val stepped = prop.unionByName(
+          labels.select(col("id"), col("label"), col("label").as("old")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
       // pointer jump: label := min(label, label(label)) — labels are
       // themselves vertex ids, so the lookup is a self-join
       val jumped = stepped.as("x")
