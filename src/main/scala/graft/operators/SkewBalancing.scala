@@ -23,10 +23,18 @@ object SkewBalancing {
 
   /** Skewed-target id frame from the explicit cost model; empty when
     * there are no candidates at all (avg/stddev aggregate NULLs). */
-  private def skewSplit(cands: DataFrame, zThreshold: Double): DataFrame = {
-    val costs = cands
-      .groupBy(col("t_id"))
-      .agg((count(lit(1)) * first(st_numpoints(col("t_geom")))).as("cost"))
+  /** Hot-target ids by z-scored verification cost. The stats pass runs
+    * over NARROW candidates (ids + MBRs) with the point count joined
+    * from the entity frame — the wide geometry-carrying join is never
+    * evaluated just to count pairs (the reference's stats come from
+    * per-partition entity arrays, similarly blob-free). */
+  private def skewSplit(source: DataFrame, target: DataFrame,
+                        theta: SpatialJoin.Theta, zThreshold: Double): DataFrame = {
+    val costs = SpatialJoin.candidatePairsNarrow(source, target, theta)
+      .groupBy(col("t_id")).agg(count(lit(1)).as("n"))
+      .join(target.select(col("id").as("t_id"),
+        st_numpoints(col("geom")).as("np")), "t_id")
+      .select(col("t_id"), (col("n") * col("np")).as("cost"))
     val stats = costs.agg(
       avg(col("cost")).as("mu"), stddev_pop(col("cost")).as("sigma")).head()
     if (stats.isNullAt(0) || stats.isNullAt(1)) // zero candidates
@@ -43,7 +51,7 @@ object SkewBalancing {
                     zThreshold: Double = 3.0): DataFrame = {
     val theta = SpatialJoin.computeTheta(source)
     val cands = SpatialJoin.candidatePairs(source, target, theta)
-    val skewedIds = skewSplit(cands, zThreshold)
+    val skewedIds = skewSplit(source, target, theta, zThreshold)
 
     val verify = (df: DataFrame) => df
       .withColumn("im", st_im(col("s_geom"), col("t_geom")))
@@ -117,7 +125,7 @@ object SkewBalancing {
     val theta = SpatialJoin.computeTheta(source)
     val tx = theta.x; val ty = theta.y
     val cands = SpatialJoin.candidatePairs(source, target, theta)
-    val skewedIds = skewSplit(cands, zThreshold)
+    val skewedIds = skewSplit(source, target, theta, zThreshold)
 
     val verify = (df: DataFrame) => df
       .withColumn("im", st_im(col("s_geom"), col("t_geom")))
