@@ -204,6 +204,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** dd11: SimHash near-dup PAIRS — the scale form completing dd6 into
+    * a full dedup path (signature → banded candidates → verify), the
+    * same structure dd5 gives MinHash. The signature here is the FULL
+    * 60-bit md5 word hash (dd6's 16-bit form stays as the compact
+    * oracle demo: 4-bit bands would have 16 buckets and collapse to
+    * quadratic at scale); bands are 4 × 15 bits → 32k bucket values
+    * per band, so candidate cost is bounded by band-bucket sizes and
+    * bucket cardinality is large enough that buckets stay small.
+    * Verification = exact hamming distance ≤ 3 (the canonical SimHash
+    * near-dup bar), a bit_count(xor) over the already-joined longs. */
+  def dd11SimhashPairs(s: SparkSession, dir: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val sigs = graft.spark.DfCache.memo(s, s"$dir#simhash60") {
+      val exploded = documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .withColumn("h",
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
+      val bitVotes = (0 until 60).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$j")
+      }
+      val votes = exploded.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      val sig = (0 until 60).map { j =>
+        when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      votes.select(col("doc_id"), sig.as("simhash"))
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bsig"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")), "id_b")
+      .withColumn("ham", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("ham"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** documents with a materialized token-array column (one split/row). */
   private def docTokens(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GeomFunctions.barrier
@@ -343,6 +389,8 @@ object TextOps {
     "ta5_tf_score" -> (ta5TfScore _),
     "ta6_stratified_sample" -> (ta6StratifiedSample _),
     "dd10_contamination" -> (dd10Contamination _),
+    "dd11_simhash_pairs" -> ((s: SparkSession, dir: String) =>
+      dd11SimhashPairs(s, dir)),
     "ta4_bpe_tokens" -> (ta4BpeTokens _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
@@ -437,6 +485,35 @@ object TextOps {
          SELECT doc_id, lang, bucket FROM b
          WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
          ORDER BY doc_id""",
+    "dd11_simhash_pairs" -> {
+      val bits = (0 until 60).map { j =>
+        s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0" +
+          s" THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH words AS (
+            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+          h AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM tok),
+          sig AS (SELECT doc_id, $bits AS simhash FROM h GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, simhash, b.band,
+              (simhash >> (b.band * 15)) & 32767 AS bsig
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          ham AS (
+            SELECT c.id_a, c.id_b,
+              bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS ham
+            FROM cand c
+            JOIN sig a ON a.doc_id = c.id_a
+            JOIN sig b ON b.doc_id = c.id_b)
+          SELECT id_a, id_b, ham FROM ham WHERE ham <= 3
+          ORDER BY 1, 2"""
+    },
     "dd3_jaccard_pairs" ->
       s"""WITH $shinglesCte,
          docs AS (
