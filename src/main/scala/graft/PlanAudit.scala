@@ -29,6 +29,7 @@ object PlanAudit {
   // score every centroid), not an unbounded data-data join.
   private val allowedUnbounded =
     Set("dd7_embedding_dups", "ann1_cosine_topk", "ann3_ivf_topk",
+        "ann6_sq_topk",
         "ann5_ivf_scaled")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {

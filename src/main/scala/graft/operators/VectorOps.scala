@@ -253,12 +253,46 @@ object VectorOps {
       .groupBy(col("sig")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("sig"))
 
+  /** ann6: int8 scalar-quantized cosine top-k — the standard 4×
+    * memory-compression step of a large-scale embedding store: each
+    * vector is quantized to integers in [-127, 127] with a per-vector
+    * scale (max-abs), and search ranks by the cosine of the QUANTIZED
+    * vectors. Quantization uses floor(x·127/s + 0.5) — identical IEEE
+    * ops in both engines, no round-half rule in sight — so the whole
+    * query has an exact oracle. Plan shape mirrors ann1 (documented
+    * exact scan over the compressed column; broadcast 2% query side);
+    * the candidate-bounded paths remain ann3/ann5/dd8 — quantization
+    * composes with any of them, it changes bytes-per-vector, not the
+    * plan. */
+  def ann6ScalarQuantTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val quant = graft.spark.DfCache.memo(s, s"$dir#sq8") {
+      val sc = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12))
+      embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("q",
+          transform(col("v"), x => floor(x * 127.0 / sc + 0.5).cast("double")))
+        .select(col("vec_id"), col("q"))
+    }
+    val queries = quant.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val sim = round(cosine(col("q_q"), col("q")), 9)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    quant.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann1_cosine_topk" -> (ann1CosineTopK _),
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
     "ann4_hyperplane_lsh" -> (ann4HyperplaneLsh _),
     "ann5_ivf_scaled" -> ((s: SparkSession, dir: String) => ann5IvfScaled(s, dir)),
+    "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
       lshCandidatePairs(s, dir))
@@ -365,6 +399,27 @@ object VectorOps {
           SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
           ORDER BY 1, 2"""
     },
+    "ann6_sq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q8 AS (
+           SELECT vec_id,
+             list_transform(v, x -> floor(x * 127.0 /
+               greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS q
+           FROM emb),
+         qs AS (SELECT vec_id AS q_id, q AS q_q FROM q8 WHERE vec_id % 50 = 0),
+         sims AS (
+           SELECT qs.q_id, e.vec_id AS n_id,
+             round(list_dot_product(qs.q_q, e.q) /
+               (sqrt(list_dot_product(qs.q_q, qs.q_q)) *
+                sqrt(list_dot_product(e.q, e.q))), 9) AS sim
+           FROM qs, q8 e WHERE e.vec_id <> qs.q_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
     "ann5_ivf_scaled" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
