@@ -108,7 +108,22 @@ object ProgressiveQueries {
       .orderBy(col("s_id"), col("t_id"))
   }
 
+  /** pr10: the early-stopping EXECUTION path through the hash gate —
+    * precisionLevel 0 disables the stop rule, so the verified set is
+    * exactly the candidate set and the (s_id, t_id, qualifies)
+    * projection is deterministic even though batch boundaries and
+    * verify order are partition-dependent. Like sp13 for the typed
+    * GIAnt, this checks the execution shape (narrow sort + sorted
+    * cogroup + per-partition entity lookup), not just the algebra. */
+  def pr10EarlyStopping(s: SparkSession, dir: String): DataFrame =
+    ProgressiveTyped.earlyStopping(partBoxes(s, dir), supplierBoxes(s, dir),
+      "w_js", relation = "contains", batchSize = 100,
+      precisionLevel = 0.0, maxViolations = 1)
+      .toDF().select(col("s_id"), col("t_id"), col("qualifies"))
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pr10_early_stopping" -> (pr10EarlyStopping _),
     "pr7_random_budget" -> (pr7RandomBudget _),
     "pr1_progressive_mbro" -> (pr1ProgressiveMbro _),
     "pr2_topk_per_target" -> (pr2TopKPerTarget _),
@@ -157,6 +172,10 @@ object ProgressiveQueries {
          FROM cand)"""
 
   val oracles: Map[String, String] = Map(
+    "pr10_early_stopping" ->
+      s"""$candCte
+         SELECT s_id, t_id, contains_q AS qualifies FROM weighted
+         ORDER BY 1, 2""",
     "pr7_random_budget" ->
       s"""$candCte,
          r AS (
