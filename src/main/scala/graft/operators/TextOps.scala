@@ -250,6 +250,32 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** ta7: 3-gram repetition ratio — the Gopher-style repetition signal
+    * (fraction of duplicated 3-grams) used to drop boilerplate and
+    * degenerate generations from training mixes. Per-row HOF
+    * arithmetic only (shingle transform + array_distinct), no explode,
+    * no shuffle beyond the final sort; the single int/int division is
+    * IEEE-identical across engines, so no rounding is needed. Docs
+    * with fewer than 3 tokens have no 3-grams → ratio 0. */
+  def ta7RepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val tk = tokens(col("text"))
+    // shinglesOf's sequence(0, n-3) runs BACKWARDS for n < 3 — guard
+    // short docs to an empty shingle list instead
+    val sh = barrier(when(size(tk) >= 3, shinglesOf(tk))
+      .otherwise(typedLit(Seq.empty[String])))
+    documents(s, dir)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        greatest(size(col("sh")), lit(0)).as("n_shingles"),
+        greatest(size(array_distinct(col("sh"))), lit(0)).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
   /** documents with a materialized token-array column (one split/row). */
   private def docTokens(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GeomFunctions.barrier
@@ -391,6 +417,7 @@ object TextOps {
     "dd10_contamination" -> (dd10Contamination _),
     "dd11_simhash_pairs" -> ((s: SparkSession, dir: String) =>
       dd11SimhashPairs(s, dir)),
+    "ta7_repetition_ratio" -> (ta7RepetitionRatio _),
     "ta4_bpe_tokens" -> (ta4BpeTokens _),
     "dd1_exact_dedup" -> (dd1ExactDedup _),
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
@@ -485,6 +512,24 @@ object TextOps {
          SELECT doc_id, lang, bucket FROM b
          WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
          ORDER BY doc_id""",
+    "ta7_repetition_ratio" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE CAST([] AS VARCHAR[]) END AS sh
+           FROM words)
+         SELECT doc_id, len(sh) AS n_shingles,
+           len(list_distinct(sh)) AS n_distinct,
+           CASE WHEN len(sh) > 0
+             THEN CAST(1 AS DOUBLE)
+               - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+         FROM sh ORDER BY doc_id""",
     "dd11_simhash_pairs" -> {
       val bits = (0 until 60).map { j =>
         s"(CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0" +

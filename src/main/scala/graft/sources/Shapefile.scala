@@ -68,12 +68,16 @@ object Shapefile {
   }
 
   /** Parse a whole .shp file: (recordNumber, geometry) per non-null
-    * record. */
+    * record. Corrupt input degrades, never throws: a malformed record
+    * skips that record, a truncated tail stops the scan, and a file
+    * too short for its header (or with the wrong magic) parses as
+    * empty — one bad file must not kill a ten-thousand-file corpus
+    * read (the per-file task in `SpatialIO.readShapefile`). */
   def parse(bytes: Array[Byte]): Seq[(Int, Geometry)] = {
-    require(bytes.length >= 100, "shapefile shorter than its header")
+    if (bytes.length < 100) return Seq.empty
     val buf = ByteBuffer.wrap(bytes)
     buf.order(ByteOrder.BIG_ENDIAN)
-    require(buf.getInt(0) == 9994, s"bad shapefile magic ${buf.getInt(0)}")
+    if (buf.getInt(0) != 9994) return Seq.empty
     val out = Seq.newBuilder[(Int, Geometry)]
     var pos = 100
     var ok = true

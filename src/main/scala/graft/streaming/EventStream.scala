@@ -44,6 +44,17 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming exactly-once event dedup — the ingestion-side guard an
+    * at-least-once delivery pipeline needs: duplicate `event_id`s
+    * arriving within the allowed lateness are dropped, and dedup state
+    * is PURGED once the watermark passes (dropDuplicatesWithinWatermark),
+    * so state is O(events per lateness window), never O(stream). A
+    * plain streaming dropDuplicates would retain every id forever. */
+  def dedupe(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Hourly per-type aggregation with a late-data watermark. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events

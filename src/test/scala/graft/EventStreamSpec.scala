@@ -171,6 +171,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each event_id once within the watermark " +
+       "window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def m(minutes: Long): Long = (minutes + 1440) * 60L * 1000000L
+    val mem = MemoryStream[(Long, Long)] // (event_id, us)
+    val events = mem.toDF().toDF("event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = graft.streaming.EventStream.dedupe(events)
+      .select("event_id").writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    def ids(): Seq[Long] =
+      spark.table("dedup_test").collect().map(_.getLong(0)).toSeq
+    try {
+      // same-batch duplicate + distinct ids
+      mem.addData((1L, m(10)), (1L, m(10)), (2L, m(11)))
+      q.processAllAvailable()
+      assert(ids().sorted === Seq(1L, 2L))
+      // cross-batch duplicate within the watermark: dropped
+      mem.addData((1L, m(12)), (3L, m(13)))
+      q.processAllAvailable()
+      assert(ids().sorted === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")

@@ -258,6 +258,28 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(ids === Set("same#corpus.shp#1", "same#corpus.shp#2", "only"))
   }
 
+  test("shapefile parser never throws on corrupt bytes — bad records " +
+       "are skipped, bad files yield empty") {
+    val rnd = new scala.util.Random(1234)
+    // truncations and bit-flips of a valid file, plus pure noise
+    val shell = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val valid = shpFile(
+      shpRecord(1, pointContent(1, 3.0, 4.0)),
+      shpRecord(2, partsContent(5, Seq(shell))))
+    val cases: Seq[Array[Byte]] =
+      (0 until 30).map(_ => valid.take(rnd.nextInt(valid.length))) ++
+      (0 until 30).map { _ =>
+        val b = valid.clone()
+        (0 until 8).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        b
+      } ++
+      (0 until 20).map(_ => Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+    cases.zipWithIndex.foreach { case (bytes, i) =>
+      val parsed = graft.sources.Shapefile.parse(bytes) // must not throw
+      parsed.foreach { case (_, g) => assert(g != null, s"case $i") }
+    }
+  }
+
   test("an empty polygon part (degenerate part offsets) drops only that " +
        "ring, not the whole record") {
     // two parts sharing the same offset -> first part is empty
