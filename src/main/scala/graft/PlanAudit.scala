@@ -30,6 +30,10 @@ object PlanAudit {
   private val allowedUnbounded =
     Set("dd7_embedding_dups", "ann1_cosine_topk", "ann3_ivf_topk",
         "ann6_sq_topk",
+        // ann7: the ADC join keys on the 8 PQ subspaces — the
+        // codebook-lookup analogue of ann3's cell join; storage (8
+        // code bytes/vector) is where PQ wins, not candidate pruning
+        "ann7_pq_topk",
         "ann5_ivf_scaled")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {

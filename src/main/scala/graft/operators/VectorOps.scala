@@ -21,6 +21,11 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.arr_cosine(a, b)
 
+  /** Raw dot product via codegen'd HOFs — deterministic left-to-right
+    * accumulation, matching DuckDB's `list_dot_product` order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
   /** ann1: exact top-5 neighbours (cosine) for every 50th vector.
     * Query side is tiny → broadcast; candidate side streams. Ranking
     * uses the similarity rounded to 9 decimals so order is stable
@@ -286,7 +291,69 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ann7: product-quantized ANN (PQ + ADC) — the third leg of the
+    * modern embedding-store stack next to IVF (ann5) and scalar
+    * quantization (ann6): 64 dims split into 8 subspaces of 8; each
+    * subspace gets a 16-codeword codebook (deterministic seeds =
+    * subvectors of vec_id < 16, one Lloyd step — the ann5 training
+    * recipe per subspace, so the whole pipeline keeps an exact
+    * oracle); a vector is stored as 8 one-byte codes (32× compression
+    * with a shared 128-codeword codebook). Search is asymmetric
+    * distance computation: approx dot(q, v) = Σ_m dot(q_m,
+    * codeword[m, code_v[m]]) — ranked entirely from codebook lookups,
+    * never touching raw vectors. Partial dots are summed in subspace
+    * order via a sorted collect (bit-identical across engines, no
+    * float reassociation). */
+  def ann7PqTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val sub = graft.spark.DfCache.memo(s, s"$dir#pqsub") {
+      embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), posexplode(array((0 until 8).map(m =>
+          slice(col("v"), m * 8 + 1, 8)): _*)))
+        .select(col("vec_id"), col("pos").as("m"), col("col").as("s"))
+    }
+    def l2(x: Column, c: Column): Column =
+      round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 9)
+    def nearest(cands: DataFrame): DataFrame =
+      sub.join(broadcast(cands), "m")
+        .withColumn("d", l2(col("s"), col("c")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d").asc, col("code").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("m"), col("code"))
+    val seeds = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("code"), col("s").as("c"))
+    val cw = graft.spark.DfCache.memo(s, s"$dir#pqcw") {
+      nearest(seeds).join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("s")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("ps"))
+        .select(col("m"), col("code"),
+          transform(col("ps"), p => round(p("mu"), 9)).as("c"))
+    }
+    val qsub = sub.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
+    val encoded = nearest(cw).join(broadcast(cw), Seq("m", "code"))
+      .select(col("m"), col("vec_id").as("n_id"), col("c"))
+    qsub.join(encoded, "m")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("pd", round(dot(col("qs"), col("c")), 9))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("pd")))).as("pds"))
+      .withColumn("sim", round(aggregate(
+        transform(col("pds"), p => p("pd")), lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann7_pq_topk" -> ((s: SparkSession, dir: String) => ann7PqTopK(s, dir)),
     "ann1_cosine_topk" -> (ann1CosineTopK _),
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
@@ -399,6 +466,54 @@ object VectorOps {
           SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
           ORDER BY 1, 2"""
     },
+    "ann7_pq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sub AS (
+           SELECT vec_id, mm.m, v[mm.m*8+1 : mm.m*8+8] AS s
+           FROM emb, (SELECT unnest(range(0, 8)) AS m) mm),
+         seeds AS (SELECT m, vec_id AS code, s AS c FROM sub WHERE vec_id < 16),
+         a0 AS (
+           SELECT sub.vec_id, sub.m, seeds.code,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+               round(list_dot_product(sub.s, sub.s)
+                 - 2*list_dot_product(sub.s, seeds.c)
+                 + list_dot_product(seeds.c, seeds.c), 9) ASC,
+               seeds.code ASC) AS rk
+           FROM sub JOIN seeds ON sub.m = seeds.m),
+         members AS (SELECT vec_id, m, code FROM a0 WHERE rk = 1),
+         cw AS (
+           SELECT m, code, list(round(mu, 9) ORDER BY dim) AS c FROM (
+             SELECT mem.m, mem.code, d.dim, avg(s.s[d.dim + 1]) AS mu
+             FROM members mem
+             JOIN sub s ON s.vec_id = mem.vec_id AND s.m = mem.m,
+                  (SELECT unnest(range(0, 8)) AS dim) d
+             GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         codes AS (
+           SELECT vec_id, m, code FROM (
+             SELECT sub.vec_id, sub.m, cw.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                 round(list_dot_product(sub.s, sub.s)
+                   - 2*list_dot_product(sub.s, cw.c)
+                   + list_dot_product(cw.c, cw.c), 9) ASC,
+                 cw.code ASC) AS rk
+             FROM sub JOIN cw ON sub.m = cw.m) WHERE rk = 1),
+         qsub AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id % 50 = 0),
+         partial AS (
+           SELECT q.q_id, c.vec_id AS n_id, q.m,
+             round(list_dot_product(q.qs, cw.c), 9) AS pd
+           FROM qsub q
+           JOIN codes c ON q.m = c.m
+           JOIN cw ON cw.m = c.m AND cw.code = c.code),
+         adc AS (
+           SELECT q_id, n_id, round(list_sum(list(pd ORDER BY m)), 6) AS sim
+           FROM partial WHERE q_id <> n_id GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM adc)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
     "ann6_sq_topk" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
