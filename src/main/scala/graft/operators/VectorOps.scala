@@ -336,8 +336,12 @@ object VectorOps {
     }
     val qsub = sub.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
-    val encoded = nearest(cw).join(broadcast(cw), Seq("m", "code"))
-      .select(col("m"), col("vec_id").as("n_id"), col("c"))
+    // the encode pass is the system's stored PQ-codes table — built
+    // once per corpus, queried many times
+    val encoded = graft.spark.DfCache.memo(s, s"$dir#pqcodes") {
+      nearest(cw).join(broadcast(cw), Seq("m", "code"))
+        .select(col("m"), col("vec_id").as("n_id"), col("c"))
+    }
     qsub.join(encoded, "m")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("pd", round(dot(col("qs"), col("c")), 9))
