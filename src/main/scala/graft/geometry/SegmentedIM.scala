@@ -120,11 +120,13 @@ object SegmentedIM {
   /** The reference's RANK-ordered EARLY-EXIT accumulation (J8,
     * `model/entities/segmented/IndexedDecomposedEntity.scala:36-96` +
     * `utils/geometryUtils/EnvelopeOp.scala:14-30`), FLAG-GATED and
-    * default-off: relate co-tiled segment pairs in envelope-rank order
-    * (shared-extent RANK1 first, then partial-overlap RANK2,
+    * default-off: relate neighbourhood segment pairs in envelope-rank
+    * order (shared-extent RANK1 first, then partial-overlap RANK2,
     * containment RANK3; disjoint RANK0 never verified), union the
-    * intersecting matrices, and stop as soon as the
-    * equals/crosses/overlaps decision is made.
+    * intersecting matrices, and stop once the intersects decision is
+    * made (the reference's literal stop rule — isEquals &&
+    * (isCrosses || isOverlaps) — is unsatisfiable for areal operands,
+    * so deciding intersects is the semantically honest exit).
     *
     * NOT the default because partial accumulation can under-set
     * exterior/boundary entries (segment cut edges are real boundaries
@@ -139,9 +141,39 @@ object SegmentedIM {
     if (a.getDimension != 2 || b.getDimension != 2) return a.relate(b)
     if (!a.getEnvelopeInternal.intersects(b.getEnvelopeInternal))
       return new IntersectionMatrix("FF2FF1212")
-    val byTileB = segsBIn.groupBy { case (x, y, _) => (x, y) }
-    val pairs = segsAIn.flatMap { case (x, y, ga) =>
-      byTileB.getOrElse((x, y), Nil).map { case (_, _, gb) => (ga, gb) }
+    // Pair segments within a Chebyshev-distance-1 tile neighbourhood —
+    // same screen as [[im]]. Exact-tile-only pairing would miss two
+    // polygons touching exactly ON a θ-grid line: each side's
+    // degenerate clip is dropped in the neighbouring column, so their
+    // segments never share a tile even though the bodies touch.
+    val segsA = segsAIn.toIndexedSeq
+    val segsB = segsBIn.toIndexedSeq
+    val byTileB = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    segsB.zipWithIndex.foreach { case ((x, y, _), i) =>
+      val k = (x << 32) | (y & 0xFFFFFFFFL)
+      var l = byTileB.get(k)
+      if (l == null) { l = new java.util.ArrayList[Int](); byTileB.put(k, l) }
+      l.add(i)
+    }
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Geometry, Geometry)]
+    segsA.foreach { case (x, y, ga) =>
+      val seen = new java.util.HashSet[Int]()
+      var dx = -1L
+      while (dx <= 1) {
+        var dy = -1L
+        while (dy <= 1) {
+          val l = byTileB.get(((x + dx) << 32) | ((y + dy) & 0xFFFFFFFFL))
+          if (l != null) {
+            val it = l.iterator()
+            while (it.hasNext) {
+              val i = it.next()
+              if (seen.add(i)) pairs += ((ga, segsB(i)._3))
+            }
+          }
+          dy += 1
+        }
+        dx += 1
+      }
     }
     if (pairs.isEmpty) return new IntersectionMatrix("FF2FF1212")
     // EnvelopeOp.getIntersectingEnvelopesType, mapped to sort keys
@@ -164,9 +196,17 @@ object SegmentedIM {
       if (r == 3) done = true // sorted: every remaining pair is RANK0
       else {
         val m = g1.relate(g2)
-        if (m.isIntersects) im.add(m)
-        if (im.isEquals(d1, d2) &&
-            (im.isCrosses(d1, d2) || im.isOverlaps(d1, d2))) done = true
+        if (m.isIntersects) {
+          im.add(m)
+          // The intersects DECISION — this variant's whole contract —
+          // is now made; stop. (The reference's own stop rule,
+          // isEquals && (isCrosses || isOverlaps), is unsatisfiable
+          // for areal operands: JTS isCrosses(2,2) is always false
+          // and isEquals contradicts isOverlaps — upstream's exit
+          // never fires on polygon pairs. Since only isIntersects is
+          // contractual here, deciding it IS the exit.)
+          done = true
+        }
       }
     }
     im

@@ -247,8 +247,13 @@ object ProgressiveTyped {
     val theta = SpatialJoin.computeTheta(src)
     val spark = src.sparkSession
     import spark.implicits._
-    val ws = weights.take(3).zip(Seq("w", "w2", "w3"))
-      .map { case (c, n) => col(c).cast("double").as(n) }
+    // pad to three weight columns — NarrowCand requires w/w2/w3, and a
+    // non-default main weight (w_cf / w_mbro) leaves only two in `rest`
+    val ws = (weights.take(3) ++ Seq.fill(3 - math.min(3, weights.length))(""))
+      .zip(Seq("w", "w2", "w3"))
+      .map { case (c, n) =>
+        (if (c.isEmpty) lit(0.0) else col(c).cast("double")).as(n)
+      }
     // Phase 1 — narrow rank assignment: sort ids+weights within each
     // candidate partition, tag with (pid, rank), pin with an eager
     // checkpoint (two DAG branches below must see the same ranks).

@@ -42,12 +42,13 @@ object TextOps {
     * whitespace), fingerprint = md5 of the first 64 normalized chars;
     * groups with more than one member are near-duplicate clusters.
     *
-    * The normalization runs over a BOUNDED 512-char raw prefix, not the
-    * whole document: at corpus scale a full-text regex pass to produce a
-    * 64-char fingerprint reads every byte for nothing. 512 raw chars
-    * always collapse to >= 64 normalized chars unless the prefix is
-    * mostly whitespace, in which case both forms agree anyway (the
-    * oracle applies the identical bounded expression). */
+    * The fingerprint is DEFINED over a bounded 512-char raw prefix, not
+    * the whole document: at corpus scale a full-text regex pass to
+    * produce a 64-char fingerprint reads every byte for nothing. The
+    * trade-off is explicit — a prefix that collapses below 64 chars
+    * (pathological whitespace runs) fingerprints on less context than
+    * a full normalize would, which is accepted as part of the
+    * definition; the oracle applies the identical bounded expression. */
   def dd2FingerprintDedup(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
     documents(s, dir)
@@ -231,16 +232,8 @@ object TextOps {
       }.reduce(_ + _)
       votes.select(col("doc_id"), sig.as("simhash"))
     }
-    val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bsig"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = Banding.candidates(sigs, "doc_id", "simhash",
+      bands = 4, bitsPerBand = 15)
     cand
       .join(sigs.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")), "id_b")

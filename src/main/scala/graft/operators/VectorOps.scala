@@ -225,22 +225,12 @@ object VectorOps {
   def lshCandidatePairs(s: SparkSession, dir: String, planes: Int = 8,
                         bands: Int = 4, minSim: Double = 0.45): DataFrame = {
     val rpb = planes / bands // planes (bits) per band
-    val mask = (1L << rpb) - 1
     // both join arms read the signatures — session-cached so the
     // quantize + plane dot products run once, not once per arm
     val bucketed = graft.spark.DfCache.memo(s, s"$dir#hyperplane$planes") {
       hyperplaneBuckets(s, dir, planes)
     }
-    val banded = bucketed.select(col("vec_id"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * rpb).bitwiseAND(lit(mask))): _*)))
-      .select(col("vec_id"), col("pos").as("band"), col("col").as("bsig"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
+    val cand = Banding.candidates(bucketed, "vec_id", "sig", bands, rpb)
     val va = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val vb = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"))
     cand.join(va, "id_a").join(vb, "id_b")
@@ -271,11 +261,15 @@ object VectorOps {
     * plan. */
   def ann6ScalarQuantTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val quant = graft.spark.DfCache.memo(s, s"$dir#sq8") {
-      val sc = greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12))
+      // hoist the max-abs scale into its own column: inlining it in
+      // the element lambda would re-scan the whole array per element
+      // (O(d^2) per vector on the hot quantization path)
       embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("sc",
+          greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-12)))
         .withColumn("q",
-          transform(col("v"), x => floor(x * 127.0 / sc + 0.5).cast("double")))
+          transform(col("v"), x => floor(x * 127.0 / col("sc") + 0.5).cast("double")))
         .select(col("vec_id"), col("q"))
     }
     val queries = quant.filter(col("vec_id") % 50 === 0)

@@ -39,14 +39,24 @@ object Jitter {
         case _ => new Coordinate(c.x * shift, c.y * shift)
       }
     }
-    g.getGeometryType match {
-      case Geometry.TYPENAME_POINT => gf.createPoint(coords(g.getCoordinates).head)
-      case Geometry.TYPENAME_LINESTRING => gf.createLineString(coords(g.getCoordinates))
-      case Geometry.TYPENAME_POLYGON =>
-        // close the ring explicitly: per-coordinate jitter would tear
-        // the shell (first/last must stay equal for a valid ring)
-        val cs = coords(g.getCoordinates.dropRight(1))
-        gf.createPolygon(cs :+ cs.head.copy())
+    // close each ring explicitly: per-coordinate jitter would tear it
+    // (first/last must stay equal for a valid ring)
+    def ring(r: org.locationtech.jts.geom.LinearRing): org.locationtech.jts.geom.LinearRing = {
+      val cs = coords(r.getCoordinates.dropRight(1))
+      gf.createLinearRing(cs :+ cs.head.copy())
+    }
+    g match {
+      case p: org.locationtech.jts.geom.Point =>
+        gf.createPoint(coords(p.getCoordinates).head)
+      case l: org.locationtech.jts.geom.LineString
+          if l.getGeometryType == Geometry.TYPENAME_LINESTRING =>
+        gf.createLineString(coords(l.getCoordinates))
+      case p: org.locationtech.jts.geom.Polygon =>
+        // shell and holes jitter as separate rings — getCoordinates
+        // concatenates them, and rebuilding that as one ring would
+        // destroy the holes and self-intersect
+        gf.createPolygon(ring(p.getExteriorRing),
+          Array.tabulate(p.getNumInteriorRing)(i => ring(p.getInteriorRingN(i))))
       case _ if g.getNumGeometries > 1 || g.getGeometryType.startsWith("Multi") =>
         gf.buildGeometry(java.util.Arrays.asList(
           (0 until g.getNumGeometries).map(i => transform(g.getGeometryN(i), rng)): _*))

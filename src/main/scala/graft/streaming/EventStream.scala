@@ -115,12 +115,11 @@ object EventStream {
                   open = Some(OpenSession(e.us, o.last, o.n + 1))
               }
               else stray match {
+                // (this arm has o.start - e.us > gap, so a grown chain
+                // ending at e.us can never reach the open session —
+                // chain-into-open merges happen in the branch above)
                 case Some(st) if e.us - st.last <= gapUs =>
-                  val grown = OpenSession(st.start, e.us, st.n + 1)
-                  if (o.start - grown.last <= gapUs) {
-                    open = Some(OpenSession(grown.start, o.last, o.n + grown.n))
-                    stray = None
-                  } else stray = Some(grown)
+                  stray = Some(OpenSession(st.start, e.us, st.n + 1))
                 case Some(st) =>
                   out += UserSession(user, st.start, st.last, st.n)
                   stray = Some(OpenSession(e.us, e.us, 1))

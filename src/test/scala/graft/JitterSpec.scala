@@ -40,6 +40,20 @@ class JitterSpec extends AnyFunSuite {
     assert(a.map(_._2) !== c.map(_._2), "different seed must perturb differently")
   }
 
+  test("polygons with holes keep their holes (shell and interior rings " +
+       "jitter as separate rings)") {
+    val holed = Seq(("h1",
+      "POLYGON((0 0, 100 0, 100 100, 0 100, 0 0), (40 40, 60 40, 60 60, 40 60, 40 40))"))
+    val out = Jitter.jitteredCopies(entitiesDf(holed), times = 3)
+      .collect().map(_.getString(1))
+    val rd = new org.locationtech.jts.io.WKTReader()
+    out.foreach { wkt =>
+      val g = rd.read(wkt).asInstanceOf[org.locationtech.jts.geom.Polygon]
+      assert(g.getNumInteriorRing === 1, "hole must survive the jitter")
+      assert(g.getExteriorRing.getNumPoints === 5)
+    }
+  }
+
   test("jittered geometries keep their type, move, and feed back " +
        "through the entity loader") {
     val rd = new org.locationtech.jts.io.WKTReader()

@@ -158,6 +158,15 @@ class ProgressiveTypedSpec extends AnyFunSuite {
       "THIN_MULTI_COMPOSITE (w_js, w_cf, w_mbro)")
   }
 
+  test("early stopping accepts a non-default main weight (two remaining " +
+       "lexicographic levels pad to three)") {
+    val got = ProgressiveTyped.earlyStopping(
+      entitiesDf(source), entitiesDf(target), "w_cf",
+      relation = "intersects", batchSize = 10,
+      precisionLevel = 0.0, maxViolations = 1).collect()
+    assert(got.length === allCandidatePairs().size)
+  }
+
   test("early stopping verifies everything when precision level is zero") {
     val got = ProgressiveTyped.earlyStopping(
       entitiesDf(source), entitiesDf(target), "w_js",

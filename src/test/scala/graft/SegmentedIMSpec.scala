@@ -102,6 +102,20 @@ class SegmentedIMSpec extends AnyFunSuite {
     assert(exits > 0, "early-exit path never diverged — corpus too easy")
   }
 
+  test("RANK early-exit finds polygons touching exactly ON a θ-grid " +
+       "line (adjacency pairing, not exact-tile)") {
+    import graft.geometry.Decompose.gridSegments
+    // boundary at x = 12 with θ = 4: exactly a grid multiple, so each
+    // side's segments live in different tile columns
+    val left = rd.read("POLYGON((0 0, 12 0, 12 9, 0 9, 0 0))")
+    val right = rd.read("POLYGON((12 0, 24 0, 24 9, 12 9, 12 0))")
+    val theta = 4.0
+    val got = SegmentedIM.imEarlyExit(left, right,
+      gridSegments(left, theta, theta), gridSegments(right, theta, theta))
+    assert(got.isIntersects === left.relate(right).isIntersects)
+    assert(got.isIntersects, "touching polygons must be intersecting")
+  }
+
   test("segmented IM on canonical containment and touch cases") {
     val outer = rd.read("POLYGON((0 0, 100 0, 100 100, 0 100, 0 0))")
     val inner = rd.read("POLYGON((40 40, 60 40, 60 60, 40 60, 40 40))")
