@@ -34,6 +34,9 @@ object PlanAudit {
         // codebook-lookup analogue of ann3's cell join; storage (8
         // code bytes/vector) is where PQ wins, not candidate pruning
         "ann7_pq_topk",
+        // ann8 composes ann5's centroid-broadcast assignment with
+        // ann7's codebook lookups — same whitelisted shapes
+        "ann8_ivfpq_topk",
         "ann5_ivf_scaled")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {

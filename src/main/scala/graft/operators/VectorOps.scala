@@ -109,26 +109,30 @@ object VectorOps {
     * row_number over rounded cosine → avg per cell → reassign →
     * probe); the exactness property (nprobe = k recovers brute force)
     * is additionally spec-verified. */
-  def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
-                    nprobe: Int = 4): DataFrame = {
-    val emb = embeddings(s, dir)
+  private def embVectors(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .withColumn("csim", round(cosine(col("v"), col("c_v")), 9))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("cell"))
-    // memoized training: seeds -> one Lloyd step; tiny result reused by
-    // the assignment and probe arms of the DAG
-    val trained = graft.spark.DfCache.memo(s, s"$dir#ann5cents") {
+
+  /** Argmin cell assignment against a broadcast centroid table. */
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("v"), col("c_v")), 9))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+
+  /** The ann5 IVF codebook: sqrt(n) deterministic seeds + one Lloyd
+    * step, session-memoized (shared by ann5 and the ann8 composition). */
+  private def ivfTrained(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ann5cents") {
+      val emb = embVectors(s, dir)
       val n = emb.count()
       val nc = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
       val step = math.max(1L, n / nc)
       val seeds = emb.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("cell"), col("v").as("c_v"))
-      assign(seeds)
+      ivfAssign(emb, seeds)
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -136,8 +140,11 @@ object VectorOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cell"), transform(col("pairs"), p => round(p("m"), 9)).as("c_v"))
     }
-    val assigned = assign(trained)
-    val probed = emb.filter(col("vec_id") % 50 === 0)
+
+  /** Top-nprobe cells per query vector (every 50th vec_id). */
+  private def ivfProbe(emb: DataFrame, trained: DataFrame,
+                       nprobe: Int): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .crossJoin(broadcast(trained))
       .withColumn("csim", round(cosine(col("q_v"), col("c_v")), 9))
@@ -145,6 +152,13 @@ object VectorOps {
         Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("q_v"), col("cell"))
+
+  def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
+                    nprobe: Int = 4): DataFrame = {
+    val emb = embVectors(s, dir)
+    val trained = ivfTrained(s, dir)
+    val assigned = ivfAssign(emb, trained)
+    val probed = ivfProbe(emb, trained, nprobe)
     probed
       .join(assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v")),
         "cell")
@@ -298,28 +312,38 @@ object VectorOps {
     * never touching raw vectors. Partial dots are summed in subspace
     * order via a sorted collect (bit-identical across engines, no
     * float reassociation). */
-  def ann7PqTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val sub = graft.spark.DfCache.memo(s, s"$dir#pqsub") {
-      embeddings(s, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  /** Subspace decomposition rows (vec_id, m, s): 64 dims → 8×8,
+    * session-memoized (shared by ann7 and the ann8 composition). */
+  private def pqSub(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#pqsub") {
+      embVectors(s, dir)
         .select(col("vec_id"), posexplode(array((0 until 8).map(m =>
           slice(col("v"), m * 8 + 1, 8)): _*)))
         .select(col("vec_id"), col("pos").as("m"), col("col").as("s"))
     }
-    def l2(x: Column, c: Column): Column =
-      round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 9)
-    def nearest(cands: DataFrame): DataFrame =
-      sub.join(broadcast(cands), "m")
-        .withColumn("d", l2(col("s"), col("c")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"), col("m"))
-            .orderBy(col("d").asc, col("code").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("m"), col("code"))
-    val seeds = sub.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").as("code"), col("s").as("c"))
-    val cw = graft.spark.DfCache.memo(s, s"$dir#pqcw") {
-      nearest(seeds).join(sub, Seq("vec_id", "m"))
+
+  private def pqL2(x: Column, c: Column): Column =
+    round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 9)
+
+  /** Nearest codeword per (vector, subspace) against a broadcast
+    * codebook frame (m, code, c). */
+  private def pqNearest(sub: DataFrame, cands: DataFrame): DataFrame =
+    sub.join(broadcast(cands), "m")
+      .withColumn("d", pqL2(col("s"), col("c")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("d").asc, col("code").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("code"))
+
+  /** The per-subspace 16-codeword codebooks (deterministic seeds + one
+    * Lloyd step), session-memoized. */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#pqcw") {
+      val sub = pqSub(s, dir)
+      val seeds = sub.filter(col("vec_id") < 16)
+        .select(col("m"), col("vec_id").as("code"), col("s").as("c"))
+      pqNearest(sub, seeds).join(sub, Seq("vec_id", "m"))
         .select(col("m"), col("code"), posexplode(col("s")))
         .groupBy(col("m"), col("code"), col("pos"))
         .agg(avg(col("col")).as("mu"))
@@ -328,16 +352,21 @@ object VectorOps {
         .select(col("m"), col("code"),
           transform(col("ps"), p => round(p("mu"), 9)).as("c"))
     }
-    val qsub = sub.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
-    // the encode pass is the system's stored PQ-codes table — built
-    // once per corpus, queried many times
-    val encoded = graft.spark.DfCache.memo(s, s"$dir#pqcodes") {
-      nearest(cw).join(broadcast(cw), Seq("m", "code"))
+
+  /** The stored PQ-codes table joined back to its codewords
+    * (m, n_id, c) — built once per corpus, queried many times. */
+  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#pqcodes") {
+      val cw = pqCodebook(s, dir)
+      pqNearest(pqSub(s, dir), cw).join(broadcast(cw), Seq("m", "code"))
         .select(col("m"), col("vec_id").as("n_id"), col("c"))
     }
-    qsub.join(encoded, "m")
-      .filter(col("q_id") =!= col("n_id"))
+
+  /** ADC ranking of (q_id, n_id) pairs: per-subspace partial dots of
+    * the query subvectors against the neighbour's codewords, summed in
+    * subspace order via sorted collect (bit-deterministic). */
+  private def pqAdcRank(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .withColumn("pd", round(dot(col("qs"), col("c")), 9))
       .groupBy(col("q_id"), col("n_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("pd")))).as("pds"))
@@ -348,10 +377,42 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+
+  def ann7PqTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val qsub = pqSub(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
+    pqAdcRank(
+      qsub.join(pqEncoded(s, dir), "m")
+        .filter(col("q_id") =!= col("n_id")), k)
+  }
+
+  /** ann8: IVF + PQ — the COMPLETE modern ANN index, composing ann5's
+    * candidate bounding with ann7's compression: the IVF probe keeps
+    * per-query work at nprobe × n/k candidates, and those candidates
+    * are ranked by asymmetric distance over their stored 8-byte PQ
+    * codes — the index never touches a raw vector after training. At
+    * 100 TB this is the only shape that holds: candidates bounded by
+    * the (growing-cardinality) cell key, bytes bounded by the
+    * codebook. Exact oracle by composition of the two proven
+    * pipelines. */
+  def ann8IvfPqTopK(s: SparkSession, dir: String, k: Int = 3,
+                    nprobe: Int = 4): DataFrame = {
+    val emb = embVectors(s, dir)
+    val trained = ivfTrained(s, dir)
+    val cands = ivfProbe(emb, trained, nprobe)
+      .join(ivfAssign(emb, trained).select(col("cell"), col("vec_id").as("n_id")),
+        "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val qsub = pqSub(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
+    pqAdcRank(
+      cands.join(qsub, "q_id").join(pqEncoded(s, dir), Seq("m", "n_id")), k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann7_pq_topk" -> ((s: SparkSession, dir: String) => ann7PqTopK(s, dir)),
+    "ann8_ivfpq_topk" -> ((s: SparkSession, dir: String) => ann8IvfPqTopK(s, dir)),
     "ann1_cosine_topk" -> (ann1CosineTopK _),
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
@@ -464,6 +525,103 @@ object VectorOps {
           SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
           ORDER BY 1, 2"""
     },
+    "ann8_ivfpq_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
+         cent AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
+         cvec AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
+         asgn AS (
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
+         probe AS (
+           SELECT e.vec_id AS q_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
+         probed AS (SELECT q_id, cell FROM probe WHERE crk <= 4),
+         cands AS (
+           SELECT p.q_id, m.vec_id AS n_id
+           FROM probed p JOIN cells m
+             ON p.cell = m.cell AND m.vec_id <> p.q_id),
+         sub AS (
+           SELECT vec_id, mm.m, v[mm.m*8+1 : mm.m*8+8] AS s
+           FROM emb, (SELECT unnest(range(0, 8)) AS m) mm),
+         pqseeds AS (SELECT m, vec_id AS code, s AS c FROM sub WHERE vec_id < 16),
+         pqa0 AS (
+           SELECT sub.vec_id, sub.m, pqseeds.code,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+               round(list_dot_product(sub.s, sub.s)
+                 - 2*list_dot_product(sub.s, pqseeds.c)
+                 + list_dot_product(pqseeds.c, pqseeds.c), 9) ASC,
+               pqseeds.code ASC) AS rk
+           FROM sub JOIN pqseeds ON sub.m = pqseeds.m),
+         pqmem AS (SELECT vec_id, m, code FROM pqa0 WHERE rk = 1),
+         cw AS (
+           SELECT m, code, list(round(mu, 9) ORDER BY dim) AS c FROM (
+             SELECT mem.m, mem.code, d.dim, avg(s.s[d.dim + 1]) AS mu
+             FROM pqmem mem
+             JOIN sub s ON s.vec_id = mem.vec_id AND s.m = mem.m,
+                  (SELECT unnest(range(0, 8)) AS dim) d
+             GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         codes AS (
+           SELECT vec_id, m, code FROM (
+             SELECT sub.vec_id, sub.m, cw.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                 round(list_dot_product(sub.s, sub.s)
+                   - 2*list_dot_product(sub.s, cw.c)
+                   + list_dot_product(cw.c, cw.c), 9) ASC,
+                 cw.code ASC) AS rk
+             FROM sub JOIN cw ON sub.m = cw.m) WHERE rk = 1),
+         qsub AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id % 50 = 0),
+         partial AS (
+           SELECT ca.q_id, ca.n_id, q.m,
+             round(list_dot_product(q.qs, cw.c), 9) AS pd
+           FROM cands ca
+           JOIN qsub q ON q.q_id = ca.q_id
+           JOIN codes co ON co.vec_id = ca.n_id AND co.m = q.m
+           JOIN cw ON cw.m = co.m AND cw.code = co.code),
+         adc AS (
+           SELECT q_id, n_id, round(list_sum(list(pd ORDER BY m)), 6) AS sim
+           FROM partial GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM adc)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
     "ann7_pq_topk" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
