@@ -51,10 +51,13 @@ object SpatialIO {
                      "<http://strdf.di.uoa.gr/ontology#hasGeometry>"): DataFrame = {
     val lines = spark.read.text(path)
     val parts = split(col("value"), " ", 3)
+    // get() (not getItem): a malformed line with fewer than three
+    // tokens must yield NULLs the predicate filter drops, not an ANSI
+    // INVALID_ARRAY_INDEX error that kills the whole read
     val triple = lines.select(
-      parts.getItem(0).as("s"),
-      parts.getItem(1).as("p"),
-      parts.getItem(2).as("o"))
+      get(parts, lit(0)).as("s"),
+      get(parts, lit(1)).as("p"),
+      get(parts, lit(2)).as("o"))
       .filter(col("p") === geometryPredicate)
     val wkt = regexp_replace(
       regexp_replace(col("o"), "\\^\\^.*$|\\s*\\.\\s*$", ""), "^\"|\"$", "")

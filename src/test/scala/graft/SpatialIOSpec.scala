@@ -258,6 +258,32 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(ids === Set("same#corpus.shp#1", "same#corpus.shp#2", "only"))
   }
 
+  test("delimited-WKT / N-Triples / GeoJSON readers never throw on " +
+       "corrupt input — bad rows drop, valid rows survive") {
+    val rnd = new scala.util.Random(77)
+    def garbage(n: Int): String =
+      (0 until n).map(_ => (rnd.nextInt(94) + 32).toChar).mkString
+    val dir = Files.createTempDirectory("fuzzsrc")
+    Files.writeString(dir.resolve("bad.csv"),
+      Seq("id1,POINT(1 2)", "id2", "id3,\"POLYGON((0 0, 1 0\"", garbage(60),
+          "id4,POINT(3 4)", ",,,,", "\"" + garbage(20)).mkString("\n"))
+    val wktIds = SpatialIO.readDelimitedWkt(
+        spark, dir.resolve("bad.csv").toString, 0, 1)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(wktIds.contains("id1") && wktIds.contains("id4"))
+    assert(!wktIds.contains("id2") && !wktIds.contains("id3"))
+    Files.writeString(dir.resolve("bad.nt"),
+      Seq("<a> <http://strdf.di.uoa.gr/ontology#hasGeometry> \"POINT(1 1)\" .",
+          "<b> <http://strdf.di.uoa.gr/ontology#hasGeometry> \"JUNK\" .",
+          garbage(40), "<c> incomplete", "").mkString("\n"))
+    val ntIds = SpatialIO.readNTriples(spark, dir.resolve("bad.nt").toString)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(ntIds === Set("a"))
+    Files.writeString(dir.resolve("bad.json"), "{ not json " + garbage(30))
+    assert(SpatialIO.readGeoJson(
+      spark, dir.resolve("bad.json").toString, "name").count() === 0)
+  }
+
   test("shapefile parser never throws on corrupt bytes — bad records " +
        "are skipped, bad files yield empty") {
     val rnd = new scala.util.Random(1234)
