@@ -32,6 +32,11 @@ class ComponentsSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("self-edges-only graph converges in the first round (the fused " +
+       "convergence count sees zero changes immediately)") {
+    assert(cc(Seq((7L, 7L), (9L, 9L))) === Map(7L -> 7L, 9L -> 9L))
+  }
+
   test("two chains and a clique resolve to their minima") {
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 22L), (22L, 20L),
       (40L, 41L))

@@ -122,5 +122,31 @@ class ConfigRunnerSpec extends AnyFunSuite {
     }
     assert(qualByWf.head === batch)
     assert(qualByWf.forall(_ === batch))
+
+    // EARLY_STOPPING with a NON-default main weight through the config
+    // surface — regression for the missing-weight-column crash (CF
+    // leaves only two lexicographic levels; the select must pad to
+    // NarrowCand's three)
+    val esConf = ConfigRunner.jobConf(ConfigRunner.parseYaml(
+      s"""source:
+         |  path: $srcCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |target:
+         |  path: $tgtCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |relation: intersects
+         |configurations:
+         |  progressiveAlgorithm: EARLY_STOPPING
+         |  mainWF: CF
+         |""".stripMargin))
+    val esQual = ConfigRunner.run(spark, esConf)
+      .filter(org.apache.spark.sql.functions.col("qualifies"))
+      .select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(esQual.nonEmpty && esQual.subsetOf(batch))
   }
 }
