@@ -43,17 +43,26 @@ object Shapefile {
     val nRecords = buf.getInt(4)
     val headerSize = buf.getShort(8) & 0xFFFF
     val recordSize = buf.getShort(10) & 0xFFFF
+    // corrupt headers degrade to empty, like parse(): a zero record
+    // size with a huge record count would otherwise fabricate rows,
+    // and a header size past the file end would read out of bounds
+    if (recordSize <= 0) return Seq.empty
     // field descriptors
     var at = 32
     val fields = Seq.newBuilder[(String, Int)]
-    while (at + 32 <= headerSize && bytes(at) != 0x0D) {
+    while (at + 32 <= headerSize && at + 32 <= bytes.length &&
+           bytes(at) != 0x0D) {
       val nameBytes = bytes.slice(at, at + 11).takeWhile(_ != 0)
       val len = bytes(at + 16) & 0xFF
       fields += new String(nameBytes, "ASCII").trim -> len
       at += 32
     }
     val fs = fields.result()
-    (0 until nRecords).flatMap { r =>
+    // a corrupt record count must not drive the scan — bound it by how
+    // many fixed-width records the bytes can physically hold
+    val fit = math.max(0L, (bytes.length.toLong - headerSize) / recordSize)
+    val n = math.min(math.max(nRecords, 0).toLong, fit).toInt
+    (0 until n).flatMap { r =>
       val base = headerSize + r * recordSize
       if (base + recordSize > bytes.length) None
       else {

@@ -306,6 +306,22 @@ class SpatialIOSpec extends AnyFunSuite {
     }
   }
 
+  test(".dbf parser never throws on corrupt bytes") {
+    val rnd = new scala.util.Random(4321)
+    val valid = dbfFile(Seq(("NAME", 'C', 8)), Seq(Seq("alpha"), Seq("beta")))
+    val cases: Seq[Array[Byte]] =
+      (0 until 25).map(_ => valid.take(rnd.nextInt(valid.length))) ++
+      (0 until 25).map { _ =>
+        val b = valid.clone()
+        (0 until 6).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte)
+        b
+      } ++
+      (0 until 15).map(_ => Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte))
+    cases.foreach { bytes =>
+      graft.sources.Shapefile.parseDbf(bytes) // must not throw
+    }
+  }
+
   test("an empty polygon part (degenerate part offsets) drops only that " +
        "ring, not the whole record") {
     // two parts sharing the same offset -> first part is empty
