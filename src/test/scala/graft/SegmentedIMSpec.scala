@@ -75,6 +75,33 @@ class SegmentedIMSpec extends AnyFunSuite {
       s"theta=$theta")
   }
 
+  test("adaptive join with earlyExit=true agrees with the exact join " +
+       "on the intersects decision, pair for pair") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SpatialJoin
+    def entities(rows: Seq[(String, String)]) =
+      SpatialJoin.entities(rows.toDF("id", "wkt"), col("id"), col("wkt"))
+    val src = TestGeoms.corpus(seed = 71, n = 50, world = 60)
+    val tgt = TestGeoms.corpus(seed = 72, n = 40, world = 60)
+    def intersectsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("s_id", "t_id", "intersects").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val exact = intersectsOf(
+      SpatialJoin.de9imAdaptive(entities(src), entities(tgt), minPoints = 16))
+    val early = intersectsOf(
+      SpatialJoin.de9imAdaptive(entities(src), entities(tgt), minPoints = 16,
+        earlyExit = true))
+    assert(early.keySet === exact.keySet)
+    exact.foreach { case (pair, v) =>
+      assert(early(pair) === v, s"intersects mismatch for $pair")
+    }
+  }
+
   test("RANK early-exit form (flag-gated J8 variant) always agrees with " +
        "the exact union form on the intersects decision") {
     val big = (0 until 8).map(_ => star(50 + rnd.nextDouble() * 20,
