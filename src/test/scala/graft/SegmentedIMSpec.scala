@@ -143,6 +143,25 @@ class SegmentedIMSpec extends AnyFunSuite {
     assert(got.isIntersects, "touching polygons must be intersecting")
   }
 
+  test("segmented IM equals relate when operands have holes (real " +
+       "admin-region shapes, not just simple rings)") {
+    val donut = rd.read(
+      "POLYGON((0 0, 60 0, 60 60, 0 60, 0 0), (20 20, 40 20, 40 40, 20 40, 20 20))")
+    val inHole = rd.read("POLYGON((25 25, 35 25, 35 35, 25 35, 25 25))")
+    val spanning = rd.read("POLYGON((10 10, 50 10, 50 16, 10 16, 10 10))")
+    val onHoleEdge = rd.read("POLYGON((20 25, 30 25, 30 35, 20 35, 20 25))")
+    val outside = rd.read("POLYGON((70 70, 80 70, 80 80, 70 80, 70 70))")
+    val small = (0 until 12).map(_ => star(rnd.nextDouble() * 70,
+      rnd.nextDouble() * 70, 2 + rnd.nextDouble() * 8))
+    val others = Seq(inHole, spanning, onHoleEdge, outside) ++ small
+    for {
+      theta <- Seq(5.0, 13.0, 30.0)
+      b <- others
+      (x, y) <- Seq((donut, b), (b, donut))
+    } assert(SegmentedIM.im(x, y, theta, theta).toString === x.relate(y).toString,
+      s"theta=$theta b=${b.toText.take(40)}")
+  }
+
   test("segmented IM on canonical containment and touch cases") {
     val outer = rd.read("POLYGON((0 0, 100 0, 100 100, 0 100, 0 0))")
     val inner = rd.read("POLYGON((40 40, 60 40, 60 60, 40 60, 40 40))")
