@@ -188,7 +188,7 @@ object SegmentedIM {
     }
     val sorted = pairs.map(p => (rank(p._1, p._2), p)).sortBy(_._1)
     val im = new IntersectionMatrix("FFFFFFFFF")
-    val d1 = a.getDimension; val d2 = b.getDimension
+    var intersected = false
     val it = sorted.iterator
     var done = false
     while (!done && it.hasNext) {
@@ -198,6 +198,7 @@ object SegmentedIM {
         val m = g1.relate(g2)
         if (m.isIntersects) {
           im.add(m)
+          intersected = true
           // The intersects DECISION — this variant's whole contract —
           // is now made; stop. (The reference's own stop rule,
           // isEquals && (isCrosses || isOverlaps), is unsatisfiable
@@ -209,6 +210,9 @@ object SegmentedIM {
         }
       }
     }
-    im
+    // No segment pair intersected → the bodies are disjoint; return the
+    // canonical areal disjoint matrix, not all-'F' (callers reading the
+    // exterior entries would otherwise see an impossible matrix).
+    if (!intersected) new IntersectionMatrix("FF2FF1212") else im
   }
 }

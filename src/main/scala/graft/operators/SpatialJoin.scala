@@ -191,15 +191,30 @@ object SpatialJoin {
     * intersects(A,B) <=> some co-tiled segment pair intersects.
     *
     * The per-side decomposition (st_grid_segments explode) is session-
-    * cached like the entity frames, keyed by the input plan's semantic
-    * hash + θ: decompose-cost dominates this join, and repeated
-    * invocations over the same corpus (warm bench runs, multi-query
-    * sessions) would otherwise re-segment both sides every time. */
-  def relateSegmented(source: DataFrame, target: DataFrame): DataFrame = {
+    * cached like the entity frames, keyed by a 128-bit md5 of the input
+    * plan's CANONICALIZED string *combined with* `semanticHash()` + θ.
+    * Neither alone suffices: the 32-bit semanticHash has real
+    * birthday-collision odds across a long session, while the
+    * canonicalized STRING of a LocalRelation omits its rows (two
+    * in-memory corpora with the same schema print identically). A
+    * collision now needs both to match at once. Callers with a natural
+    * corpus identity (a source dir) can pass `corpusKey` to make the
+    * key self-describing, as the other DfCache.memo sites do.
+    * Decompose-cost dominates this join, and repeated invocations over
+    * the same corpus (warm bench runs, multi-query sessions) would
+    * otherwise re-segment both sides every time. */
+  def relateSegmented(source: DataFrame, target: DataFrame,
+                      corpusKey: String = ""): DataFrame = {
     val theta = computeTheta(source)
+    def planFp(df: DataFrame): String = {
+      val canon = df.queryExecution.analyzed.canonicalized.toString +
+        "#" + df.semanticHash()
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     def segmentSide(df: DataFrame, p: String): DataFrame =
       graft.spark.DfCache.memo(df.sparkSession,
-        s"segments#${df.semanticHash()}#${theta.x}x${theta.y}") {
+        s"segments#$corpusKey#${planFp(df)}#${theta.x}x${theta.y}") {
         df.select(col("id"),
             explode(barrier(st_grid_segments(col("geom"), theta.x, theta.y))).as("sg"))
           .select(col("id"), col("sg.tile").as("tile"), col("sg.seg").as("seg"))

@@ -46,8 +46,11 @@ object Jitter {
       gf.createLinearRing(cs :+ cs.head.copy())
     }
     g match {
+      case _ if g.isEmpty => g // POINT EMPTY etc.: nothing to perturb
       case p: org.locationtech.jts.geom.Point =>
         gf.createPoint(coords(p.getCoordinates).head)
+      case r: org.locationtech.jts.geom.LinearRing =>
+        ring(r) // must stay closed — before the LineString arm
       case l: org.locationtech.jts.geom.LineString
           if l.getGeometryType == Geometry.TYPENAME_LINESTRING =>
         gf.createLineString(coords(l.getCoordinates))
@@ -57,9 +60,13 @@ object Jitter {
         // destroy the holes and self-intersect
         gf.createPolygon(ring(p.getExteriorRing),
           Array.tabulate(p.getNumInteriorRing)(i => ring(p.getInteriorRingN(i))))
-      case _ if g.getNumGeometries > 1 || g.getGeometryType.startsWith("Multi") =>
+      case _ if g.getNumGeometries >= 1 && g.getGeometryType.startsWith("Multi") =>
         gf.buildGeometry(java.util.Arrays.asList(
           (0 until g.getNumGeometries).map(i => transform(g.getGeometryN(i), rng)): _*))
+      case c: org.locationtech.jts.geom.GeometryCollection =>
+        // single- and multi-member collections alike: every member moves
+        gf.createGeometryCollection(
+          Array.tabulate(c.getNumGeometries)(i => transform(c.getGeometryN(i), rng)))
       case _ => g
     }
   }
@@ -78,11 +85,20 @@ object Jitter {
         .flatMap { case (id, wkb) =>
           val g = graft.functions.Jts.fromWkb(wkb)
           (1 to times).map { i =>
-            val rng = new scala.util.Random(
-              seed * 1000003L + i * 7919L + id.hashCode.toLong)
-            (s"$id~$i", transform(g, rng).toText)
+            (s"$id~$i", transform(g, new scala.util.Random(rowSeed(seed, i, id))).toText)
           }
         }
     copies.toDF("id", "wkt")
+  }
+
+  /** 64-bit per-row seed: md5-fold of (seed, copy, id). String.hashCode
+    * is 32-bit and collision-prone — two entities colliding there would
+    * receive identical jitter streams; a 128→64-bit md5 fold makes
+    * that astronomically unlikely. */
+  private[sources] def rowSeed(seed: Long, copy: Int, id: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$copy:$id".getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong ^
+      java.nio.ByteBuffer.wrap(d, 8, 8).getLong
   }
 }

@@ -143,6 +143,21 @@ class SegmentedIMSpec extends AnyFunSuite {
     assert(got.isIntersects, "touching polygons must be intersecting")
   }
 
+  test("early-exit returns the canonical disjoint matrix when paired " +
+       "segments exist but none intersect (not all-'F')") {
+    import graft.geometry.Decompose.gridSegments
+    // θ larger than the world: both polygons are single segments in
+    // tile (0,0), so the pair IS relate-checked and found disjoint —
+    // the loop must end with FF2FF1212, not FFFFFFFFF
+    val l = rd.read("POLYGON((0 0, 100 0, 100 10, 10 10, 10 100, 0 100, 0 0))")
+    val boxFar = rd.read("POLYGON((80 80, 95 80, 95 95, 80 95, 80 80))")
+    val theta = 200.0
+    val got = SegmentedIM.imEarlyExit(l, boxFar,
+      gridSegments(l, theta, theta), gridSegments(boxFar, theta, theta))
+    assert(got.toString === "FF2FF1212")
+    assert(got.toString === l.relate(boxFar).toString)
+  }
+
   test("segmented IM equals relate when operands have holes (real " +
        "admin-region shapes, not just simple rings)") {
     val donut = rd.read(
