@@ -19,14 +19,20 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     GeoQueries.sp3RelationCounts(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    * st1 gates the STREAMING surface: the stateful sessionizer replayed
+    * over the events table, hash-checked against the batch q14 oracle —
+    * streaming/batch equivalence as a driver-verified fact. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ GeoQueries.queries ++ ProgressiveQueries.queries ++
-      TextOps.queries ++ VectorOps.queries ++ Multimodal.queries
+      TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
+      Map("st1_stream_sessionize" -> ((s: SparkSession, dir: String) =>
+        graft.streaming.EventStream.sessionizeGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ GeoQueries.oracles ++ ProgressiveQueries.oracles ++
-      TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles
+      TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
+      Map("st1_stream_sessionize" -> Analytics.oracles("q14_sessionize"))
 }

@@ -92,9 +92,16 @@ object Analytics {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"), col("hour"))
 
-  /** Customers without orders (anti join / NOT EXISTS). */
-  def q7CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
-    val o = orders(s, dir).select(col("o_custkey"))
+  /** Customers without orders in a given year (anti join / NOT
+    * EXISTS). The year restriction keeps left-anti semantics but makes
+    * the result non-empty on corpora where every customer has SOME
+    * order (the driver's data) — an all-rows anti-join gate would
+    * otherwise be vacuously green on 0 rows both sides. */
+  def q7CustomersWithoutOrders(s: SparkSession, dir: String,
+                               orderYear: Int = 1995): DataFrame = {
+    val o = orders(s, dir)
+      .filter(year(col("o_orderdate")) === orderYear)
+      .select(col("o_custkey"))
     val c = customer(s, dir)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
@@ -204,7 +211,8 @@ object Analytics {
     "q4_selective_filter" -> (q4SelectiveFilter _),
     "q5_top_orders"       -> (q5TopOrders _),
     "q6_events_hourly"    -> (q6EventsHourly _),
-    "q7_customers_without_orders" -> (q7CustomersWithoutOrders _),
+    "q7_customers_without_orders" -> ((s: SparkSession, dir: String) =>
+      q7CustomersWithoutOrders(s, dir)),
     "q8_rollup_segments"  -> (q8RollupSegments _),
     "q9_order_priority"   -> (q9OrderPriorityCounts _),
     "q10_brand_volume"    -> (q10BrandVolume _),
@@ -258,7 +266,8 @@ object Analytics {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q7_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
          ORDER BY c_custkey""",
     "q8_rollup_segments" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers,

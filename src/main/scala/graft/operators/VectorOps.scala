@@ -309,9 +309,12 @@ object VectorOps {
     * with a shared 128-codeword codebook). Search is asymmetric
     * distance computation: approx dot(q, v) = Σ_m dot(q_m,
     * codeword[m, code_v[m]]) — ranked entirely from codebook lookups,
-    * never touching raw vectors. Partial dots are summed in subspace
-    * order via a sorted collect (bit-identical across engines, no
-    * float reassociation). */
+    * never touching raw vectors. The ADC is MAP-SIDE: each query's 128
+    * partial dots (8 subspaces × 16 codewords) are precomputed into a
+    * broadcast lookup table and each candidate row sums 8 element_at
+    * lookups over its stored code array in fixed subspace order — no
+    * shuffle between candidate generation and ranking, and no float
+    * reassociation (bit-identical to the oracle's ORDER BY m sum). */
   /** Subspace decomposition rows (vec_id, m, s): 64 dims → 8×8,
     * session-memoized (shared by ann7 and the ann8 composition). */
   private def pqSub(s: SparkSession, dir: String): DataFrame =
@@ -353,38 +356,57 @@ object VectorOps {
           transform(col("ps"), p => round(p("mu"), 9)).as("c"))
     }
 
-  /** The stored PQ-codes table joined back to its codewords
-    * (m, n_id, c) — built once per corpus, queried many times. */
-  private def pqEncoded(s: SparkSession, dir: String): DataFrame =
+  /** The stored PQ-codes table, ONE row per vector with its 8 codes as
+    * an array column (the production storage layout: 8 bytes/vector) —
+    * built once per corpus, queried many times. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
     graft.spark.DfCache.memo(s, s"$dir#pqcodes") {
-      val cw = pqCodebook(s, dir)
-      pqNearest(pqSub(s, dir), cw).join(broadcast(cw), Seq("m", "code"))
-        .select(col("m"), col("vec_id").as("n_id"), col("c"))
+      pqNearest(pqSub(s, dir), pqCodebook(s, dir))
+        .groupBy(col("vec_id").as("n_id"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          p => p("code")).as("codes"))
     }
 
-  /** ADC ranking of (q_id, n_id) pairs: per-subspace partial dots of
-    * the query subvectors against the neighbour's codewords, summed in
-    * subspace order via sorted collect (bit-deterministic). */
-  private def pqAdcRank(pairs: DataFrame, k: Int): DataFrame =
-    pairs
+  /** Per-query ADC lookup table: 8 subspaces × 16 codewords = 128
+    * partial dots dot(q_m, codeword[m, c]), flattened to one
+    * 128-element array indexed by m*16+code. A query workload is tiny
+    * next to the corpus (here every 50th vector; in production the
+    * handful of live queries), so the whole LUT frame broadcasts. */
+  private def pqQueryLut(s: SparkSession, dir: String): DataFrame = {
+    val qsub = pqSub(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
+    qsub.join(broadcast(pqCodebook(s, dir)), "m")
       .withColumn("pd", round(dot(col("qs"), col("c")), 9))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("pd")))).as("pds"))
-      .withColumn("sim", round(aggregate(
-        transform(col("pds"), p => p("pd")), lit(0.0), (acc, x) => acc + x), 6))
+      .groupBy(col("q_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code"), col("pd")))),
+        p => p("pd")).as("lut"))
+  }
+
+  /** Map-side ADC ranking of (q_id, n_id, codes, lut) rows: the
+    * similarity is a strict left-to-right sum over subspaces of LUT
+    * lookups — element_at(lut, m*16 + codes[m] + 1) — so no shuffle
+    * happens between candidate generation and the top-k window, and
+    * the summation order (m ascending from 0.0) is bit-identical to
+    * the former sorted-collect reassembly (and to the DuckDB oracle's
+    * `list_sum(list(pd ORDER BY m))`). */
+  private def pqAdcRank(cands: DataFrame, k: Int): DataFrame = {
+    val sim = (0 until 8).foldLeft(lit(0.0))((acc, m) =>
+      acc + element_at(col("lut"),
+        lit(m * 16) + element_at(col("codes"), m + 1).cast("int") + 1))
+    cands
+      .withColumn("sim", round(sim, 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
-
-  def ann7PqTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val qsub = pqSub(s, dir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
-    pqAdcRank(
-      qsub.join(pqEncoded(s, dir), "m")
-        .filter(col("q_id") =!= col("n_id")), k)
   }
+
+  def ann7PqTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    pqAdcRank(
+      pqCodes(s, dir).crossJoin(broadcast(pqQueryLut(s, dir)))
+        .filter(col("q_id") =!= col("n_id")), k)
 
   /** ann8: IVF + PQ — the COMPLETE modern ANN index, composing ann5's
     * candidate bounding with ann7's compression: the IVF probe keeps
@@ -404,10 +426,9 @@ object VectorOps {
         "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
-    val qsub = pqSub(s, dir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("m"), col("s").as("qs"))
     pqAdcRank(
-      cands.join(qsub, "q_id").join(pqEncoded(s, dir), Seq("m", "n_id")), k)
+      cands.join(pqCodes(s, dir), "n_id")
+        .join(broadcast(pqQueryLut(s, dir)), "q_id"), k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -156,6 +156,55 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Driver-gate harness for the stateful sessionizer: replay the
+    * batch `events` table through a MemoryStream in four ts-ordered
+    * chunks (so cross-batch state continuation is genuinely
+    * exercised, with zero artificial late drops), flush every open
+    * session with one far-future sentinel user (the watermark then
+    * passes every `last + gap` timeout), and aggregate the emitted
+    * sessions to the q14 shape (user_id, n_sessions, n_events) — the
+    * oracle IS the batch q14 SQL, making streaming/batch equivalence
+    * a hash-gated fact rather than a spec-only claim.
+    *
+    * The driver-side collect is the REPLAY HARNESS, bounded by the
+    * gate scale factor — production ingestion uses [[readEvents]]
+    * (file/Kafka source) and never materializes the stream. */
+  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val mem = MemoryStream[(Long, Long, Long)]
+    val name = s"st1_gate_${gateRuns.incrementAndGet()}"
+    val q = sessionize(mem.toDF().toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // sentinel: a user id no real row carries, far enough ahead that
+      // the eviction watermark (max ts - lateness) passes every open
+      // session's timeout (last + gap)
+      val flushUs = rows.map(_._3).max + (4L * 3600L + 1800L + 60L) * 1000000L
+      mem.addData((-1L, -1L, flushUs))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Run the hourly aggregation over static parquet via the streaming
     * engine into an in-memory sink; returns the finished query. */
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
