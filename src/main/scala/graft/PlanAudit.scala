@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
@@ -13,12 +15,22 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *   1. no `WindowExec` with an empty partition spec anywhere — an
   *      unpartitioned window moves all rows to one partition, the
   *      scale-killer class eliminated in round 2;
-  *   2. cartesian / broadcast-nested-loop joins only in the two
+  *   2. cartesian / broadcast-nested-loop joins only in the
   *      documented exact-baseline queries (dd7 brute-force dedup, ann1
-  *      brute-force top-k) whose bucketed scale paths are dd8/ann3/ann4.
+  *      brute-force top-k, the ANN codebook scans) whose bucketed
+  *      scale paths are dd8/ann3/ann4/ann5/ann8;
+  *   3. on the q* relational analytics: no shuffle exchange sitting
+  *      DIRECTLY on a parquet scan — every scanned table must be
+  *      reduced before it moves (pushed filter, pruned projection, or
+  *      a partial aggregate; broadcast of the small side otherwise),
+  *      i.e. pushdown actually reached the scan;
+  *   4. on ann7/ann8: no aggregate operator outside broadcast /
+  *      cached-build subtrees — the map-side-ADC guarantee that
+  *      nothing shuffles between candidate generation and the top-k
+  *      ranking window.
   *
-  * Exits non-zero on any violation. Usage:
-  * runMain graft.PlanAudit [sfDir]
+  * Runs from `sbt test` (PlanAuditSpec) so plan-shape regressions fail
+  * CI, and as a main for the driver. Usage: runMain graft.PlanAudit [sfDir]
   */
 object PlanAudit {
 
@@ -30,12 +42,13 @@ object PlanAudit {
   private val allowedUnbounded =
     Set("dd7_embedding_dups", "ann1_cosine_topk", "ann3_ivf_topk",
         "ann6_sq_topk",
-        // ann7: the ADC join keys on the 8 PQ subspaces — the
-        // codebook-lookup analogue of ann3's cell join; storage (8
-        // code bytes/vector) is where PQ wins, not candidate pruning
+        // ann7: brute ADC scan by contract — candidates are every
+        // (query, vector) pair; the BNLJ broadcasts the per-query
+        // 128-entry lookup-table frame, and storage (8 code
+        // bytes/vector) is where PQ wins, not candidate pruning
         "ann7_pq_topk",
         // ann8 composes ann5's centroid-broadcast assignment with
-        // ann7's codebook lookups — same whitelisted shapes
+        // ann7's broadcast LUT ranking — same whitelisted shapes
         "ann8_ivfpq_topk",
         "ann5_ivf_scaled")
 
@@ -48,6 +61,78 @@ object PlanAudit {
     here
   }
 
+  /** Nodes that merely adapt representation between an exchange and
+    * the scan feeding it — walking through them, a shuffle is still
+    * "directly above" the scan. */
+  private def throughTransparent(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => throughTransparent(a.executedPlan)
+    case q: QueryStageExec => throughTransparent(q.plan)
+    case w: WholeStageCodegenExec => throughTransparent(w.child)
+    case i: InputAdapter => throughTransparent(i.child)
+    case c: ColumnarToRowExec => throughTransparent(c.child)
+    case r: ReusedExchangeExec => throughTransparent(r.child)
+    case other => other
+  }
+
+  /** Walk skipping broadcast-build and cached subtrees: what remains
+    * is the candidate/probe path whose shape the ADC check constrains. */
+  private def walkProbeSide(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => walkProbeSide(a.executedPlan)
+    case q: QueryStageExec => walkProbeSide(q.plan)
+    case _: BroadcastExchangeExec => Seq.empty
+    case other if other.nodeName.contains("InMemoryTableScan") => Seq.empty
+    case other => other +: other.children.flatMap(walkProbeSide)
+  }
+
+  private def isAggregate(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec |
+         _: SortAggregateExec => true
+    case _ => false
+  }
+
+  /** Audit every gate query at `sfDir`; returns (query, problems)
+    * pairs — empty problem lists mean a clean plan. Errors surface as
+    * a one-element problem list. */
+  def auditAll(spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val problems = try {
+        val df = fn(spark, sfDir)
+        df.collect() // finalize the adaptive plan
+        val nodes = walk(df.queryExecution.executedPlan)
+        val globalWindows = nodes.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        val unbounded = nodes.collect {
+          case c: CartesianProductExec => c: SparkPlan
+          case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+        }
+        val nakedShuffledScans =
+          if (!name.startsWith("q")) Seq.empty
+          else nodes.collect {
+            case s: ShuffleExchangeExec
+              if throughTransparent(s.child).isInstanceOf[FileSourceScanExec] => s
+          }
+        val probeAggs =
+          if (name != "ann7_pq_topk" && name != "ann8_ivfpq_topk") Seq.empty
+          else walkProbeSide(df.queryExecution.executedPlan).filter(isAggregate)
+        Seq(
+          if (globalWindows.nonEmpty)
+            Some(s"${globalWindows.size} unpartitioned WindowExec") else None,
+          if (unbounded.nonEmpty && !allowedUnbounded(name))
+            Some(s"${unbounded.size} cartesian/BNLJ node(s)") else None,
+          if (nakedShuffledScans.nonEmpty)
+            Some(s"${nakedShuffledScans.size} shuffle(s) directly above a " +
+              "parquet scan (nothing pushed down before the move)") else None,
+          if (probeAggs.nonEmpty)
+            Some(s"${probeAggs.size} aggregate(s) on the ADC candidate path " +
+              "(ranking must be map-side)") else None
+        ).flatten
+      } catch {
+        case e: Throwable => Seq(s"ERR ${e.getMessage}")
+      }
+      name -> problems
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -59,32 +144,10 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var violations = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        df.collect() // finalize the adaptive plan
-        val nodes = walk(df.queryExecution.executedPlan)
-        val globalWindows = nodes.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-        }
-        val unbounded = nodes.collect {
-          case c: CartesianProductExec => c: SparkPlan
-          case b: BroadcastNestedLoopJoinExec => b: SparkPlan
-        }
-        val problems = Seq(
-          if (globalWindows.nonEmpty)
-            Some(s"${globalWindows.size} unpartitioned WindowExec") else None,
-          if (unbounded.nonEmpty && !allowedUnbounded(name))
-            Some(s"${unbounded.size} cartesian/BNLJ node(s)") else None
-        ).flatten
-        if (problems.isEmpty) println(s"[plan-audit] ok   $name")
-        else { violations += problems.size
-               println(s"[plan-audit] FAIL $name: ${problems.mkString("; ")}") }
-      } catch {
-        case e: Throwable =>
-          violations += 1
-          println(s"[plan-audit] ERR  $name: ${e.getMessage}")
-      }
+    auditAll(spark, sfDir).foreach { case (name, problems) =>
+      if (problems.isEmpty) println(s"[plan-audit] ok   $name")
+      else { violations += problems.size
+             println(s"[plan-audit] FAIL $name: ${problems.mkString("; ")}") }
     }
     println(s"[plan-audit] violations=$violations")
     graft.spark.DfCache.release(spark)

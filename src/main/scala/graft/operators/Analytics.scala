@@ -189,15 +189,23 @@ object Analytics {
     * balance (expressed as a window over the nation partition —
     * Catalyst's decorrelated plan). */
   def q15AboveNationAvg(s: SparkSession, dir: String): DataFrame = {
-    val byNation = Window.partitionBy(col("c_nationkey"))
+    // Partial-aggregate + broadcast join-back, NOT a window over the
+    // nation partition: the window form shuffles the ENTIRE customer
+    // table by c_nationkey (25 keys — skewed and full-width), while
+    // the agg form map-side-combines down to one row per nation and
+    // broadcasts those 25 rows back over an unshuffled scan.
     // The rounded average is NOT in the output: group averages can sit
     // exactly on a decimal rounding boundary where Spark's HALF_UP and
     // DuckDB's rounding disagree (seen at sf0.001). The unrounded
     // comparison below is safe: 2-decimal inputs never fall within an
     // ulp of their group mean unless the group is a single row (where
-    // both engines agree on exact equality).
+    // both engines agree on exact equality) — which also covers the
+    // agg-vs-window summation-order ulp difference.
+    val avgs = customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
     customer(s, dir)
-      .withColumn("nation_avg", avg(col("c_acctbal")).over(byNation))
+      .join(broadcast(avgs), "c_nationkey")
       .filter(col("c_acctbal") > col("nation_avg"))
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
