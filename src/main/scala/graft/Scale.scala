@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{GeoQueries, Progressive, ProgressiveTyped, SkewBalancing, SpatialJoin}
+import graft.sources.ScaleCorpus
+
+/** Measured scale-up experiment (the reference's own evaluation shape,
+  * `TSAS-Experiments/speedupExp.sh:17-30`, turned into a scale-UP
+  * curve): build N× corpora with [[ScaleCorpus]] (S10 jitter spread
+  * over a disjoint domain grid; token-suffixed text; permuted-sign
+  * embeddings), run the flagship paths at each N, and print one JSON
+  * line per N with per-query seconds, output rows, and the A6
+  * per-partition stats (hot-spot proof) for the batch join.
+  *
+  * Queries: sp3 batch IM counts, sp12 balanced, pr1/pr10 progressive,
+  * seg exact vs early-exit (the J8 flag decision, measured), dd5/dd8/
+  * dd11 dedup, ann5/ann8 ANN.
+  *
+  * Usage: runMain graft.Scale [baseSfDir] [mults] [outBase]
+  *   e.g.  runMain graft.Scale /root/testdata/sf0.01 1,10,100 /root/repo/scale
+  */
+object Scale {
+
+  private def timed(runs: Int)(body: => Long): (Double, Long) = {
+    val rs = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      val n = body
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    (rs.map(_._1).min, rs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val mults = args.lift(1).getOrElse("1,10,100").split(",").map(_.trim.toInt)
+    val outBase = args.lift(2).getOrElse("/root/repo/scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for (n <- mults) {
+      val dataDir = ScaleCorpus.ensureScaledDir(spark, baseDir, n, outBase)
+      // ONE domain grid shared by every corpus in the join experiments:
+      // per-corpus grids would misalign copy k of source vs target and
+      // manufacture cross-copy pairs
+      val bases = Map(
+        "part" -> GeoQueries.partBoxes(spark, baseDir),
+        "supp" -> GeoQueries.supplierBoxes(spark, baseDir),
+        "tri" -> GeoQueries.customerTriangles(spark, baseDir))
+      val b = bases.values.reduce(_.unionByName(_))
+        .agg(min("minx"), min("miny"), max("maxx"), max("maxy")).head
+      val domain = Some((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
+      def scaledFrame(key: String): DataFrame =
+        graft.spark.DfCache.memo(spark, s"scale#$baseDir#$n#$key") {
+          SpatialJoin.entities(ScaleCorpus.scaledWkt(bases(key), n, domain = domain),
+            col("id"), col("wkt"))
+        }
+      val partS = scaledFrame("part")
+      val suppS = scaledFrame("supp")
+      val triS = scaledFrame("tri")
+      // untimed warmup: materialize the persisted corpora (Bench
+      // methodology — measure the query, not the corpus build)
+      val corpus = Map(
+        "part" -> partS.count(), "supp" -> suppS.count(), "tri" -> triS.count(),
+        "docs" -> Tables.documents(spark, dataDir).count(),
+        "vecs" -> Tables.embeddings(spark, dataDir).count())
+
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+      results("sp3_relation_counts") = timed(2) {
+        SpatialJoin.relationCounts(partS, suppS).count() }
+      results("sp12_balanced_im") = timed(2) {
+        SkewBalancing.balancedDe9im(triS, suppS, zThreshold = 0.0).count() }
+      results("pr1_progressive_mbro") = timed(2) {
+        Progressive.progressiveVerify(partS, suppS, "w_mbro",
+          budget = 200 * n, relation = "contains").count() }
+      results("pr10_early_stopping") = timed(2) {
+        ProgressiveTyped.earlyStopping(partS, suppS, "w_js",
+          relation = "contains", batchSize = 100,
+          precisionLevel = 0.0, maxViolations = 1).toDF().count() }
+      // J8 early-exit decision: forced-segmented adaptive IM (the sp10
+      // shape), exact union form vs RANK early-exit, same corpus
+      results("seg_exact") = timed(2) {
+        SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4).count() }
+      results("seg_earlyexit") = timed(2) {
+        SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4,
+          earlyExit = true).count() }
+      val segDiff =
+        SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4)
+          .select(col("s_id"), col("t_id"), col("intersects"))
+          .exceptAll(SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4,
+            earlyExit = true)
+            .select(col("s_id"), col("t_id"), col("intersects")))
+          .count()
+      for (q <- Seq("dd5_lsh_pairs", "dd8_lsh_embedding_dups",
+                    "dd11_simhash_pairs", "ann5_ivf_scaled", "ann8_ivfpq_topk"))
+        results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+      // dd8 at production signature width: the gate's 8-plane/4-band
+      // signature (2 bits/band = 4 bucket values) is oracle-friendly
+      // but collides ~everything at large n; a real deployment widens
+      // the signature with the corpus. 64 planes / 8 bands = 8
+      // bits/band, 256 bucket values/band.
+      results("dd8_wide_signature") = timed(2) {
+        graft.operators.VectorOps.lshCandidatePairs(spark, dataDir,
+          planes = 64, bands = 8, minSim = 0.45).count() }
+
+      // A6 per-partition stats over the batch join: hot-spot proof
+      val (counted, stats) = SpatialJoin.de9imWithStats(partS, suppS)
+      counted.count()
+      val verifs = stats.values.map(_.verifications.toDouble).toSeq
+      val a6 =
+        if (verifs.isEmpty) """"parts":0"""
+        else {
+          val mean = verifs.sum / verifs.size
+          val cv = math.sqrt(verifs.map(v => (v - mean) * (v - mean)).sum /
+            verifs.size) / math.max(mean, 1e-9)
+          f""""parts":${verifs.size},"total_verifs":${verifs.sum.toLong},""" +
+          f""""max_verifs":${verifs.max.toLong},"mean_verifs":${mean}%.1f,""" +
+          f""""cv":${cv}%.3f,"max_part_ms":${stats.values.map(_.wallMillis).max}%.1f"""
+        }
+
+      val qjson = results.map { case (k, (s, _)) => f""""$k":$s%.3f""" }.mkString(",")
+      val rjson = results.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")
+      val cjson = corpus.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      println(s"""{"scale":$n,"base":"$baseDir","seg_intersects_diff":$segDiff,""" +
+        s""""corpus":{$cjson},"sec":{$qjson},"rows":{$rjson},"a6":{$a6}}""")
+      graft.spark.DfCache.release(spark)
+    }
+    spark.stop()
+  }
+}

@@ -29,13 +29,22 @@ object Jitter {
     * {translate+, translate−, scale}). Extension over upstream (which
     * passes multi-geometries and collections through unchanged):
     * collection members are transformed individually, so Multi*
-    * corpora scale too. */
-  private[sources] def transform(g: Geometry, rng: scala.util.Random): Geometry = {
+    * corpora scale too.
+    *
+    * `translateOnly = true` drops the ×-scale arm (same RNG draws, so
+    * seeds stay comparable): on corpora far from the origin that arm
+    * moves a vertex by up to 50% of its ABSOLUTE coordinate, which
+    * inflates envelopes and changes pair density — the scale-up
+    * experiment (ScaleCorpus) needs copies that keep the base
+    * corpus's shape statistics. Default false = reference semantics. */
+  private[sources] def transform(g: Geometry, rng: scala.util.Random,
+                                 translateOnly: Boolean = false): Geometry = {
     def coords(cs: Array[Coordinate]): Array[Coordinate] = cs.map { c =>
       val shift = 0.5 + rng.nextDouble() * 1.0
       rng.nextInt(3) match {
         case 0 => new Coordinate(c.x + shift, c.y + shift)
         case 1 => new Coordinate(c.x - shift, c.y - shift)
+        case _ if translateOnly => new Coordinate(c.x + shift, c.y - shift)
         case _ => new Coordinate(c.x * shift, c.y * shift)
       }
     }
@@ -62,11 +71,12 @@ object Jitter {
           Array.tabulate(p.getNumInteriorRing)(i => ring(p.getInteriorRingN(i))))
       case _ if g.getNumGeometries >= 1 && g.getGeometryType.startsWith("Multi") =>
         gf.buildGeometry(java.util.Arrays.asList(
-          (0 until g.getNumGeometries).map(i => transform(g.getGeometryN(i), rng)): _*))
+          (0 until g.getNumGeometries)
+            .map(i => transform(g.getGeometryN(i), rng, translateOnly)): _*))
       case c: org.locationtech.jts.geom.GeometryCollection =>
         // single- and multi-member collections alike: every member moves
-        gf.createGeometryCollection(
-          Array.tabulate(c.getNumGeometries)(i => transform(c.getGeometryN(i), rng)))
+        gf.createGeometryCollection(Array.tabulate(c.getNumGeometries)(i =>
+          transform(c.getGeometryN(i), rng, translateOnly)))
       case _ => g
     }
   }
