@@ -97,17 +97,27 @@ object Scale {
             earlyExit = true)
             .select(col("s_id"), col("t_id"), col("intersects")))
           .count()
-      for (q <- Seq("dd5_lsh_pairs", "dd8_lsh_embedding_dups",
-                    "dd11_simhash_pairs", "ann5_ivf_scaled", "ann8_ivfpq_topk"))
+      for (q <- Seq("dd5_lsh_pairs", "dd11_simhash_pairs",
+                    "ann5_ivf_scaled", "ann8_ivfpq_topk"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
-      // dd8 at production signature width: the gate's 8-plane/4-band
-      // signature (2 bits/band = 4 bucket values) is oracle-friendly
-      // but collides ~everything at large n; a real deployment widens
-      // the signature with the corpus. 64 planes / 8 bands = 8
-      // bits/band, 256 bucket values/band.
-      results("dd8_wide_signature") = timed(2) {
+      // dd8 gate width (8 planes / 4 bands = 2 bits/band, 4 bucket
+      // values) is oracle-friendly but collides ~everything as n grows
+      // (quadratic candidates, measured 48 s at 10×) — capped at 10×,
+      // never silently: the wide form below carries the curve.
+      val vecs = corpus("vecs")
+      if (vecs <= 50000)
+        results("dd8_lsh_embedding_dups") = timed(2) {
+          SparkEntry.queries("dd8_lsh_embedding_dups")(spark, dataDir).count() }
+      else println(s"[scale] skipping dd8_lsh_embedding_dups at n=$vecs: " +
+        "gate-width signature (4 buckets/band) is quadratic past ~50k vectors")
+      // dd8 at production signature width — widened WITH the corpus,
+      // the way a real deployment tunes LSH (signature packs into one
+      // Long, so ≤64 planes): 8 bits/band to 100k vectors, 12
+      // bits/band beyond (random-pair collision per band ~0.5^bits).
+      val (planes, bands) = if (vecs <= 100000) (64, 8) else (60, 5)
+      results(s"dd8_wide_signature_$planes") = timed(2) {
         graft.operators.VectorOps.lshCandidatePairs(spark, dataDir,
-          planes = 64, bands = 8, minSim = 0.45).count() }
+          planes = planes, bands = bands, minSim = 0.45).count() }
 
       // A6 per-partition stats over the batch join: hot-spot proof
       val (counted, stats) = SpatialJoin.de9imWithStats(partS, suppS)

@@ -170,17 +170,20 @@ case class StIm(left: Expression, right: Expression)
     copy(l, r)
 }
 object StIm {
+  // nullable: StImAdaptive's early-exit branch emits NULL for every
+  // column except `intersects` (partial accumulation — see there); the
+  // exact paths never produce nulls
   val schema: StructType = StructType(Seq(
-    StructField("de9im", StringType, nullable = false),
+    StructField("de9im", StringType, nullable = true),
     StructField("intersects", BooleanType, nullable = false),
-    StructField("contains", BooleanType, nullable = false),
-    StructField("within", BooleanType, nullable = false),
-    StructField("covers", BooleanType, nullable = false),
-    StructField("coveredby", BooleanType, nullable = false),
-    StructField("crosses", BooleanType, nullable = false),
-    StructField("overlaps", BooleanType, nullable = false),
-    StructField("touches", BooleanType, nullable = false),
-    StructField("equals", BooleanType, nullable = false)))
+    StructField("contains", BooleanType, nullable = true),
+    StructField("within", BooleanType, nullable = true),
+    StructField("covers", BooleanType, nullable = true),
+    StructField("coveredby", BooleanType, nullable = true),
+    StructField("crosses", BooleanType, nullable = true),
+    StructField("overlaps", BooleanType, nullable = true),
+    StructField("touches", BooleanType, nullable = true),
+    StructField("equals", BooleanType, nullable = true)))
 }
 
 /** Adaptive DE-9IM verification: rectangles → analytic interval IM;
@@ -190,8 +193,9 @@ object StIm {
   * earlyExit (literals). With earlyExit=true the segmented branch uses
   * the reference's RANK-ordered early-exit accumulation
   * ([[graft.geometry.SegmentedIM.imEarlyExit]]) — only the intersects
-  * decision is contractual there, so it stays default-off. Output
-  * schema identical to [[StIm]].
+  * decision is contractual there, so it stays default-off AND every
+  * other output column is emitted as NULL on that branch (never a
+  * silently under-set false). Output schema identical to [[StIm]].
   */
 case class StImAdaptive(children: Seq[Expression]) extends Expression with CodegenFallback {
   override def dataType: DataType = StIm.schema
@@ -206,6 +210,7 @@ case class StImAdaptive(children: Seq[Expression]) extends Expression with Codeg
       children.length > 5 && children(5).eval(input).asInstanceOf[Boolean]
     val wkb1 = l.asInstanceOf[Array[Byte]]; val wkb2 = r.asInstanceOf[Array[Byte]]
     val g1 = GeomCache.geometry(wkb1); val g2 = GeomCache.geometry(wkb2)
+    var partialIm = false // early-exit branch: only `intersects` is contractual
     val im =
       if (g1.isRectangle && g2.isRectangle) {
         val e1 = g1.getEnvelopeInternal; val e2 = g2.getEnvelopeInternal
@@ -215,22 +220,31 @@ case class StImAdaptive(children: Seq[Expression]) extends Expression with Codeg
             e2.getMinX, e2.getMinY, e2.getMaxX, e2.getMaxY))
       } else if (g1.getDimension == 2 && g2.getDimension == 2 &&
                  g1.getNumPoints + g2.getNumPoints >= minPts) {
-        if (earlyExit)
+        if (earlyExit) {
+          partialIm = true
           graft.geometry.SegmentedIM.imEarlyExit(g1, g2,
             GeomCache.segments(wkb1, thetaX, thetaY),
             GeomCache.segments(wkb2, thetaX, thetaY))
-        else
+        } else
           graft.geometry.SegmentedIM.im(g1, g2,
             GeomCache.segments(wkb1, thetaX, thetaY),
             GeomCache.segments(wkb2, thetaX, thetaY))
       } else g1.relate(g2)
     val d1 = g1.getDimension; val d2 = g2.getDimension
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(im.toString),
-      !im.isDisjoint,
-      im.isContains, im.isWithin, im.isCovers, im.isCoveredBy,
-      im.isCrosses(d1, d2), im.isOverlaps(d1, d2), im.isTouches(d1, d2),
-      im.isEquals(d1, d2)))
+    if (partialIm)
+      // The accumulation stopped at the intersects decision, so every
+      // other entry may be under-set; emit NULL there rather than a
+      // silently wrong false (a disjoint result is complete: the
+      // canonical FF2FF1212 came back and nulls stay correct-by-vacuity)
+      new GenericInternalRow(Array[Any](
+        null, !im.isDisjoint, null, null, null, null, null, null, null, null))
+    else
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(im.toString),
+        !im.isDisjoint,
+        im.isContains, im.isWithin, im.isCovers, im.isCoveredBy,
+        im.isCrosses(d1, d2), im.isOverlaps(d1, d2), im.isTouches(d1, d2),
+        im.isEquals(d1, d2)))
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(cs)

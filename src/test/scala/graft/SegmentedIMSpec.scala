@@ -100,6 +100,19 @@ class SegmentedIMSpec extends AnyFunSuite {
     exact.foreach { case (pair, v) =>
       assert(early(pair) === v, s"intersects mismatch for $pair")
     }
+    // Non-contractual columns are NULL on the early-exit segmented
+    // branch (never a silently under-set false), and the branch must
+    // actually fire on this corpus for the check to prove anything.
+    val earlyRows = SpatialJoin.de9imAdaptive(entities(src), entities(tgt),
+        minPoints = 16, earlyExit = true)
+      .select("de9im", "intersects", "contains", "touches").collect()
+    val partials = earlyRows.filter(_.isNullAt(0))
+    assert(partials.nonEmpty, "early-exit branch never fired")
+    partials.foreach { r =>
+      assert(!r.isNullAt(1), "intersects must always be set")
+      assert(r.isNullAt(2) && r.isNullAt(3),
+        "non-contractual predicates must be NULL on the early-exit branch")
+    }
   }
 
   test("RANK early-exit form (flag-gated J8 variant) always agrees with " +
