@@ -181,6 +181,14 @@ object EventStream {
       .as[(Long, Long, Long)].collect()
     val mem = MemoryStream[(Long, Long, Long)]
     val name = s"st1_gate_${gateRuns.incrementAndGet()}"
+    // A stateful stream commits one state-store per shuffle partition
+    // per micro-batch; at the gate's data size 32 partitions is pure
+    // overhead (5 batches × 32 commits). The stream pins its state
+    // partitioning from the session conf at query start, so narrow it
+    // for this query only and restore after.
+    val shufflePartsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(shufflePartsKey)
+    spark.conf.set(shufflePartsKey, "8")
     val q = sessionize(mem.toDF().toDF("user_id", "event_id", "us")
         .withColumn("ts", timestamp_micros(col("us"))))
       .writeStream.outputMode("append").format("memory")
@@ -197,7 +205,10 @@ object EventStream {
       val flushUs = rows.map(_._3).max + (4L * 3600L + 1800L + 60L) * 1000000L
       mem.addData((-1L, -1L, flushUs))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set(shufflePartsKey, savedParts)
+    }
     spark.table(name)
       .filter(col("user_id") >= 0)
       .groupBy(col("user_id"))
