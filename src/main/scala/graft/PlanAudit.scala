@@ -50,7 +50,13 @@ object PlanAudit {
         // ann8 composes ann5's centroid-broadcast assignment with
         // ann7's broadcast LUT ranking — same whitelisted shapes
         "ann8_ivfpq_topk",
-        "ann5_ivf_scaled")
+        "ann5_ivf_scaled",
+        // ann9/ann10: exact-scan baselines by the same contract as
+        // ann1 (filtered top-k / range search verify step); the scale
+        // path is the IVF probe (ann5/ann8) resp. the banded
+        // hyperplane candidates (ann4/dd8) with the metadata filter /
+        // τ-threshold applied to the bounded candidate list
+        "ann9_filtered_topk", "ann10_range_search")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

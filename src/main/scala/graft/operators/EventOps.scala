@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream relational operators Spark has no built-in form for:
+  * as-of join, interval (range) join, and semi-structured JSON
+  * extraction. These are the batch twins of the streaming surface
+  * ([[graft.streaming.EventStream]]) and the temporal complement of
+  * the spatial ±2-day join (reference DS-JedAI configures temporal
+  * windowing in `utils/configuration/Configuration.scala`; here the
+  * window is on the event axis instead of a geometry pair).
+  *
+  * Scale notes (100 TB): both joins are single-shuffle-on-key plans.
+  * The as-of join never builds per-row subqueries or range scans — it
+  * is the union-and-scan form (one sort per user partition, running
+  * `last(ignoreNulls)`), which is how a 1000-executor cluster does
+  * point-in-time correctness joins over trillions of rows. The
+  * interval join replicates the *probe* side to at most
+  * ceil(len/bucket)+1 coarse time buckets (bounded, data-independent)
+  * and equi-joins on (key, bucket) — never an unbounded theta-join.
+  */
+object EventOps {
+
+  /** tj1: as-of join — for every `click` event, the most recent
+    * `purchase` by the same user at-or-before the click.
+    *
+    * Plan shape: tag purchases side=0 and clicks side=1, union, then
+    * one window per user ordered by (ts, side, event_id) carrying
+    * `last(purchase_id, ignoreNulls)`. A purchase at the exact click
+    * timestamp sorts first (side 0) and therefore matches ("at or
+    * before"); ties among simultaneous purchases resolve to the max
+    * event_id deterministically. One shuffle on user_id; rows stay
+    * narrow (no payload replication). */
+  def tj1AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("eid"), col("event_id").as("purch_id"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("double").as("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id").as("eid"), lit(null).cast("long").as("purch_id"),
+        col("event_id").as("click_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purch.unionByName(clicks)
+      .withColumn("matched", last(col("purch_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"), col("value"),
+        col("matched").as("purch_id"))
+      .orderBy(col("click_id"))
+  }
+
+  private val HalfWindowUs = 1800L * 1000000L // ±30 min
+
+  /** tj2: interval (range) join — every (`error`, `click`) pair of the
+    * same user within ±30 minutes.
+    *
+    * Scale shape: quantize time into half-window buckets; each error
+    * probes buckets {b-1, b, b+1} (a row can only match within one
+    * adjacent bucket of its own), clicks keep their single bucket, and
+    * the join is a plain equi-join on (user_id, bucket) plus the exact
+    * range predicate. Replication factor is a constant 3 regardless of
+    * data volume — the standard bucketed-range-join decomposition —
+    * and each true pair joins exactly once (the click's bucket is
+    * unique), so no distinct pass is needed. */
+  def tj2IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def side(tpe: String, idName: String) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idName),
+          unix_micros(col("ts")).as(s"${idName}_us"))
+    val errors = side("error", "err_id")
+      .withColumn("b0", (col("err_id_us") / HalfWindowUs).cast("long"))
+      .select(col("user_id"), col("err_id"), col("err_id_us"),
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("jb"))
+    val clicks = side("click", "click_id")
+      .withColumn("jb", (col("click_id_us") / HalfWindowUs).cast("long"))
+    errors.join(clicks, Seq("user_id", "jb"))
+      .filter(abs(col("click_id_us") - col("err_id_us")) <= HalfWindowUs)
+      .select(col("err_id"), col("click_id"),
+        (col("click_id_us") - col("err_id_us")).as("gap_us"))
+      .orderBy(col("err_id"), col("click_id"))
+  }
+
+  /** se1: semi-structured extraction — parse the `props` JSON column
+    * (codegen'd `get_json_object`, no UDF) and aggregate the extracted
+    * field per event type. The 100 TB story: JSON stays schemaless in
+    * storage; extraction is a map-side projection feeding a partial
+    * hash aggregate — no shuffle beyond the 5-group final agg. */
+  def se1JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tj1_asof_join" -> (tj1AsofJoin _),
+    "tj2_interval_join" -> (tj2IntervalJoin _),
+    "se1_json_extract" -> (se1JsonExtract _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Window-union form mirrors the distributed plan; correlated
+    // subqueries would be O(n) scans per click in any engine.
+    "tj1_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, ts, 0 AS side, event_id AS eid,
+                  event_id AS purch_id, NULL::BIGINT AS click_id,
+                  NULL::DOUBLE AS value
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 1, event_id, NULL, event_id, value
+           FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT *, last_value(purch_id IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+           FROM u)
+         SELECT click_id, user_id, epoch_us(ts) AS click_us, value,
+                matched AS purch_id
+         FROM m WHERE side = 1 ORDER BY click_id""",
+    "tj2_interval_join" ->
+      """WITH e AS (
+           SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_id_us
+           FROM events WHERE event_type = 'error'),
+         c AS (
+           SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_id_us
+           FROM events WHERE event_type = 'click')
+         SELECT e.err_id, c.click_id,
+                c.click_id_us - e.err_id_us AS gap_us
+         FROM e JOIN c ON e.user_id = c.user_id
+           AND abs(c.click_id_us - e.err_id_us) <= CAST(1800 AS BIGINT) * 1000000
+         ORDER BY e.err_id, c.click_id""",
+    "se1_json_extract" ->
+      """SELECT event_type,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

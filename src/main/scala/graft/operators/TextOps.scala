@@ -404,7 +404,60 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** dd12: chunk-level (substring) duplication — split every document
+    * into consecutive non-overlapping 10-word chunks and surface the
+    * chunks that recur across documents. This is the unit of work for
+    * *partial* dedup (strip boilerplate/repeated passages from
+    * otherwise-distinct documents), which whole-document dd1/dd5 can't
+    * see. Per-row HOF chunking (no explode until the chunk is formed),
+    * then one groupBy on the chunk hash — the only shuffle, keyed by
+    * content, so identical passages co-locate no matter which shard of
+    * a 100 TB corpus they came from. */
+  def dd12ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val ChunkW = 10
+    documents(s, dir)
+      .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+      .filter(size(col("w")) >= ChunkW)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), (size(col("w")) / ChunkW).cast("int") - 1),
+          i => concat_ws(" ", slice(col("w"), i * ChunkW + 1, lit(ChunkW))))).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk"))
+  }
+
+  /** dd13: n-gram train/eval contamination — which training documents
+    * share any 7-word n-gram with the held-out slice (doc_id % 20 = 7)?
+    * dd10 catches whole-fingerprint leaks; this is the finer-grained
+    * industry-standard check (n-gram overlap à la GPT-3/PaLM decon).
+    * Scale shape: distinct per-doc n-gram sets stay in-row (HOF), the
+    * eval side's gram set is orders smaller than the corpus and
+    * equi-joins by gram — cost bounded by gram-bucket sizes, never
+    * all-pairs; a semi-join-then-count keeps the output one row per
+    * contaminated doc. */
+  def dd13NgramContamination(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val N = 7
+    val grams = documents(s, dir)
+      .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+      .filter(size(col("w")) >= N)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("w")) - N),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(N)))))).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 20 === 7)
+      .select(col("g")).distinct()
+    grams.filter(col("doc_id") % 20 =!= 7)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_chunk_dedup" -> (dd12ChunkDedup _),
+    "dd13_ngram_contamination" -> (dd13NgramContamination _),
     "ta5_tf_score" -> (ta5TfScore _),
     "ta6_stratified_sample" -> (ta6StratifiedSample _),
     "dd10_contamination" -> (dd10Contamination _),
@@ -467,6 +520,27 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "dd12_chunk_dedup" ->
+      s"""WITH $wordsCte,
+         chunks AS (
+           SELECT doc_id,
+             unnest(list_transform(range(0, CAST(floor(len(w) / 10) AS BIGINT)),
+               i -> array_to_string(w[i*10+1:i*10+10], ' '))) AS chunk
+           FROM words WHERE len(w) >= 10)
+         SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk""",
+    "dd13_ngram_contamination" ->
+      s"""WITH $wordsCte,
+         grams AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 5),
+               i -> array_to_string(w[i:i+6], ' ')))) AS g
+           FROM words WHERE len(w) >= 7),
+         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 7)
+         SELECT g2.doc_id, count(*) AS n_shared_grams
+         FROM grams g2 JOIN ev USING (g) WHERE g2.doc_id % 20 <> 7
+         GROUP BY g2.doc_id ORDER BY g2.doc_id""",
     "ta5_tf_score" ->
       """WITH tok AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w

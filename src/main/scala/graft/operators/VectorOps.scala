@@ -431,8 +431,56 @@ object VectorOps {
         .join(broadcast(pqQueryLut(s, dir)), "q_id"), k)
   }
 
+  /** ann9: filtered (metadata-constrained) top-k — nearest neighbours
+    * restricted to the query's own label. Filtered vector search is
+    * the standard production shape (search within a tenant / language
+    * / class); the filter lands *before* ranking, shrinking the
+    * candidate set rather than post-filtering a top-k that may then
+    * underfill. Composes with the IVF path unchanged: the predicate
+    * applies to the cell-bounded candidate list (ann5/ann8), so the
+    * exact-scan form gated here is the oracle twin of
+    * "IVF probe ∩ metadata filter" at scale. */
+  def ann9FilteredTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("sim", round(cosine(col("q_v"), col("v")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ann10: range (radius) search — ALL neighbours with cosine ≥ τ,
+    * not a fixed k. The other half of the vector-search API surface
+    * (recall-complete retrieval for dedup/contamination sweeps, where
+    * top-k silently truncates). Exact-scan baseline by contract — the
+    * scale path is the banded-hyperplane candidate generation already
+    * proven by dd8/ann4 (τ maps to a Hamming band width), which this
+    * gate row oracle-pins the verify step of. */
+  def ann10RangeSearch(s: SparkSession, dir: String,
+                       tau: Double = 0.30): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_v"), col("v")), 9))
+      .filter(col("sim") >= tau)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann7_pq_topk" -> ((s: SparkSession, dir: String) => ann7PqTopK(s, dir)),
+    "ann9_filtered_topk" -> ((s: SparkSession, dir: String) => ann9FilteredTopK(s, dir)),
+    "ann10_range_search" -> ((s: SparkSession, dir: String) => ann10RangeSearch(s, dir)),
     "ann8_ivfpq_topk" -> ((s: SparkSession, dir: String) => ann8IvfPqTopK(s, dir)),
     "ann1_cosine_topk" -> (ann1CosineTopK _),
     "ann2_label_centroids" -> (ann2LabelCentroids _),
@@ -446,6 +494,36 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann9_filtered_topk" ->
+      """WITH emb AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_v
+               FROM emb WHERE vec_id % 50 = 0),
+         sims AS (
+           SELECT q.q_id, e.vec_id AS n_id,
+             round(list_dot_product(q.q_v, e.v) /
+               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+           FROM q, emb e
+           WHERE e.vec_id <> q.q_id AND e.label = q.q_label),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 5
+         ORDER BY q_id, rank""",
+    "ann10_range_search" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id % 50 = 0),
+         sims AS (
+           SELECT q.q_id, e.vec_id AS n_id,
+             round(list_dot_product(q.q_v, e.v) /
+               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+           FROM q, emb e WHERE e.vec_id <> q.q_id)
+         SELECT q_id, n_id, sim FROM sims WHERE sim >= 0.30
+         ORDER BY q_id, n_id""",
     "ann1_cosine_topk" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
