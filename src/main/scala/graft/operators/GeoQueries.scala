@@ -352,7 +352,31 @@ object GeoQueries {
       .orderBy(col("s_id"), col("t_id"))
   }
 
+  /** sp14: Z-order layout pruning — parts whose box min-corner falls
+    * in the 64×64-aligned query tile at (512, 256), retrieved purely
+    * through a RANGE predicate on the Morton z-value. For an aligned
+    * power-of-two tile the z-values of interior cells are one
+    * contiguous interval (the curve's prefix property), so a table
+    * written sorted by zval answers spatial tile queries through
+    * ordinary parquet min/max file statistics — the at-rest layout
+    * story for 100 TB (see [[graft.functions.ZCurve.layoutByZ]]).
+    * ZCurveSpec proves range ≡ box predicate on every aligned tile. */
+  def sp14Zorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZCurve
+    val lo = ZCurve.zValueOf(512, 256, 10)
+    val hi = ZCurve.zValueOf(512 + 63, 256 + 63, 10)
+    part(s, dir)
+      .select(col("p_partkey").as("id"),
+        ((col("p_partkey") * 13) % 980).as("x"),
+        ((col("p_partkey") * 29) % 980).as("y"))
+      .withColumn("zval", ZCurve.zValue(col("x"), col("y"), 10))
+      .filter(col("zval").between(lo, hi))
+      .select(col("id"), col("x"), col("y"), col("zval"))
+      .orderBy(col("zval"), col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp14_zorder"        -> (sp14Zorder _),
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
     "sp3_relation_counts" -> (sp3RelationCounts _),
@@ -390,6 +414,20 @@ object GeoQueries {
     s"($sqlStrictOverlap) AND NOT ($sqlContains) AND NOT ($sqlWithin)"
 
   val oracles: Map[String, String] = Map(
+    "sp14_zorder" -> {
+      import graft.functions.ZCurve
+      val lo = ZCurve.zValueOf(512, 256, 10)
+      val hi = ZCurve.zValueOf(512 + 63, 256 + 63, 10)
+      s"""WITH pts AS (
+           SELECT p_partkey AS id, (p_partkey * 13) % 980 AS x,
+                  (p_partkey * 29) % 980 AS y
+           FROM part),
+         z AS (SELECT id, x, y,
+                 ${ZCurve.zValueSql("x", "y", 10)} AS zval FROM pts)
+         SELECT id, x, y, zval FROM z
+         WHERE zval BETWEEN $lo AND $hi
+         ORDER BY zval, id"""
+    },
     "sp1_point_in_box" ->
       s"""$geomCtes
          SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
