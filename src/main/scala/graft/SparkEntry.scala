@@ -27,8 +27,11 @@ object SparkEntry {
     Analytics.queries ++ GeoQueries.queries ++ ProgressiveQueries.queries ++
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
       EventOps.queries ++
-      Map("st1_stream_sessionize" -> ((s: SparkSession, dir: String) =>
-        graft.streaming.EventStream.sessionizeGate(s, dir)))
+      Map(
+        "st1_stream_sessionize" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.sessionizeGate(s, dir)),
+        "st2_stream_interval_join" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.intervalJoinGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +39,7 @@ object SparkEntry {
     Analytics.oracles ++ GeoQueries.oracles ++ ProgressiveQueries.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
       EventOps.oracles ++
-      Map("st1_stream_sessionize" -> Analytics.oracles("q14_sessionize"))
+      Map(
+        "st1_stream_sessionize" -> Analytics.oracles("q14_sessionize"),
+        "st2_stream_interval_join" -> EventOps.oracles("tj2_interval_join"))
 }

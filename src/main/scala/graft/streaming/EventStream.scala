@@ -216,6 +216,75 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream interval join — every same-user (error, click) pair
+    * within ±halfWindow, continuously. The streaming twin of the batch
+    * [[graft.operators.EventOps.tj2IntervalJoin]]: both watermarked
+    * sides buffer only rows the time-range condition can still match
+    * (state evicted once the watermark passes ts + halfWindow), so
+    * state is O(rate × window), never O(stream). This is the canonical
+    * structured-streaming join shape: equality key for the shuffle,
+    * range predicate for state cleanup. */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame,
+                   halfWindowMinutes: Int = 30,
+                   lateness: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("ts", lateness)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("ts").as("err_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $halfWindowMinutes MINUTES") &&
+        col("click_ts") <= col("err_ts") + expr(s"INTERVAL $halfWindowMinutes MINUTES"))
+      .select(col("err_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("err_ts"))).as("gap_us"))
+  }
+
+  /** Driver-gate harness for the stream-stream join: replay the batch
+    * events table through TWO MemoryStreams (errors / clicks) in four
+    * globally ts-ordered chunks — watermarks on both sides advance
+    * together, join state spans micro-batch boundaries — and gate the
+    * emitted pairs against the batch tj2 oracle. Same contract note as
+    * [[sessionizeGate]]: the collect is the bounded replay harness,
+    * production uses [[readEvents]]. */
+  def intervalJoinGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect()
+    val memE = MemoryStream[(Long, Long, Long)]
+    val memC = MemoryStream[(Long, Long, Long)]
+    def toEvents(m: MemoryStream[(Long, Long, Long)]): DataFrame =
+      m.toDF().toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val name = s"st2_gate_${gateRuns.incrementAndGet()}"
+    val shufflePartsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(shufflePartsKey)
+    spark.conf.set(shufflePartsKey, "8")
+    val q = intervalJoin(toEvents(memE), toEvents(memC))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        val (es, cs) = batch.partition(_._4 == "error")
+        memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        memC.addData(cs.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set(shufflePartsKey, savedParts)
+    }
+    spark.table(name).orderBy(col("err_id"), col("click_id"))
+  }
+
   /** Run the hourly aggregation over static parquet via the streaming
     * engine into an in-memory sink; returns the finished query. */
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {

@@ -197,6 +197,17 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join replayed over the events table " +
+       "matches the batch tj2 pair-for-pair") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStream.intervalJoinGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.operators.EventOps.tj2IntervalJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "corpus yields no pairs — test is vacuous")
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")
