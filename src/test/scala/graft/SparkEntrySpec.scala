@@ -25,8 +25,9 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.operators.Analytics.queries, graft.operators.GeoQueries.queries,
       graft.operators.ProgressiveQueries.queries, graft.operators.TextOps.queries,
       graft.operators.VectorOps.queries, graft.operators.Multimodal.queries,
-      // the streaming gate registers directly in SparkEntry (st1)
-      SparkEntry.queries.view.filterKeys(_.startsWith("st1")).toMap)
+      graft.operators.EventOps.queries,
+      // the streaming gates register directly in SparkEntry (st1/st2)
+      SparkEntry.queries.view.filterKeys(_.startsWith("st")).toMap)
     val names = all.flatMap(_.keys)
     assert(names.length === names.distinct.length,
       s"duplicate query names: ${names.diff(names.distinct)}")
