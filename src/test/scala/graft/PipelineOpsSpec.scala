@@ -95,4 +95,74 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(m >= 1, s"pair ($a,$b) confirmed by LSH but no matching components")
     }
   }
+
+  test("curation pipeline output passes every stage's predicate and " +
+       "keeps exactly one doc per fingerprint") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    def fingerprint(text: String): String = {
+      val norm = text.take(512).toLowerCase.trim.replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(norm.take(64).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val out = TextOps.cp1CurationPipeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.nonEmpty && out.length < docs.size,
+      "pipeline must drop some rows and keep some")
+    out.foreach { case (id, lang, nTok, bucket) =>
+      assert(docs.contains(id))
+      assert(nTok >= 15)
+      assert(bucket < (if (lang == "en") 60 else 90))
+    }
+    val fps = out.map { case (id, _, _, _) => fingerprint(docs(id)._1) }
+    assert(fps.length === fps.distinct.length,
+      "two surviving docs share a dedup fingerprint")
+  }
+
+  test("semantic dedup drops only vectors with a genuine lower-id " +
+       "near-duplicate at tau") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val out = VectorOps.dd14SemanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty, "corpus yields no semantic dups — test is vacuous")
+    out.foreach { case (dropId, keptBy, nNear, maxSim) =>
+      assert(keptBy < dropId)
+      assert(nNear >= 1)
+      assert(maxSim >= 0.35)
+      // the reported keeper must be a true near-duplicate (cosine at
+      // tau, allowing for the 1e-9 rounding in the operator)
+      assert(cos(emb(dropId), emb(keptBy)) >= 0.35 - 1e-6 ||
+        out.exists(o => o._1 == dropId && cos(emb(dropId), emb(o._2)) >= 0.35 - 1e-6))
+    }
+  }
+
+  test("top-terms scores match brute-force tf/df recomputation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+      .toMap
+    val dfreq = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, occ) => w -> occ.size }
+    val out = TextOps.ta8TopTerms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val ranks = rows.map(_._4).sorted
+      assert(ranks === (1 to rows.length), s"doc $id ranks not 1..k")
+      rows.foreach { case (_, word, score, _) =>
+        val w = docs(id)
+        val expected = w.count(_ == word).toDouble / (w.length.toLong * dfreq(word))
+        assert(score === expected, s"doc $id word '$word'")
+      }
+      // ranks follow score desc, word asc
+      val sorted = rows.sortBy(r => (-r._3, r._2)).map(_._4)
+      assert(sorted === rows.sortBy(_._4).map(_._4))
+    }
+  }
 }
