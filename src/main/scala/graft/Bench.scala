@@ -46,18 +46,36 @@ object Bench {
     // comparison by itself (a 0.6 MB groupBy was once charged 58 s by one
     // such stall). The min is the steady-state cost of the PLAN — the
     // thing a cross-round comparison is meant to measure.
+    // A throwing query must NOT record its time-to-exception as a
+    // plausible runtime (that masked the r5/r6 events breakage for two
+    // rounds): failures report a -1 sentinel time plus the exception
+    // in an `errors` map, and `failed` makes the count impossible to
+    // miss in the one-line artifact.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: Option[String] = None
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> runs.min
+      (name, if (err.isDefined) -1.0 else runs.min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._3.isEmpty)
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val failed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"failed":$failed,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     graft.spark.DfCache.release(spark)
     spark.stop()
   }

@@ -115,12 +115,22 @@ object PlanAudit {
           case c: CartesianProductExec => c: SparkPlan
           case b: BroadcastNestedLoopJoinExec => b: SparkPlan
         }
+        // "Reduced before it moves" counts reduction pushed INTO the
+        // scan node itself: a pruned ReadSchema (fewer columns than the
+        // file) or a pushed data filter means the exchange carries a
+        // narrowed table even with no separate Project/Filter node.
+        def scanIsReduced(scan: FileSourceScanExec): Boolean =
+          scan.requiredSchema.length < scan.relation.dataSchema.length ||
+            scan.dataFilters.nonEmpty || scan.partitionFilters.nonEmpty
         val nakedShuffledScans =
           if (!name.startsWith("q")) Seq.empty
           else nodes.collect {
-            case s: ShuffleExchangeExec
-              if throughTransparent(s.child).isInstanceOf[FileSourceScanExec] => s
-          }
+            case s: ShuffleExchangeExec =>
+              throughTransparent(s.child) match {
+                case scan: FileSourceScanExec if !scanIsReduced(scan) => s
+                case _ => null
+              }
+          }.filter(_ != null)
         val probeAggs =
           if (name != "ann7_pq_topk" && name != "ann8_ivfpq_topk") Seq.empty
           else walkProbeSide(df.queryExecution.executedPlan).filter(isAggregate)

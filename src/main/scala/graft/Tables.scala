@@ -19,14 +19,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default; read it as a nanos long and surface a microsecond
-    * timestamp column of the same name. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: parquet TIMESTAMP(NANOS) (Spark refuses by default →
+    * read as nanos long) and parquet timestamp[us] with
+    * isAdjustedToUTC=false (Spark infers TIMESTAMP_NTZ). Read
+    * schema-adaptively so both land on the same logical column: a
+    * session-independent UTC TIMESTAMP in microseconds. NTZ inference
+    * is disabled so the stored micros scan directly as UTC-epoch
+    * TIMESTAMP values regardless of session timezone. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalize whatever physical `ts` the scan produced to a UTC
+    * microsecond TIMESTAMP (shared by the batch reader above and the
+    * streaming reader in [[graft.streaming.EventStream]]). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      // legacy TIMESTAMP(NANOS) scanned as long via nanosAsLong
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ fallback (inference conf not honored): all graft entry
+      // points run session timeZone = UTC, so the cast is the identity
+      // reinterpretation of the stored wall-clock as a UTC instant
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -24,24 +24,27 @@ case class UserSession(user_id: Long, start_us: Long, end_us: Long, n_events: Lo
   */
 object EventStream {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) → read as long). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema as stored — the streaming file source requires an
+    * explicit schema, and the physical `ts` type has varied across
+    * testdata generations (TIMESTAMP(NANOS)-as-long vs timestamp[us]).
+    * Derive it from a batch footer read of the same file so the stream
+    * always matches what is actually on disk, then normalize `ts` the
+    * same way the batch reader does ([[graft.Tables.normalizeEventTs]]).
+    * The footer read is one driver-side metadata fetch, not a scan. */
+  def eventsSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The streaming file source needs a directory; events.parquet is a
     // single file, so stream the parent dir with a glob filter.
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(eventsSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming exactly-once event dedup — the ingestion-side guard an
