@@ -36,9 +36,9 @@ object PlanAudit {
 
   // dd7/ann1: documented exact baselines (bucketed scale paths are
   // dd8/ann3/ann4). ann3/ann5: the cell-assignment crossJoin broadcasts
-  // the CENTROID table — #labels rows for ann3, ceil(sqrt(n)) for ann5 —
-  // which is the standard IVF coarse-quantizer shape (every vector must
-  // score every centroid), not an unbounded data-data join.
+  // the CENTROID table — ceil(sqrt(n))/2 rows for ann3, ceil(sqrt(n))
+  // for ann5 — which is the standard IVF coarse-quantizer shape (every
+  // vector must score every centroid), not an unbounded data-data join.
   private val allowedUnbounded =
     Set("dd7_embedding_dups", "ann1_cosine_topk", "ann3_ivf_topk",
         "ann6_sq_topk",

