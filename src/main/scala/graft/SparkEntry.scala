@@ -31,7 +31,9 @@ object SparkEntry {
         "st1_stream_sessionize" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.sessionizeGate(s, dir)),
         "st2_stream_interval_join" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.intervalJoinGate(s, dir)))
+          graft.streaming.EventStream.intervalJoinGate(s, dir)),
+        "st3_stream_hourly" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.hourlyGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +43,12 @@ object SparkEntry {
       EventOps.oracles ++
       Map(
         "st1_stream_sessionize" -> Analytics.oracles("q14_sessionize"),
-        "st2_stream_interval_join" -> EventOps.oracles("tj2_interval_join"))
+        "st2_stream_interval_join" -> EventOps.oracles("tj2_interval_join"),
+        // q6 restricted to the streamed columns (the streaming agg has
+        // no countDistinct: approximate distinct is the streaming-state
+        // answer at scale and would not be hash-exact)
+        "st3_stream_hourly" ->
+          """SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -288,6 +288,20 @@ object EventStream {
     spark.table(name).orderBy(col("err_id"), col("click_id"))
   }
 
+  /** st3 driver gate: the streaming hourly aggregation run over the
+    * PRODUCTION reader path — [[readEvents]]' schema-adaptive streaming
+    * file source, not a MemoryStream replay — to completion against the
+    * static events table; the oracle is the batch q6 SQL restricted to
+    * the streamed columns. Complements st1/st2: those gate stateful
+    * operators under micro-batch replay, this gates the file-source +
+    * watermark + windowed-agg path end to end. */
+  def hourlyGate(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"st3_gate_${gateRuns.incrementAndGet()}"
+    val q = runToMemory(spark, dir, name)
+    q.stop()
+    spark.table(name).orderBy(col("event_type"), col("hour"))
+  }
+
   /** Run the hourly aggregation over static parquet via the streaming
     * engine into an in-memory sink; returns the finished query. */
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
