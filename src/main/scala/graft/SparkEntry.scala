@@ -33,7 +33,9 @@ object SparkEntry {
         "st2_stream_interval_join" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.intervalJoinGate(s, dir)),
         "st3_stream_hourly" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.hourlyGate(s, dir)))
+          graft.streaming.EventStream.hourlyGate(s, dir)),
+        "st4_stream_dedupe" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.dedupeGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +52,10 @@ object SparkEntry {
         "st3_stream_hourly" ->
           """SELECT event_type, date_trunc('hour', ts) AS hour,
              count(*) AS n_events, round(sum(value), 2) AS sum_value
-             FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        // the stream received every row TWICE; exactly-once dedup must
+        // land back on the raw table's per-type cardinalities
+        "st4_stream_dedupe" ->
+          """SELECT event_type, count(*) AS n_unique
+             FROM events GROUP BY 1 ORDER BY 1""")
 }

@@ -288,6 +288,51 @@ object EventStream {
     spark.table(name).orderBy(col("err_id"), col("click_id"))
   }
 
+  /** st4 driver gate: streaming exactly-once dedup
+    * ([[dedupe]]: dropDuplicatesWithinWatermark, state purged past the
+    * lateness window). Replays the events table through a MemoryStream
+    * with EVERY ROW SENT TWICE (adjacent-batch duplicates — the
+    * at-least-once delivery failure mode), so the gate is non-vacuous:
+    * the stream carries 2n rows and must emit exactly n. The oracle is
+    * the batch per-type distinct count over the raw table. Same
+    * bounded-replay contract as st1/st2. */
+  def dedupeGate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, String)].collect()
+    val mem = MemoryStream[(Long, Long, String)]
+    val name = s"st4_gate_${gateRuns.incrementAndGet()}"
+    val shufflePartsKey = "spark.sql.shuffle.partitions"
+    val savedParts = spark.conf.get(shufflePartsKey)
+    spark.conf.set(shufflePartsKey, "8")
+    val q = dedupe(mem.toDF().toDF("event_id", "us", "event_type")
+        .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        // duplicate delivery of the SAME batch one trigger later —
+        // all within the 2h lateness, so every copy must be dropped
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set(shufflePartsKey, savedParts)
+    }
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("event_type"))
+  }
+
   /** st3 driver gate: the streaming hourly aggregation run over the
     * PRODUCTION reader path — [[readEvents]]' schema-adaptive streaming
     * file source, not a MemoryStream replay — to completion against the

@@ -28,7 +28,8 @@ class RegistryAnalyzeSpec extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
   private val executesOnBuild =
-    Set("st1_stream_sessionize", "st2_stream_interval_join", "st3_stream_hourly")
+    Set("st1_stream_sessionize", "st2_stream_interval_join",
+        "st3_stream_hourly", "st4_stream_dedupe")
 
   test("every registered gate query analyzes against the sf0.001 schemas") {
     spark.sparkContext.setLogLevel("ERROR")
