@@ -502,6 +502,35 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** ta9: sequence packing — the pretraining-data step that
+    * concatenates documents into fixed token-budget sequences
+    * (budget=512 tokens here): each doc is assigned the pack its FIRST
+    * token lands in under in-order concatenation, plus its start
+    * offset within that pack (docs may span pack boundaries — the
+    * standard concat-and-split packing).
+    *
+    * 100 TB shape: a GLOBAL concatenation order would serialize the
+    * corpus, so packing is sharded — deterministic md5(doc_id) shards,
+    * one running-sum window per shard. One shuffle on shard key,
+    * parallelism = shard count (a real deployment sets shards ≈ output
+    * file count); no state beyond the window's running sum. */
+  def ta9SequencePack(s: SparkSession, dir: String, budget: Int = 512,
+                      shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % shards)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) div $budget"))
+      .withColumn("offset", (col("cum") - col("n_tokens")) % budget)
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("offset"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dd12: chunk-level (substring) duplication — split every document
     * into consecutive non-overlapping 10-word chunks and surface the
     * chunks that recur across documents. This is the unit of work for
@@ -560,6 +589,7 @@ object TextOps {
     "dd13_ngram_contamination" -> (dd13NgramContamination _),
     "ta5_tf_score" -> (ta5TfScore _),
     "ta6_stratified_sample" -> (ta6StratifiedSample _),
+    "ta9_sequence_pack" -> ((s: SparkSession, dir: String) => ta9SequencePack(s, dir)),
     "dd10_contamination" -> (dd10Contamination _),
     "dd11_simhash_pairs" -> ((s: SparkSession, dir: String) =>
       dd11SimhashPairs(s, dir)),
@@ -679,6 +709,19 @@ object TextOps {
          SELECT doc_id, lang, bucket FROM b
          WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
          ORDER BY doc_id""",
+    "ta9_sequence_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS shard
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id, shard, (cum - n_tokens) // 512 AS pack_id,
+           (cum - n_tokens) % 512 AS offset, n_tokens
+         FROM c ORDER BY doc_id""",
     "cp1_curation_pipeline" ->
       """WITH t AS (
            SELECT doc_id, lang, text,
