@@ -48,8 +48,9 @@ object PlanAudit {
         // bytes/vector) is where PQ wins, not candidate pruning
         "ann7_pq_topk",
         // ann8 composes ann5's centroid-broadcast assignment with
-        // ann7's broadcast LUT ranking — same whitelisted shapes
-        "ann8_ivfpq_topk",
+        // ann7's broadcast LUT ranking — same whitelisted shapes;
+        // ann11 is ann8 + a broadcast-shortlist exact rerank
+        "ann8_ivfpq_topk", "ann11_rerank_topk",
         "ann5_ivf_scaled",
         // ann9/ann10: exact-scan baselines by the same contract as
         // ann1 (filtered top-k / range search verify step); the scale

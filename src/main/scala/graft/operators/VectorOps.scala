@@ -434,6 +434,34 @@ object VectorOps {
         .join(broadcast(pqQueryLut(s, dir)), "q_id"), k)
   }
 
+  /** ann11: two-stage retrieval — ADC shortlist, exact re-rank: the
+    * production pattern that recovers accuracy PQ compression gives up.
+    * Stage 1 is ann8's IVF+PQ pipeline at a wider k (shortlist=10):
+    * candidates bounded by the cell key, ranked from 8-byte codes, raw
+    * vectors untouched. Stage 2 joins ONLY the shortlist rows
+    * (queries × 10, broadcast-sized by construction) back to their raw
+    * vectors and re-ranks by exact cosine — so full-width vector reads
+    * are O(queries × shortlist), never O(candidates). Oracle by
+    * composition: the shared IVF+PQ CTEs at rank<=10, re-ranked in
+    * SQL. */
+  def ann11RerankTopK(s: SparkSession, dir: String, shortlist: Int = 10,
+                      k: Int = 3): DataFrame = {
+    val emb = embVectors(s, dir)
+    val short = ann8IvfPqTopK(s, dir, k = shortlist)
+      .select(col("q_id"), col("n_id"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    broadcast(short)
+      .join(emb.select(col("vec_id").as("n_id"), col("v").as("n_v")), "n_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ann9: filtered (metadata-constrained) top-k — nearest neighbours
     * restricted to the query's own label. Filtered vector search is
     * the standard production shape (search within a tenant / language
@@ -521,6 +549,7 @@ object VectorOps {
     "ann9_filtered_topk" -> ((s: SparkSession, dir: String) => ann9FilteredTopK(s, dir)),
     "ann10_range_search" -> ((s: SparkSession, dir: String) => ann10RangeSearch(s, dir)),
     "ann8_ivfpq_topk" -> ((s: SparkSession, dir: String) => ann8IvfPqTopK(s, dir)),
+    "ann11_rerank_topk" -> ((s: SparkSession, dir: String) => ann11RerankTopK(s, dir)),
     "ann1_cosine_topk" -> (ann1CosineTopK _),
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
@@ -531,6 +560,106 @@ object VectorOps {
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
       lshCandidatePairs(s, dir))
   )
+
+  // IVF+PQ pipeline CTEs (DuckDB) shared by the ann8 gate and the
+  // ann11 two-stage rerank composition: IVF codebook -> probe -> PQ
+  // codebooks -> stored codes -> per-query LUT partials -> ADC-ranked
+  // candidates in `ranked`.
+  private val ivfPqCtes: String =
+    """emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
+         cent AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
+         cvec AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
+         asgn AS (
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
+         probe AS (
+           SELECT e.vec_id AS q_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
+         probed AS (SELECT q_id, cell FROM probe WHERE crk <= 4),
+         cands AS (
+           SELECT p.q_id, m.vec_id AS n_id
+           FROM probed p JOIN cells m
+             ON p.cell = m.cell AND m.vec_id <> p.q_id),
+         sub AS (
+           SELECT vec_id, mm.m, v[mm.m*8+1 : mm.m*8+8] AS s
+           FROM emb, (SELECT unnest(range(0, 8)) AS m) mm),
+         pqseeds AS (SELECT m, vec_id AS code, s AS c FROM sub WHERE vec_id < 16),
+         pqa0 AS (
+           SELECT sub.vec_id, sub.m, pqseeds.code,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+               round(list_dot_product(sub.s, sub.s)
+                 - 2*list_dot_product(sub.s, pqseeds.c)
+                 + list_dot_product(pqseeds.c, pqseeds.c), 9) ASC,
+               pqseeds.code ASC) AS rk
+           FROM sub JOIN pqseeds ON sub.m = pqseeds.m),
+         pqmem AS (SELECT vec_id, m, code FROM pqa0 WHERE rk = 1),
+         cw AS (
+           SELECT m, code, list(round(mu, 9) ORDER BY dim) AS c FROM (
+             SELECT mem.m, mem.code, d.dim, avg(s.s[d.dim + 1]) AS mu
+             FROM pqmem mem
+             JOIN sub s ON s.vec_id = mem.vec_id AND s.m = mem.m,
+                  (SELECT unnest(range(0, 8)) AS dim) d
+             GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         codes AS (
+           SELECT vec_id, m, code FROM (
+             SELECT sub.vec_id, sub.m, cw.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                 round(list_dot_product(sub.s, sub.s)
+                   - 2*list_dot_product(sub.s, cw.c)
+                   + list_dot_product(cw.c, cw.c), 9) ASC,
+                 cw.code ASC) AS rk
+             FROM sub JOIN cw ON sub.m = cw.m) WHERE rk = 1),
+         qsub AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id % 50 = 0),
+         partial AS (
+           SELECT ca.q_id, ca.n_id, q.m,
+             round(list_dot_product(q.qs, cw.c), 9) AS pd
+           FROM cands ca
+           JOIN qsub q ON q.q_id = ca.q_id
+           JOIN codes co ON co.vec_id = ca.n_id AND co.m = q.m
+           JOIN cw ON cw.m = co.m AND cw.code = co.code),
+         adc AS (
+           SELECT q_id, n_id, round(list_sum(list(pd ORDER BY m)), 6) AS sim
+           FROM partial GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM adc)"""
 
   val oracles: Map[String, String] = Map(
     // dd14 reuses ann5's deterministic codebook CTE chain (seeds →
@@ -735,101 +864,25 @@ object VectorOps {
           ORDER BY 1, 2"""
     },
     "ann8_ivfpq_topk" ->
-      """WITH emb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         params AS (
-           SELECT greatest(CAST(1 AS BIGINT),
-             CAST(count(*) AS BIGINT) //
-               greatest(CAST(2 AS BIGINT),
-                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
-           FROM emb),
-         seeds AS (
-           SELECT vec_id AS cell, v AS c_v FROM emb, params
-           WHERE vec_id % step = 0),
-         asgn0 AS (
-           SELECT e.vec_id, e.v, s.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.v, s.c_v) /
-                 (sqrt(list_dot_product(e.v, e.v)) *
-                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
-               s.cell ASC) AS crk
-           FROM emb e, seeds s),
-         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
-         cent AS (
-           SELECT cell, dim, avg(val) AS m
-           FROM (SELECT cell, unnest(v) AS val,
-                   generate_subscripts(v, 1) - 1 AS dim FROM members)
-           GROUP BY 1, 2),
-         cvec AS (
-           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
-           FROM cent GROUP BY cell),
-         asgn AS (
-           SELECT e.vec_id, e.v, c.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.v, c.c_v) /
-                 (sqrt(list_dot_product(e.v, e.v)) *
-                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
-               c.cell ASC) AS crk
-           FROM emb e, cvec c),
-         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
-         probe AS (
-           SELECT e.vec_id AS q_id, c.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.v, c.c_v) /
-                 (sqrt(list_dot_product(e.v, e.v)) *
-                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
-               c.cell ASC) AS crk
-           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
-         probed AS (SELECT q_id, cell FROM probe WHERE crk <= 4),
-         cands AS (
-           SELECT p.q_id, m.vec_id AS n_id
-           FROM probed p JOIN cells m
-             ON p.cell = m.cell AND m.vec_id <> p.q_id),
-         sub AS (
-           SELECT vec_id, mm.m, v[mm.m*8+1 : mm.m*8+8] AS s
-           FROM emb, (SELECT unnest(range(0, 8)) AS m) mm),
-         pqseeds AS (SELECT m, vec_id AS code, s AS c FROM sub WHERE vec_id < 16),
-         pqa0 AS (
-           SELECT sub.vec_id, sub.m, pqseeds.code,
-             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
-               round(list_dot_product(sub.s, sub.s)
-                 - 2*list_dot_product(sub.s, pqseeds.c)
-                 + list_dot_product(pqseeds.c, pqseeds.c), 9) ASC,
-               pqseeds.code ASC) AS rk
-           FROM sub JOIN pqseeds ON sub.m = pqseeds.m),
-         pqmem AS (SELECT vec_id, m, code FROM pqa0 WHERE rk = 1),
-         cw AS (
-           SELECT m, code, list(round(mu, 9) ORDER BY dim) AS c FROM (
-             SELECT mem.m, mem.code, d.dim, avg(s.s[d.dim + 1]) AS mu
-             FROM pqmem mem
-             JOIN sub s ON s.vec_id = mem.vec_id AND s.m = mem.m,
-                  (SELECT unnest(range(0, 8)) AS dim) d
-             GROUP BY 1, 2, 3) GROUP BY 1, 2),
-         codes AS (
-           SELECT vec_id, m, code FROM (
-             SELECT sub.vec_id, sub.m, cw.code,
-               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
-                 round(list_dot_product(sub.s, sub.s)
-                   - 2*list_dot_product(sub.s, cw.c)
-                   + list_dot_product(cw.c, cw.c), 9) ASC,
-                 cw.code ASC) AS rk
-             FROM sub JOIN cw ON sub.m = cw.m) WHERE rk = 1),
-         qsub AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id % 50 = 0),
-         partial AS (
-           SELECT ca.q_id, ca.n_id, q.m,
-             round(list_dot_product(q.qs, cw.c), 9) AS pd
-           FROM cands ca
-           JOIN qsub q ON q.q_id = ca.q_id
-           JOIN codes co ON co.vec_id = ca.n_id AND co.m = q.m
-           JOIN cw ON cw.m = co.m AND cw.code = co.code),
-         adc AS (
-           SELECT q_id, n_id, round(list_sum(list(pd ORDER BY m)), 6) AS sim
-           FROM partial GROUP BY 1, 2),
-         ranked AS (
+      s"""WITH $ivfPqCtes
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
+    "ann11_rerank_topk" ->
+      s"""WITH $ivfPqCtes,
+         short AS (SELECT q_id, n_id FROM ranked WHERE rank <= 10),
+         ex AS (
+           SELECT sh.q_id, sh.n_id,
+             round(list_dot_product(q.v, n.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(n.v, n.v))), 9) AS sim
+           FROM short sh
+           JOIN emb q ON q.vec_id = sh.q_id
+           JOIN emb n ON n.vec_id = sh.n_id),
+         rr AS (
            SELECT q_id, n_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
-           FROM adc)
-         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+           FROM ex)
+         SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3
          ORDER BY q_id, rank""",
     "ann7_pq_topk" ->
       """WITH emb AS (
