@@ -58,6 +58,7 @@ object EventOps {
   }
 
   private val HalfWindowUs = 1800L * 1000000L // ±30 min
+  private val FunnelStepUs = 86400L * 1000000L // 24 h per funnel step
 
   /** tj2: interval (range) join — every (`error`, `click`) pair of the
     * same user within ±30 minutes.
@@ -89,6 +90,59 @@ object EventOps {
       .orderBy(col("err_id"), col("click_id"))
   }
 
+  /** tj3: ordered event funnel — completed view → click → purchase
+    * chains per user, each step at most 24 hours after the previous
+    * (this corpus's event density makes sub-hour chains vacuous; the
+    * window is a parameter in spirit — the plan is identical at any
+    * width).
+    * The sessionization-adjacent operator every product-analytics /
+    * training-signal pipeline needs.
+    *
+    * Plan shape: two chained as-of passes in the tj1 union-and-scan
+    * form — pass 1 stamps every click with its most recent view
+    * (window carry of `last(ignoreNulls)`), pass 2 stamps every
+    * purchase with its most recent QUALIFIED click (one that completed
+    * step 1), carrying the click's view id along. Both windows
+    * partition on user_id with compatible ordering, so Catalyst reuses
+    * ONE exchange+sort per pass over narrow rows — never a per-step
+    * theta-join. */
+  def tj3Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    def side(tpe: String, sd: Int) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(sd).as("side"), col("event_id").as("eid"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p1 = side("view", 0).unionByName(side("click", 1))
+      .withColumn("v_eid",
+        last(when(col("side") === 0, col("eid")), ignoreNulls = true).over(w))
+      .withColumn("v_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+    val qualifiedClicks = p1
+      .filter(col("side") === 1 && col("v_us").isNotNull &&
+        col("us") - col("v_us") <= FunnelStepUs)
+      .select(col("user_id"), col("us"), lit(0).as("side"), col("eid"),
+        col("v_eid"), col("v_us"))
+    val purchases = side("purchase", 1)
+      .withColumn("v_eid", lit(null).cast("long"))
+      .withColumn("v_us", lit(null).cast("long"))
+    qualifiedClicks.unionByName(purchases)
+      .withColumn("c_eid",
+        last(when(col("side") === 0, col("eid")), ignoreNulls = true).over(w))
+      .withColumn("c_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .withColumn("cv_eid",
+        last(when(col("side") === 0, col("v_eid")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("c_us").isNotNull &&
+        col("us") - col("c_us") <= FunnelStepUs)
+      .select(col("eid").as("purch_id"), col("user_id"),
+        col("us").as("purch_us"), col("c_eid").as("click_id"),
+        col("cv_eid").as("view_id"))
+      .orderBy(col("purch_id"))
+  }
+
   /** se1: semi-structured extraction — parse the `props` JSON column
     * (codegen'd `get_json_object`, no UDF) and aggregate the extracted
     * field per event type. The 100 TB story: JSON stays schemaless in
@@ -108,6 +162,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tj1_asof_join" -> (tj1AsofJoin _),
     "tj2_interval_join" -> (tj2IntervalJoin _),
+    "tj3_funnel" -> (tj3Funnel _),
     "se1_json_extract" -> (se1JsonExtract _)
   )
 
@@ -143,6 +198,49 @@ object EventOps {
          FROM e JOIN c ON e.user_id = c.user_id
            AND abs(c.click_id_us - e.err_id_us) <= CAST(1800 AS BIGINT) * 1000000
          ORDER BY e.err_id, c.click_id""",
+    "tj3_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, epoch_us(ts) AS us, 0 AS side, event_id AS eid
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, event_id
+           FROM events WHERE event_type = 'click'),
+         m1 AS (
+           SELECT *,
+             last_value(CASE WHEN side = 0 THEN eid END IGNORE NULLS)
+               OVER w AS v_eid,
+             last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+               OVER w AS v_us
+           FROM s1
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, side, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         qc AS (
+           SELECT user_id, us, 0 AS side, eid, v_eid, v_us
+           FROM m1 WHERE side = 1 AND v_us IS NOT NULL
+             AND us - v_us <= CAST(86400 AS BIGINT) * 1000000),
+         s2 AS (
+           SELECT * FROM qc
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, event_id,
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+           FROM events WHERE event_type = 'purchase'),
+         m2 AS (
+           SELECT *,
+             last_value(CASE WHEN side = 0 THEN eid END IGNORE NULLS)
+               OVER w AS c_eid,
+             last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+               OVER w AS c_us,
+             last_value(CASE WHEN side = 0 THEN v_eid END IGNORE NULLS)
+               OVER w AS cv_eid
+           FROM s2
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, side, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT eid AS purch_id, user_id, us AS purch_us,
+           c_eid AS click_id, cv_eid AS view_id
+         FROM m2
+         WHERE side = 1 AND c_us IS NOT NULL
+           AND us - c_us <= CAST(86400 AS BIGINT) * 1000000
+         ORDER BY purch_id""",
     "se1_json_extract" ->
       """SELECT event_type,
            count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
