@@ -515,11 +515,18 @@ object TextOps {
     * parallelism = shard count (a real deployment sets shards ≈ output
     * file count); no state beyond the window's running sum. */
   def ta9SequencePack(s: SparkSession, dir: String, budget: Int = 512,
-                      shards: Int = 32): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    documents(s, dir)
+                      shards: Int = 32): DataFrame =
+    sequencePack(documents(s, dir)
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** Shared concat-and-split packing over a (doc_id, n_tokens) frame
+    * (see [[ta9SequencePack]] for semantics and the 100 TB shape). */
+  private def sequencePack(docs: DataFrame, budget: Int,
+                           shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
       .withColumn("shard",
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % shards)
@@ -530,6 +537,19 @@ object TextOps {
         col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** cp2: curate-then-pack — the corpus-construction endgame composed
+    * end to end: cp1's curated survivor set (quality filters → exact
+    * dedup → language-stratified sample) packed into fixed 512-token
+    * training sequences by [[sequencePack]]. One extra shuffle (the
+    * shard key) over the already-narrow cp1 output; the packing sees
+    * only survivors, so sequence boundaries are computed on the final
+    * corpus, never on rows that dedup/sampling later removes. */
+  def cp2CuratePack(s: SparkSession, dir: String, budget: Int = 512,
+                    shards: Int = 32): DataFrame =
+    sequencePack(cp1CurationPipeline(s, dir)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens")),
+      budget, shards)
 
   /** dd12: chunk-level (substring) duplication — split every document
     * into consecutive non-overlapping 10-word chunks and surface the
@@ -584,6 +604,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
+    "cp2_curate_pack" -> ((s: SparkSession, dir: String) => cp2CuratePack(s, dir)),
     "ta8_top_terms" -> ((s: SparkSession, dir: String) => ta8TopTerms(s, dir)),
     "dd12_chunk_dedup" -> (dd12ChunkDedup _),
     "dd13_ngram_contamination" -> (dd13NgramContamination _),
@@ -608,6 +629,29 @@ object TextOps {
   )
 
   // ---- DuckDB oracles ----
+
+  // cp1 curation CTEs (DuckDB) shared with the cp2 curate-then-pack
+  // composition; ends at q2 (deduped, bucketed survivors).
+  private val curationCtes: String =
+    """t AS (
+           SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+               length(text) AS alpha
+           FROM documents),
+         q1 AS (SELECT * FROM t WHERE n_tokens >= 15 AND alpha >= 0.80),
+         fp AS (
+           SELECT *, md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))),
+             '\s+', ' ', 'g'), 1, 64)) AS f
+           FROM q1),
+         d AS (SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep FROM fp),
+         q2 AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+               AS bucket
+           FROM d WHERE doc_id = keep)"""
+
+
 
   private val wordsCte =
     """words AS (
@@ -723,26 +767,24 @@ object TextOps {
            (cum - n_tokens) % 512 AS offset, n_tokens
          FROM c ORDER BY doc_id""",
     "cp1_curation_pipeline" ->
-      """WITH t AS (
-           SELECT doc_id, lang, text,
-             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
-             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
-               length(text) AS alpha
-           FROM documents),
-         q1 AS (SELECT * FROM t WHERE n_tokens >= 15 AND alpha >= 0.80),
-         fp AS (
-           SELECT *, md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))),
-             '\s+', ' ', 'g'), 1, 64)) AS f
-           FROM q1),
-         d AS (SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep FROM fp),
-         q2 AS (
-           SELECT doc_id, lang, n_tokens,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
-               AS bucket
-           FROM d WHERE doc_id = keep)
+      s"""WITH $curationCtes
          SELECT doc_id, lang, n_tokens, bucket FROM q2
          WHERE bucket < CASE WHEN lang = 'en' THEN 60 ELSE 90 END
          ORDER BY doc_id""",
+    "cp2_curate_pack" ->
+      s"""WITH $curationCtes,
+         kept AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS shard
+           FROM q2
+           WHERE bucket < CASE WHEN lang = 'en' THEN 60 ELSE 90 END),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+           FROM kept)
+         SELECT doc_id, shard, (cum - n_tokens) // 512 AS pack_id,
+           (cum - n_tokens) % 512 AS offset, n_tokens
+         FROM c ORDER BY doc_id""",
     "ta8_top_terms" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
