@@ -215,6 +215,31 @@ object TextOps {
       .select(col("id").as("doc_id"), col("component").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** dd15: cluster keeper selection — the decision step after
+    * clustering (dd9): each near-dup cluster keeps its most-connected
+    * member (highest degree in the verified pair graph; ties → lowest
+    * doc_id), the standard "most central = best canonical" heuristic.
+    * Degrees are one narrow union + groupBy over the pair list;
+    * keeper + member count come from two windows sharing the cluster
+    * partitioning (one exchange). Everything downstream of the dd5
+    * pair generation is O(|pairs|), never corpus-sized. */
+  def dd15ClusterKeeper(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dd5LshPairs(s, dir).select(col("id_a"), col("id_b"))
+    val deg = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    dd9NearDupClusters(s, dir)
+      .join(deg, "doc_id")
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(col("degree").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("degree").as("keep_degree"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** dd6: SimHash — 16-bit frequency-weighted signature from the word
     * hashes; each bit is the sign of a per-bit +1/-1 vote sum. */
   def dd6Simhash(s: SparkSession, dir: String): DataFrame = {
@@ -620,6 +645,7 @@ object TextOps {
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
     "dd3_jaccard_pairs" -> (dd3JaccardPairs _),
     "dd9_neardup_clusters" -> (dd9NearDupClusters _),
+    "dd15_cluster_keeper" -> (dd15ClusterKeeper _),
     "dd4_minhash_signatures" -> (dd4MinhashSignatures _),
     "dd5_lsh_pairs" -> ((s: SparkSession, dir: String) => dd5LshPairs(s, dir)),
     "dd6_simhash" -> (dd6Simhash _),
@@ -894,6 +920,28 @@ object TextOps {
             SELECT e.b AS id, reach.r FROM reach JOIN und e ON reach.id = e.a)
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach
           GROUP BY id ORDER BY doc_id""",
+    // dd9's closure + degree argmax per cluster
+    "dd15_cluster_keeper" ->
+      s"""WITH RECURSIVE $dd5PairCtes,
+          pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          verts AS (SELECT DISTINCT a AS id FROM und),
+          reach AS (
+            SELECT id, id AS r FROM verts
+            UNION
+            SELECT e.b AS id, reach.r FROM reach JOIN und e ON reach.id = e.a),
+          clusters AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          deg AS (SELECT a AS doc_id, count(*) AS degree FROM und GROUP BY a),
+          ranked AS (
+            SELECT c.cluster_id, c.doc_id, d.degree,
+              row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY d.degree DESC, c.doc_id ASC) AS rk,
+              count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+            FROM clusters c JOIN deg d USING (doc_id))
+          SELECT cluster_id, doc_id AS keep_id, degree AS keep_degree, n_members
+          FROM ranked WHERE rk = 1 ORDER BY cluster_id""",
     "dd6_simhash" -> {
       val votes = (0 until 16).map { j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
