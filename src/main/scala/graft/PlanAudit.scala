@@ -19,11 +19,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      documented exact-baseline queries (dd7 brute-force dedup, ann1
   *      brute-force top-k, the ANN codebook scans) whose bucketed
   *      scale paths are dd8/ann3/ann4/ann5/ann8;
-  *   3. on the q* relational analytics: no shuffle exchange sitting
-  *      DIRECTLY on a parquet scan — every scanned table must be
-  *      reduced before it moves (pushed filter, pruned projection, or
-  *      a partial aggregate; broadcast of the small side otherwise),
-  *      i.e. pushdown actually reached the scan;
+  *   3. on EVERY gate query (widened from q*-only in round 7): no
+  *      shuffle exchange sitting directly on an UNREDUCED parquet
+  *      scan — every scanned table must shrink before it moves: a
+  *      pushed filter or pruned projection inside the scan node
+  *      itself, a Project/Filter/partial-aggregate above it, or a
+  *      broadcast of the small side — i.e. pushdown actually reached
+  *      the scan;
   *   4. on ann7/ann8: no aggregate operator outside broadcast /
   *      cached-build subtrees — the map-side-ADC guarantee that
   *      nothing shuffles between candidate generation and the top-k
@@ -124,8 +126,7 @@ object PlanAudit {
           scan.requiredSchema.length < scan.relation.dataSchema.length ||
             scan.dataFilters.nonEmpty || scan.partitionFilters.nonEmpty
         val nakedShuffledScans =
-          if (!name.startsWith("q")) Seq.empty
-          else nodes.collect {
+          nodes.collect {
             case s: ShuffleExchangeExec =>
               throughTransparent(s.child) match {
                 case scan: FileSourceScanExec if !scanIsReduced(scan) => s
