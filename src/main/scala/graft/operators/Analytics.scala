@@ -185,6 +185,38 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q16: trailing-window rate anomaly detection — hourly event counts
+    * whose z-score against the PRECEDING 24 hours (per type) exceeds
+    * |2|, with at least 12 trailing samples. The streaming-adjacent
+    * monitoring query every event pipeline runs.
+    *
+    * Determinism contract: mean and variance are derived from the
+    * trailing counts' integer sums (sum, sum of squares) inside one
+    * rows-frame window, so both engines evaluate the identical IEEE
+    * expression tree over identical integers — the z-score is
+    * bit-equal and the oracle exact. Plan: one partial-aggregated
+    * groupBy, one frame-bounded window per type — O(types) partitions
+    * of O(hours) rows, no self-join against the lagged range. */
+  def q16HourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val h = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    h.withColumn("m", count(lit(1)).over(tw))
+      .withColumn("s", sum(col("n")).over(tw))
+      .withColumn("sq", sum(col("n") * col("n")).over(tw))
+      .filter(col("m") >= 12)
+      .withColumn("z",
+        (col("n").cast("double") - col("s").cast("double") / col("m")) /
+          sqrt((col("sq").cast("double") - col("s").cast("double") * col("s") / col("m")) /
+            (col("m") - 1) + 1e-9))
+      .filter(abs(col("z")) > 2)
+      .select(col("event_type"), col("hour"), col("n").as("n_events"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** Correlated-subquery shape: customers above their nation's average
     * balance (expressed as a window over the nation partition —
     * Catalyst's decorrelated plan). */
@@ -213,6 +245,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_above_nation_avg" -> (q15AboveNationAvg _),
+    "q16_hourly_anomaly" -> (q16HourlyAnomaly _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders_per_customer" -> (q3TopOrdersPerCustomer _),
@@ -231,6 +264,27 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q16_hourly_anomaly" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hour, n,
+             CAST(count(*) OVER tw AS BIGINT) AS m,
+             CAST(sum(n) OVER tw AS BIGINT) AS s,
+             CAST(sum(n * n) OVER tw AS BIGINT) AS sq
+           FROM h
+           WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT event_type, hour, n AS n_events,
+             (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m) /
+               sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / m) /
+                 (m - 1) + 1e-9) AS zs
+           FROM w WHERE m >= 12)
+         SELECT event_type, hour, n_events, round(zs, 4) AS z
+         FROM z WHERE abs(zs) > 2
+         ORDER BY event_type, hour""",
     "q15_above_nation_avg" ->
       """WITH w AS (
            SELECT c_custkey, c_nationkey, c_acctbal,
