@@ -217,6 +217,24 @@ object Analytics {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q17: sketch-based distinct counting — approx_count_distinct
+    * (HyperLogLog++) of users per event type, next to the exact count.
+    * The 100 TB story: exact distinct is a full shuffle of every
+    * distinct key; the HLL sketch is a few KB per group, merged
+    * map-side — THE scale path for cardinality over trillions of
+    * rows. Sketch estimates are engine-specific by nature, so this is
+    * the repo's one deliberately rows-only gate (no value oracle); the
+    * ±5% accuracy claim is spec-asserted against the exact count
+    * (AnalyticsSketchSpec), and the exact column keeps the row count
+    * oracle-checkable. */
+  def q17ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"))
+      .orderBy(col("event_type"))
+
   /** Correlated-subquery shape: customers above their nation's average
     * balance (expressed as a window over the nation partition —
     * Catalyst's decorrelated plan). */
@@ -246,6 +264,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_above_nation_avg" -> (q15AboveNationAvg _),
     "q16_hourly_anomaly" -> (q16HourlyAnomaly _),
+    "q17_approx_distinct" -> (q17ApproxDistinct _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders_per_customer" -> (q3TopOrdersPerCustomer _),

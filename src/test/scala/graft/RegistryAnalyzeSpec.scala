@@ -54,7 +54,12 @@ class RegistryAnalyzeSpec extends AnyFunSuite {
   }
 
   test("every registered query has an oracle (full-strength gate)") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // q17 is the one deliberate rows-only gate: HLL sketch estimates
+    // are engine-specific, so DuckDB can't value-match it; its ±5%
+    // accuracy is spec-asserted instead (AnalyticsSketchSpec).
+    val rowsOnlyByDesign = Set("q17_approx_distinct")
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
   }
 }
