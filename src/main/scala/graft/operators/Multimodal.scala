@@ -98,10 +98,103 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** Decoded WAV features; rms_e4 = floor(rms·10⁴) keeps the column
+    * integer-exact across engines (sum of 8 squared 16-bit samples is
+    * < 2^33 — exact in a double — so the sqrt input is bit-identical). */
+  case class WavFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+                         max_amp: Int, rms_e4: Long)
+
+  /** Build a VALID RIFF/WAVE PCM16 mono file: 44-byte canonical header
+    * + the 16 md5 bytes as 8 big-endian-derived samples written
+    * little-endian (sample i = (b[2i]<<8 | b[2i+1]) - 32768). The
+    * bytes on the wire are a playable WAV — the synthesis stands in
+    * for reading real audio files only in WHERE the bytes come from. */
+  def wavBytes(payload: Array[Byte], sampleRate: Int = 16000): Array[Byte] = {
+    val nSamples = payload.length / 2
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var i = 0
+    while (i + 1 < payload.length) {
+      bb.putShort(((((payload(i) & 0xFF) << 8) | (payload(i + 1) & 0xFF)) - 32768).toShort)
+      i += 2
+    }
+    bb.array()
+  }
+
+  /** REAL WAV parsing — no codec libraries needed, PCM16 is pure byte
+    * arithmetic: RIFF magic check, chunk walk (skipping unknown
+    * chunks), fmt validation (PCM/mono/16-bit), little-endian sample
+    * extraction. Malformed input returns None, never throws. */
+  def parseWav(bytes: Array[Byte]): Option[(Int, Array[Short])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      bb.getInt // declared riff size (unchecked: data chunk len governs)
+      if (tag4() != "WAVE") return None
+      var rate = -1; var bits = -1; var channels = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8) {
+        val id = tag4(); val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return None
+        id match {
+          case "fmt " if len >= 16 =>
+            val fmt = bb.getShort; channels = bb.getShort
+            rate = bb.getInt; bb.getInt; bb.getShort; bits = bb.getShort
+            bb.position(bb.position() + (len - 16))
+            if (fmt != 1) return None
+          case "data" =>
+            samples = Array.fill(len / 2)(bb.getShort)
+            bb.position(bb.position() + (len % 2))
+          case _ => bb.position(bb.position() + len)
+        }
+      }
+      if (rate <= 0 || bits != 16 || channels != 1 || samples == null) None
+      else Some((rate, samples))
+    } catch { case _: Exception => None }
+
+  /** mm4: audio decode END TO END with a real container format — each
+    * doc's payload is materialized as a valid WAV file and then parsed
+    * back through [[parseWav]] inside `mapPartitions` (the batch-decode
+    * contract of mm1), yielding per-clip features. Unlike mm1-mm3's
+    * byte-stat stand-ins, the decode step here is genuine format
+    * plumbing; only the byte SOURCE is synthetic (no media files in
+    * the testdata). Exact oracle: DuckDB recomputes the samples from
+    * the same md5 bytes, and rms is integer-derived (see
+    * [[WavFeatures]]). */
+  def mm4AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        parseWav(wavBytes(payload)).map { case (rate, smp) =>
+          val mx = smp.iterator.map(v => math.abs(v.toInt)).max
+          val sumSq = smp.iterator.map(v => v.toDouble * v).sum
+          val rms = math.sqrt(sumSq / smp.length)
+          WavFeatures(id, rate, smp.length, mx, math.floor(rms * 10000).toLong)
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
-    "mm3_resize" -> ((s: SparkSession, dir: String) => mm3Resize(s, dir))
+    "mm3_resize" -> ((s: SparkSession, dir: String) => mm3Resize(s, dir)),
+    "mm4_audio_decode" -> (mm4AudioDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +223,26 @@ object Multimodal {
            UNION ALL SELECT doc_id, 3, b[11] FROM bytes)
          SELECT doc_id, 2 AS out_w, 2 AS out_h, px_index, value
          FROM px ORDER BY doc_id, px_index""",
+    // Recompute the WAV samples from the md5 bytes: sample i =
+    // (b[2i-1]<<8 | b[2i]) - 32768 (1-based list positions). sumsq of
+    // 8 squared 16-bit values is < 2^33 — exact in a double — so
+    // sqrt's input is bit-identical and floor(rms*1e4) matches.
+    "mm4_audio_decode" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents),
+         smp AS (
+           SELECT doc_id,
+             [b[2*i - 1] * 256 + b[2*i] - 32768 FOR i IN range(1, 9)] AS s
+           FROM bytes)
+         SELECT doc_id, 16000 AS sample_rate, len(s) AS n_samples,
+           list_max(list_transform(s, x -> abs(x))) AS max_amp,
+           CAST(floor(sqrt(CAST(list_sum(list_transform(s,
+             x -> CAST(x AS DOUBLE) * x)) AS DOUBLE) / len(s)) * 10000) AS BIGINT)
+             AS rms_e4
+         FROM smp ORDER BY doc_id""",
     // Decode the same md5 payload byte-by-byte in SQL.
     "mm1_media_features" ->
       """WITH bytes AS (

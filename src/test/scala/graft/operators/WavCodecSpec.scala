@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mm4 WAV path: synthesis must produce a valid RIFF container the
+  * parser round-trips exactly, and the parser must degrade (None, not
+  * throw) on malformed bytes — same robustness bar as the shapefile
+  * reader's fuzz contract.
+  */
+class WavCodecSpec extends AnyFunSuite {
+
+  private def payload(seed: Int): Array[Byte] =
+    Array.tabulate(16)(i => ((seed * 31 + i * 7) % 256).toByte)
+
+  test("synthesized WAV parses back to the exact source samples") {
+    for (seed <- 0 until 50) {
+      val p = payload(seed)
+      val parsed = Multimodal.parseWav(Multimodal.wavBytes(p))
+      assert(parsed.isDefined, s"seed $seed failed to parse")
+      val (rate, smp) = parsed.get
+      assert(rate == 16000 && smp.length == 8)
+      val expected = (0 until 16 by 2).map(i =>
+        ((((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)) - 32768).toShort)
+      assert(smp.toSeq == expected, s"seed $seed samples differ")
+    }
+  }
+
+  test("parser skips unknown chunks and still finds data") {
+    val base = Multimodal.wavBytes(payload(1))
+    // splice a LIST chunk between fmt and data
+    val insertAt = 36 // end of fmt chunk
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = base.take(insertAt) ++ extra ++ base.drop(insertAt)
+    // fix the RIFF size field (bytes 4-7, LE)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val parsed = Multimodal.parseWav(spliced)
+    assert(parsed.isDefined && parsed.get._2.length == 8)
+  }
+
+  test("malformed inputs return None, never throw") {
+    val good = Multimodal.wavBytes(payload(2))
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.empty[Byte],
+      Array[Byte](1, 2, 3),
+      good.take(10),                       // truncated header
+      good.take(40),                       // truncated mid-chunk
+      "JUNK".getBytes("US-ASCII") ++ good.drop(4), // bad magic
+      { val b = good.clone(); b(20) = 3; b },      // non-PCM fmt code
+      { val b = good.clone(); b(22) = 2; b },      // stereo (unsupported)
+      { val b = good.clone(); b(41) = 127; b }     // oversized data len
+    )
+    cases.zipWithIndex.foreach { case (c, i) =>
+      val r = try Multimodal.parseWav(c)
+      catch { case e: Throwable => fail(s"case $i threw ${e.getClass}") }
+      assert(r.isEmpty, s"case $i parsed but should be rejected")
+    }
+  }
+}
