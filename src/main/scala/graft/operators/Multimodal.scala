@@ -190,11 +190,102 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Build a VALID 24-bit uncompressed BMP: BITMAPFILEHEADER +
+    * 40-byte BITMAPINFOHEADER + BGR pixel rows stored BOTTOM-UP with
+    * 4-byte row stride padding (both real BMP quirks). Pixel (x,y) of
+    * the w×h image is the grayscale byte payload(y*w+x) replicated
+    * into B=G=R. */
+  def bmpBytes(payload: Array[Byte], w: Int = 4, h: Int = 4): Array[Byte] = {
+    require(payload.length >= w * h)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataLen = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + dataLen); bb.putInt(0); bb.putInt(54) // size, rsvd, px offset
+    bb.putInt(40); bb.putInt(w); bb.putInt(h) // DIB size, w, +h = bottom-up
+    bb.putShort(1); bb.putShort(24); bb.putInt(0) // planes, bpp, BI_RGB
+    bb.putInt(dataLen); bb.putInt(2835); bb.putInt(2835) // img size, 72 dpi
+    bb.putInt(0); bb.putInt(0) // palette counts
+    for (r <- 0 until h) { // stored row r = image row h-1-r
+      val y = h - 1 - r
+      for (x <- 0 until w) {
+        val g = payload(y * w + x)
+        bb.put(g).put(g).put(g)
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+    }
+    bb.array()
+  }
+
+  /** REAL BMP parsing — magic, pixel-offset indirection, DIB header
+    * validation (24-bit uncompressed), stride arithmetic, and the
+    * bottom-up row flip. Returns luminance bytes in IMAGE order
+    * (row-major top-down), so a parser that forgot the flip or the
+    * stride produces a DIFFERENT pixel sequence and fails the oracle.
+    * Malformed input → None, never throws. */
+  def parseBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.get() != 'B'.toByte || bb.get() != 'M'.toByte) return None
+      bb.getInt; bb.getInt
+      val pxOffset = bb.getInt
+      if (bb.getInt != 40) return None // BITMAPINFOHEADER only
+      val w = bb.getInt; val hRaw = bb.getInt
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      if (bb.getShort != 1) return None
+      if (bb.getShort != 24) return None // 24-bit only
+      if (bb.getInt != 0) return None // BI_RGB (uncompressed)
+      if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return None
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (pxOffset < 0 || pxOffset.toLong + stride.toLong * h > bytes.length)
+        return None
+      val lum = new Array[Int](w * h)
+      for (r <- 0 until h) {
+        val y = if (bottomUp) h - 1 - r else r
+        val rowStart = pxOffset + r * stride
+        for (x <- 0 until w) {
+          val i = rowStart + x * 3
+          val b = bytes(i) & 0xFF; val g = bytes(i + 1) & 0xFF
+          val rr = bytes(i + 2) & 0xFF
+          lum(y * w + x) = (b + g + rr) / 3
+        }
+      }
+      Some((w, h, lum))
+    } catch { case _: Exception => None }
+
+  /** One decoded pixel in image order (doc_id, px_index = y*w+x). */
+  case class DecodedPixel(doc_id: Long, width: Int, height: Int,
+                          px_index: Int, lum: Int)
+
+  /** mm5: image decode END TO END with a real container — the image
+    * twin of mm4: payloads materialize as valid 24-bit BMPs and are
+    * parsed back through [[parseBmp]] per partition batch. The output
+    * is per-pixel in image order, so the bottom-up flip and stride
+    * handling are oracle-verified, not just exercised. */
+  def mm5ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        parseBmp(bmpBytes(payload)).toSeq.flatMap { case (w, h, lum) =>
+          lum.indices.map(i => DecodedPixel(id, w, h, i, lum(i)))
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("px_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_resize" -> ((s: SparkSession, dir: String) => mm3Resize(s, dir)),
-    "mm4_audio_decode" -> (mm4AudioDecode _)
+    "mm4_audio_decode" -> (mm4AudioDecode _),
+    "mm5_image_decode" -> (mm5ImageDecode _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,6 +314,19 @@ object Multimodal {
            UNION ALL SELECT doc_id, 3, b[11] FROM bytes)
          SELECT doc_id, 2 AS out_w, 2 AS out_h, px_index, value
          FROM px ORDER BY doc_id, px_index""",
+    // Correct BMP decoding recovers the md5 bytes in IMAGE order:
+    // lum at px_index i-1 (0-based) = byte i (1-based). A parser that
+    // mishandled the bottom-up flip would emit row-swapped values.
+    "mm5_image_decode" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents)
+         SELECT doc_id, 4 AS width, 4 AS height, (i - 1) AS px_index,
+           b[i] AS lum
+         FROM bytes, unnest(range(1, 17)) AS t(i)
+         ORDER BY doc_id, px_index""",
     // Recompute the WAV samples from the md5 bytes: sample i =
     // (b[2i-1]<<8 | b[2i]) - 32768 (1-based list positions). sumsq of
     // 8 squared 16-bit values is < 2^33 — exact in a double — so
