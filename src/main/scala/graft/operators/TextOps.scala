@@ -210,10 +210,14 @@ object TextOps {
     * DataFrames ([[Components.connectedComponents]]); the oracle is a
     * DuckDB recursive-CTE transitive closure over the same pairs. */
   def dd9NearDupClusters(s: SparkSession, dir: String): DataFrame =
-    Components.connectedComponents(
-      dd5LshPairs(s, dir).select(col("id_a").as("src"), col("id_b").as("dst")))
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    // session-memoized: the CC iteration is the expensive part and its
+    // output is tiny (one row per clustered doc); dd15's keeper
+    // selection reads the same frame, so the diamond runs CC once
+    graft.spark.DfCache.memo(s, s"$dir#dd9clusters") {
+      Components.connectedComponents(
+        dd5LshPairs(s, dir).select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }.orderBy(col("doc_id"))
 
   /** dd15: cluster keeper selection — the decision step after
     * clustering (dd9): each near-dup cluster keeps its most-connected
