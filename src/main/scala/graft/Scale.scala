@@ -97,8 +97,12 @@ object Scale {
             earlyExit = true)
             .select(col("s_id"), col("t_id"), col("intersects")))
           .count()
+      // dd15 includes the dd9 pointer-jumping CC over the dd5 pair
+      // graph — the iterative-DataFrame scale shape, measured here for
+      // the first time (r7); ann11 is ann8 + the bounded exact rerank.
       for (q <- Seq("dd5_lsh_pairs", "dd11_simhash_pairs",
-                    "ann5_ivf_scaled", "ann8_ivfpq_topk"))
+                    "ann5_ivf_scaled", "ann8_ivfpq_topk",
+                    "ann11_rerank_topk", "dd15_cluster_keeper"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd5 at production signature width — the SAME gate operator
       // (TextOps.dd5LshPairs), wider signature: rows-per-band grown
