@@ -50,6 +50,41 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: ranks and prefix sums match brute force " +
+       "across sizes, partitionings, skew, and null values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(3000)
+      val parts = 1 + rnd.nextInt(16)
+      // heavy ties + a skewed hot key + nullable value column (the
+      // pass-1/pass-2 null-skip path: null contributes 0 to sums)
+      val rows = (1 to n).map { i =>
+        val w = if (rnd.nextInt(4) == 0) 7.0 else rnd.nextInt(25).toDouble
+        val v: java.lang.Long =
+          if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf(rnd.nextInt(9))
+        (f"k$i%06d", w, v)
+      }
+      val df = rows.toDF("id", "w", "v").repartition(parts)
+      val rt = Ranks.runningTotals(df, Seq(col("w").desc, col("id").asc),
+        Seq(col("v")), Seq("cum"), rankCol = "rank")
+      val expectedOrder = rows.sortBy { case (id, w, _) => (-w, id) }
+      val expectedTotal = rows.map(r => Option(r._3).map(_.longValue).getOrElse(0L)).sum
+      assert(rt.totals === Seq(n.toLong, expectedTotal), s"trial $trial totals")
+      val got = rt.df.collect()
+        .map(r => (r.getString(0), r.getLong(r.fieldIndex("rank")),
+          r.getLong(r.fieldIndex("cum"))))
+        .sortBy(_._2)
+      assert(got.map(_._1).toSeq === expectedOrder.map(_._1),
+        s"trial $trial (n=$n parts=$parts) rank order")
+      var cum = 0L
+      got.zip(expectedOrder).foreach { case ((id, rank, c), (_, _, v)) =>
+        cum += Option(v).map(_.longValue).getOrElse(0L)
+        assert(c === cum, s"trial $trial prefix at rank $rank")
+      }
+    }
+  }
+
   test("empty input yields empty output and zero totals") {
     import spark.implicits._
     val df = Seq.empty[(String, Double)].toDF("id", "w")
