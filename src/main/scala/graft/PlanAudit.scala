@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, Expression, In, InSet, Literal}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
@@ -29,7 +31,17 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *   4. on ann7/ann8: no aggregate operator outside broadcast /
   *      cached-build subtrees — the map-side-ADC guarantee that
   *      nothing shuffles between candidate generation and the top-k
-  *      ranking window.
+  *      ranking window;
+  *   5. no FilterExec carrying a pushable column-vs-literal atom
+  *      directly above a scan that pushed NOTHING — rule 3's
+  *      reduction test accepts column pruning, so a regression that
+  *      silently loses filter pushdown (while pruning still holds)
+  *      would otherwise go uncaught (round-7 advisory).
+  *
+  * Rule 2 admits a broadcast-nested-loop join structurally when its
+  * build side is aggregate-reduced (a trained codebook / LUT bounded
+  * by its grouping keys) — the name whitelist remains only for the
+  * documented exact-scan baselines whose broadcast side is raw data.
   *
   * Runs from `sbt test` (PlanAuditSpec) so plan-shape regressions fail
   * CI, and as a main for the driver. Usage: runMain graft.PlanAudit [sfDir]
@@ -102,6 +114,53 @@ object PlanAudit {
     case _ => false
   }
 
+  /** True when the subtree contains an aggregate — descending through
+    * adaptive wrappers, reused exchanges, AND cached relations (a
+    * memoized codebook hides its groupBy inside the InMemoryRelation's
+    * cached plan). A broadcast-nested-loop join whose BUILD side passes
+    * this is a data × reduced-table product (e.g. every vector scored
+    * against a trained centroid table bounded by its grouping-key
+    * cardinality), not an unbounded data × data blowup — so rule 2
+    * admits it structurally instead of by query-name whitelist. */
+  private def hasAggregate(p: SparkPlan): Boolean = {
+    def all(x: SparkPlan): Seq[SparkPlan] = {
+      val kids = x match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      x +: kids.flatMap(all)
+    }
+    all(p).exists(isAggregate)
+  }
+
+  private def isReducedBroadcastProduct(b: BroadcastNestedLoopJoinExec): Boolean = {
+    val build = b.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+      case _ => b.right
+    }
+    hasAggregate(build)
+  }
+
+  /** A predicate atom Spark's parquet source can always push: a
+    * column-vs-literal comparison or an IN list. If a FilterExec
+    * holding at least one such atom sits directly on a scan whose
+    * `dataFilters` is EMPTY, filter pushdown was lost (column pruning
+    * alone would still satisfy the rule-3 reduction test — this is the
+    * regression class rule 5 exists to catch). Deliberately
+    * non-pushable predicates (analysis barriers, UDF-wrapped columns)
+    * contain no such atom and are not flagged. */
+  private def hasPushableAtom(e: Expression): Boolean = e match {
+    case b: BinaryComparison =>
+      (b.left.isInstanceOf[Attribute] && b.right.isInstanceOf[Literal]) ||
+        (b.right.isInstanceOf[Attribute] && b.left.isInstanceOf[Literal])
+    case In(a: Attribute, vs) => vs.forall(_.isInstanceOf[Literal])
+    case InSet(_: Attribute, _) => true
+    case other => other.children.exists(hasPushableAtom)
+  }
+
   /** Audit every gate query at `sfDir`; returns (query, problems)
     * pairs — empty problem lists mean a clean plan. Errors surface as
     * a one-element problem list. */
@@ -116,7 +175,8 @@ object PlanAudit {
         }
         val unbounded = nodes.collect {
           case c: CartesianProductExec => c: SparkPlan
-          case b: BroadcastNestedLoopJoinExec => b: SparkPlan
+          case b: BroadcastNestedLoopJoinExec
+            if !isReducedBroadcastProduct(b) => b: SparkPlan
         }
         // "Reduced before it moves" counts reduction pushed INTO the
         // scan node itself: a pruned ReadSchema (fewer columns than the
@@ -136,6 +196,18 @@ object PlanAudit {
         val probeAggs =
           if (name != "ann7_pq_topk" && name != "ann8_ivfpq_topk") Seq.empty
           else walkProbeSide(df.queryExecution.executedPlan).filter(isAggregate)
+        // rule 5: a filter with a pushable column-vs-literal atom
+        // sitting directly on a scan that pushed NOTHING = lost
+        // filter pushdown (mere column pruning would still pass rule 3)
+        val unpushedFilters = nodes.collect {
+          case f: FilterExec =>
+            throughTransparent(f.child) match {
+              case scan: FileSourceScanExec
+                if scan.dataFilters.isEmpty && scan.partitionFilters.isEmpty &&
+                  hasPushableAtom(f.condition) => f
+              case _ => null
+            }
+        }.filter(_ != null)
         Seq(
           if (globalWindows.nonEmpty)
             Some(s"${globalWindows.size} unpartitioned WindowExec") else None,
@@ -146,7 +218,10 @@ object PlanAudit {
               "parquet scan (nothing pushed down before the move)") else None,
           if (probeAggs.nonEmpty)
             Some(s"${probeAggs.size} aggregate(s) on the ADC candidate path " +
-              "(ranking must be map-side)") else None
+              "(ranking must be map-side)") else None,
+          if (unpushedFilters.nonEmpty)
+            Some(s"${unpushedFilters.size} pushable filter(s) directly above " +
+              "a scan that pushed nothing (filter pushdown lost)") else None
         ).flatten
       } catch {
         case e: Throwable => Seq(s"ERR ${e.getMessage}")

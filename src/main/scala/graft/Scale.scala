@@ -102,8 +102,16 @@ object Scale {
       // the first time (r7); ann11 is ann8 + the bounded exact rerank.
       for (q <- Seq("dd5_lsh_pairs", "dd11_simhash_pairs",
                     "ann5_ivf_scaled", "ann8_ivfpq_topk",
-                    "ann11_rerank_topk", "dd15_cluster_keeper"))
+                    "ann11_rerank_topk", "dd15_cluster_keeper",
+                    "ann12_filtered_ivf", "ann13_range_banded"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+      // dd9/dd15's iterative-CC convergence curve: rounds should grow
+      // ~log(max cluster diameter), not with corpus size
+      val (ccLabels, ccRounds) = graft.operators.Components
+        .connectedComponentsWithStats(
+          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+      ccLabels.count()
       // dd5 at production signature width — the SAME gate operator
       // (TextOps.dd5LshPairs), wider signature: rows-per-band grown
       // with log n (r=4 to 100k docs, r=6 beyond; false-candidate rate
@@ -123,14 +131,40 @@ object Scale {
           SparkEntry.queries("dd8_lsh_embedding_dups")(spark, dataDir).count() }
       else println(s"[scale] skipping dd8_lsh_embedding_dups at n=$vecs: " +
         "gate-width signature (4 buckets/band) is quadratic past ~50k vectors")
-      // dd8 at production signature width — widened WITH the corpus,
-      // the way a real deployment tunes LSH (signature packs into one
-      // Long, so ≤64 planes): 8 bits/band to 100k vectors, 12
-      // bits/band beyond (random-pair collision per band ~0.5^bits).
-      val (planes, bands) = if (vecs <= 100000) (64, 8) else (60, 5)
-      results(s"dd8_wide_signature_$planes") = timed(2) {
-        graft.operators.VectorOps.lshCandidatePairs(spark, dataDir,
-          planes = planes, bands = bands, minSim = 0.45).count() }
+      // dd8 at production signature width: since round 8 this IS the
+      // gate operator (dd8_scaled_dups — 64-plane signature, banding
+      // width corpus-branched inside the operator and its oracle), so
+      // the curve below is the hash-gated form's curve, not a
+      // harness-only variant.
+      results("dd8_scaled_dups") = timed(2) {
+        SparkEntry.queries("dd8_scaled_dups")(spark, dataDir).count() }
+
+      // Streaming state-scale: the production FILE source (one
+      // micro-batch per ts-ranged part file, parquet sink, no driver
+      // replay) at EVERY scale — wall-time should track data volume,
+      // state rows should track active users (sessionize) resp.
+      // rate × window (interval join).
+      val (st1Sec, st1Rows, st1State) =
+        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir)
+      val (ij1Sec, ij1Rows, ij1State) =
+        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)
+      // the hash-gated MemoryStream replay harnesses carry bounded
+      // driver collects — run them to 10× (1M rows), never silently
+      val events = Tables.events(spark, dataDir).count()
+      val replayJson = if (events <= 1000000) {
+        val s1 = new graft.streaming.EventStream.ReplayStats
+        val t1 = timed(1) { graft.streaming.EventStream
+          .sessionizeGate(spark, dataDir, Some(s1)).count() }
+        val s2 = new graft.streaming.EventStream.ReplayStats
+        val t2 = timed(1) { graft.streaming.EventStream
+          .intervalJoinGate(spark, dataDir, Some(s2)).count() }
+        f""","st1_replay":{"sec":${t1._1}%.3f,"rows":${t1._2},"state_rows":${s1.maxStateRows}},""" +
+        f""""st2_replay":{"sec":${t2._1}%.3f,"rows":${t2._2},"state_rows":${s2.maxStateRows}}"""
+      } else {
+        println(s"[scale] skipping st1/st2 MemoryStream replay at n=$events: " +
+          "driver-collect harness capped at 1M events (file-source stats cover the scale)")
+        ""
+      }
 
       // A6 per-partition stats over the batch join: hot-spot proof
       val (counted, stats) = SpatialJoin.de9imWithStats(partS, suppS)
@@ -150,8 +184,14 @@ object Scale {
       val qjson = results.map { case (k, (s, _)) => f""""$k":$s%.3f""" }.mkString(",")
       val rjson = results.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")
       val cjson = corpus.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val streamJson =
+        f""""st1_file":{"sec":$st1Sec%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
+        f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State}""" +
+        replayJson
       println(s"""{"scale":$n,"base":"$baseDir","seg_intersects_diff":$segDiff,""" +
-        s""""corpus":{$cjson},"sec":{$qjson},"rows":{$rjson},"a6":{$a6}}""")
+        s""""cc_rounds":$ccRounds,"events":$events,""" +
+        s""""corpus":{$cjson},"sec":{$qjson},"rows":{$rjson},""" +
+        s""""stream":{$streamJson},"a6":{$a6}}""")
       graft.spark.DfCache.release(spark)
     }
     spark.stop()

@@ -34,7 +34,21 @@ object Components {
   /** @param edges DataFrame with `src`, `dst` columns (undirected;
     *              one row per edge, either orientation).
     * @return (id, component) — component = min reachable vertex id. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsWithStats(edges, maxIter)._1
+
+  /** As [[connectedComponents]], also reporting ROUNDS-TO-CONVERGENCE
+    * (the loop exits when a round changes no label, so the value is
+    * the converging round count + 1 verification round). Pointer
+    * jumping doubles propagation distance per round — rounds grow as
+    * O(log max-component-diameter), which the Scale harness records
+    * at 1×/10×/100× as a measured fact. If a corpus ever produced a
+    * giant high-diameter component whose round count grew past ~15,
+    * the escalation path is the large-star/small-star formulation
+    * (Kiveris et al., SoCC 2014), which contracts components in
+    * O(log n) rounds independent of diameter. */
+  def connectedComponentsWithStats(edges: DataFrame,
+                                   maxIter: Int = 30): (DataFrame, Int) = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,6 +100,6 @@ object Components {
       it += 1
     }
     und.unpersist(blocking = false)
-    labels.withColumnRenamed("label", "component")
+    (labels.withColumnRenamed("label", "component"), it)
   }
 }

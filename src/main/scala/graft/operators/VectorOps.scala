@@ -247,7 +247,15 @@ object VectorOps {
     val bucketed = graft.spark.DfCache.memo(s, s"$dir#hyperplane$planes") {
       hyperplaneBuckets(s, dir, planes)
     }
-    val cand = Banding.candidates(bucketed, "vec_id", "sig", bands, rpb)
+    verifyCosinePairs(bucketed,
+      Banding.candidates(bucketed, "vec_id", "sig", bands, rpb), minSim)
+  }
+
+  /** Exact-cosine verification of a candidate pair list against the
+    * memoized signature table's full-width vectors — shared by the
+    * dd8 gate widths. Full vectors join back ONLY for candidates. */
+  private def verifyCosinePairs(bucketed: DataFrame, cand: DataFrame,
+                                minSim: Double): DataFrame = {
     val va = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val vb = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"))
     cand.join(va, "id_a").join(vb, "id_b")
@@ -255,6 +263,97 @@ object VectorOps {
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Corpus-adaptive banding width for the 64-plane signature —
+    * (bands, bitsPerBand): rows-per-band-bucket falls as 2^bits, so
+    * production tuning grows bits with the corpus exactly as dd5 grows
+    * rows-per-band (`TextOps.dd5LshPairs`). ≤100k vectors: 8 bands of
+    * 8 bits (256 buckets/band); beyond: 5 bands of 12 bits (4096
+    * buckets/band, low 60 bits of the signature). Both branches are
+    * one code path over ONE signature family — plane j's weights are
+    * md5(j:dim)-derived independent of the total plane count, so the
+    * branch only changes how the packed long is sliced. */
+  private[operators] def dd8WidthFor(n: Long): (Int, Int) =
+    if (n <= 100000L) (8, 8) else (5, 12)
+
+  /** The shared 64-plane signature table (memoized: quantize + 64
+    * integer plane dots run once per session per corpus). */
+  private def sig64(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#hyperplane64") {
+      hyperplaneBuckets(s, dir, 64)
+    }
+
+  /** dd8_scaled: the PRODUCTION-width form of [[lshCandidatePairs]] —
+    * the same banded-candidates + exact-verify pipeline, with the
+    * banding width chosen from the corpus size ([[dd8WidthFor]]) the
+    * way a real deployment tunes LSH. The narrow (8-plane/4-band)
+    * gate form collides ~everything past ~50k vectors (quadratic
+    * candidates, measured 48 s at 10× in SCALING_r07); this form's
+    * candidate volume is bounded by 2^bits-bucket band sizes at every
+    * scale. The DuckDB oracle carries the SAME corpus-size branch, so
+    * the gate stays hash-exact on either side of the 100k threshold. */
+  def dd8ScaledDups(s: SparkSession, dir: String,
+                    minSim: Double = 0.45): DataFrame = {
+    val bucketed = sig64(s, dir)
+    val (bands, bits) = dd8WidthFor(embVectors(s, dir).count())
+    verifyCosinePairs(bucketed,
+      Banding.candidates(bucketed, "vec_id", "sig", bands, bits), minSim)
+  }
+
+  /** ann12: filtered vector search, BOUNDED form — the IVF probe
+    * (ann5's candidate bounding) composed with the metadata predicate:
+    * per-query candidates are the members of the nprobe probed cells
+    * whose label matches the query's, ranked by exact cosine. The
+    * filter lands on the cell-bounded candidate list BEFORE ranking —
+    * per-query work stays nprobe × n/√n, never a corpus scan — which
+    * is the scale path the exact-scan ann9 gate oracle-pins the verify
+    * step of. Oracle: the proven ann5 CTE chain + the label equi-join. */
+  def ann12FilteredIvf(s: SparkSession, dir: String, k: Int = 3,
+                       nprobe: Int = 4): DataFrame = {
+    val emb = embVectors(s, dir)
+    val labels = embeddings(s, dir).select(col("vec_id"), col("label"))
+    val trained = ivfTrained(s, dir)
+    val members = ivfAssign(emb, trained)
+      .join(labels, "vec_id")
+      .select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v"),
+        col("label").as("n_label"))
+    val probed = ivfProbe(emb, trained, nprobe)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+        "q_id")
+    probed.join(members, "cell")
+      .filter(col("q_id") =!= col("n_id") && col("n_label") === col("q_label"))
+      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ann13: range (radius) search, BOUNDED form — banded-hyperplane
+    * candidate generation at the [[dd8WidthFor]] production width,
+    * probe-side asymmetric (the query rows' bands join the corpus
+    * bands — the left arm is 1/50th of the data, never the full table
+    * twice), then exact-cosine τ-verify. This is the scale path the
+    * exact-scan ann10 gate oracle-pins the verify step of: τ maps to
+    * the banding width (lower τ → fewer bits per band for recall;
+    * this gate pins ann10's τ=0.30 at the production width, trading
+    * recall for the candidate bound — the documented LSH contract;
+    * recall-complete retrieval at any τ remains the exact ann10). */
+  def ann13RangeBanded(s: SparkSession, dir: String,
+                       tau: Double = 0.30): DataFrame = {
+    val bucketed = sig64(s, dir)
+    val (bands, bits) = dd8WidthFor(embVectors(s, dir).count())
+    val cand = Banding.probeCandidates(bucketed, "vec_id", "sig", bands, bits,
+      col("vec_id") % 50 === 0)
+    val qv = bucketed.select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val nv = bucketed.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+    cand.join(qv, "q_id").join(nv, "n_id")
+      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
+      .filter(col("sim") >= tau)
+      .select(col("q_id"), col("n_id"), col("sim"))
+      .orderBy(col("q_id"), col("n_id"))
   }
 
   /** ann4: hyperplane-LSH bucket histogram — signature sizes
@@ -558,8 +657,48 @@ object VectorOps {
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
-      lshCandidatePairs(s, dir))
+      lshCandidatePairs(s, dir)),
+    "dd8_scaled_dups" -> ((s: SparkSession, dir: String) =>
+      dd8ScaledDups(s, dir)),
+    "ann12_filtered_ivf" -> ((s: SparkSession, dir: String) =>
+      ann12FilteredIvf(s, dir)),
+    "ann13_range_banded" -> ((s: SparkSession, dir: String) =>
+      ann13RangeBanded(s, dir))
   )
+
+  /** The DuckDB expression computing the packed `planes`-bit
+    * hyperplane signature from the quantized vector column `q` —
+    * bit-identical to [[hyperplaneBuckets]] (integer dots, shared
+    * md5-derived weights; plane j's term is the same at any total
+    * width, including the sign bit at j=63 which DuckDB's BIGINT
+    * literal + arithmetic `>>`/`&` reproduce exactly). */
+  private def sigExprSql(planes: Int): String = {
+    val w = planeWeights(planes, 64)
+    (0 until planes).map { j =>
+      val lst = w(j).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(q, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  // 64-plane signature + corpus-size-branched banding (the dd8WidthFor
+  // twins: bits/nb CASEs mirror the Scala branch constants) — shared
+  // by the dd8_scaled and ann13 oracles.
+  private def scaledBandCtes: String =
+    s"""emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+          FROM embeddings),
+        sig AS (SELECT vec_id, v, ${sigExprSql(64)} AS sig FROM emb),
+        params AS (
+          SELECT CASE WHEN count(*) <= 100000 THEN 8 ELSE 12 END AS bits,
+                 CASE WHEN count(*) <= 100000 THEN 8 ELSE 5 END AS nb
+          FROM embeddings),
+        bands AS (
+          SELECT vec_id, b.band,
+            (sig >> (b.band * bits)) & ((1::BIGINT << bits) - 1) AS bsig
+          FROM sig, params, (SELECT unnest(range(0, 8)) AS band) b
+          WHERE b.band < nb)"""
 
   // IVF+PQ pipeline CTEs (DuckDB) shared by the ann8 gate and the
   // ann11 two-stage rerank composition: IVF codebook -> probe -> PQ
@@ -818,12 +957,104 @@ object VectorOps {
            FROM sims)
          SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
          ORDER BY q_id, rank""",
+    "dd8_scaled_dups" ->
+      s"""WITH $scaledBandCtes,
+          cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+          pairs AS (
+            SELECT c.id_a, c.id_b,
+              round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+            FROM cand c
+            JOIN sig a ON a.vec_id = c.id_a
+            JOIN sig b ON b.vec_id = c.id_b)
+          SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.45
+          ORDER BY 1, 2""",
+    "ann13_range_banded" ->
+      s"""WITH $scaledBandCtes,
+          cand AS (
+            SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bsig = b.bsig
+              AND a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+          pairs AS (
+            SELECT c.q_id, c.n_id,
+              round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+            FROM cand c
+            JOIN sig a ON a.vec_id = c.q_id
+            JOIN sig b ON b.vec_id = c.n_id)
+          SELECT q_id, n_id, sim FROM pairs WHERE sim >= 0.30
+          ORDER BY 1, 2""",
+    // ann12: the proven ann5 CTE chain with labels carried into the
+    // probe ∩ filter candidate list.
+    "ann12_filtered_ivf" ->
+      """WITH emb AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
+         cent AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
+         cvec AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
+         asgn AS (
+           SELECT e.vec_id, e.v, e.label, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, label, cell FROM asgn WHERE crk = 1),
+         probe AS (
+           SELECT e.vec_id AS q_id, e.v AS q_v, e.label AS q_label, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
+         probed AS (SELECT q_id, q_v, q_label, cell FROM probe WHERE crk <= 4),
+         sims AS (
+           SELECT p.q_id, m.vec_id AS n_id,
+             round(list_dot_product(p.q_v, m.v) /
+               (sqrt(list_dot_product(p.q_v, p.q_v)) *
+                sqrt(list_dot_product(m.v, m.v))), 9) AS sim
+           FROM probed p JOIN cells m
+             ON p.cell = m.cell AND m.vec_id <> p.q_id
+               AND m.label = p.q_label),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
     "ann4_hyperplane_lsh" -> {
-      val w = planeWeights(8, 64)
-      val sigExpr = (0 until 8).map { j =>
-        val lst = w(j).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(q, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+      val sigExpr = sigExprSql(8)
       s"""WITH emb AS (
             SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
@@ -834,11 +1065,7 @@ object VectorOps {
           GROUP BY sig ORDER BY sig"""
     },
     "dd8_lsh_embedding_dups" -> {
-      val w = planeWeights(8, 64)
-      val sigExpr = (0 until 8).map { j =>
-        val lst = w(j).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(q, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+      val sigExpr = sigExprSql(8)
       s"""WITH emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
               list_transform(CAST(embedding AS DOUBLE[]),

@@ -143,9 +143,33 @@ object ScaleCorpus {
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
   }
 
-  /** Materialize an N× text+embedding data dir (documents.parquet,
-    * embeddings.parquet) compatible with `graft.Tables`; skips work if
-    * the dir already exists. Returns the dir. */
+  /** N× events table: copy k shifts event_id and user_id by k·step
+    * (so the ACTIVE-USER population grows N× — the sessionizer's
+    * state-size driver) while ts is carried unchanged (same 30-day
+    * span at N× the event RATE — the interval join's state-size
+    * driver). Within-copy per-user event sequences are preserved
+    * exactly, so sessions and join pairs scale by N with zero
+    * cross-copy interaction (ids are disjoint). */
+  def scaledEvents(spark: SparkSession, baseDir: String, n: Int): DataFrame = {
+    val base = graft.Tables.events(spark, baseDir)
+    val eStep = base.agg(max("event_id")).head.getLong(0) + 1L
+    val uStep = base.agg(max("user_id")).head.getLong(0) + 1L
+    val ks = broadcast(spark.range(0, n).select(col("id").as("k")))
+    base.crossJoin(ks)
+      .select(
+        (col("event_id") + col("k") * eStep).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("k") * uStep).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+  }
+
+  /** Materialize an N× text+embedding+events data dir
+    * (documents.parquet, embeddings.parquet, events.parquet)
+    * compatible with `graft.Tables`; skips work if the dir already
+    * exists. Events are written SORTED by ts within each of the part
+    * files so the streaming file source's per-file micro-batches see
+    * broadly time-ordered input (the shape a real ingestion log has);
+    * ranged repartition keeps files time-disjoint. Returns the dir. */
   def ensureScaledDir(spark: SparkSession, baseDir: String, n: Int,
                       outBase: String): String = {
     val out = s"$outBase/${new java.io.File(baseDir).getName}x$n"
@@ -158,6 +182,27 @@ object ScaleCorpus {
         .repartition(math.min(32, n * 4))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       done.getParentFile.mkdirs(); done.createNewFile()
+    }
+    // events got their own marker in round 8 so dirs materialized by
+    // earlier rounds upgrade in place without rebuilding text corpora
+    val doneEvents = new java.io.File(s"$out/_done_events")
+    if (!doneEvents.exists()) {
+      scaledEvents(spark, baseDir, n)
+        .repartitionByRange(math.min(32, n * 4), col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // The streaming file source replays files in MODIFICATION-TIME
+      // order; tasks commit in arbitrary order, so restamp the part
+      // files ascending in path (= ts-range) order — otherwise a
+      // late-range file processed first advances the watermark past
+      // the earlier ranges and the stateful operators drop them.
+      val parts = Option(new java.io.File(s"$out/events.parquet").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      doneEvents.getParentFile.mkdirs(); doneEvents.createNewFile()
     }
     out
   }

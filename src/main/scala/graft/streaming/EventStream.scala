@@ -37,14 +37,19 @@ object EventStream {
     spark.read.parquet(s"$dir/events.parquet").schema
   }
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     // The streaming file source needs a directory; events.parquet is a
-    // single file, so stream the parent dir with a glob filter.
+    // single file in the driver's testdata (stream the parent dir with
+    // a glob filter) but a DIRECTORY of part files for the scaled
+    // corpora (stream it directly).
+    val isDir = new java.io.File(s"$dir/events.parquet").isDirectory
+    val reader = spark.readStream
+      .schema(eventsSchema(spark, dir))
+      .option("pathGlobFilter", if (isDir) "*.parquet" else "events.parquet")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     graft.Tables.normalizeEventTs(
-      spark.readStream
-        .schema(eventsSchema(spark, dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      reader.parquet(if (isDir) s"$dir/events.parquet" else dir))
   }
 
   /** Streaming exactly-once event dedup — the ingestion-side guard an
@@ -161,6 +166,30 @@ object EventStream {
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Max state-store rows observed across a streaming run — Scale
+    * records these so the O(active users) / O(rate × window) state
+    * claims are measured numbers, not scaladoc assertions. */
+  final class ReplayStats { var maxStateRows: Long = -1L }
+
+  private def recordState(q: StreamingQuery, stats: Option[ReplayStats]): Unit =
+    stats.foreach { st =>
+      val m = q.recentProgress.iterator
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(-1L)(math.max)
+      st.maxStateRows = math.max(st.maxStateRows, m)
+    }
+
+  /** A dedicated session for one streaming gate: the stateful stream
+    * pins its state partitioning from the session conf at query start,
+    * and 8 partitions is right for gate-sized state — isolating the
+    * override in a child session means concurrent gates (or the
+    * caller's batch queries) can never race on shuffle.partitions. */
+  private def gateSession(spark: SparkSession): SparkSession = {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    sess
+  }
+
   /** Driver-gate harness for the stateful sessionizer: replay the
     * batch `events` table through a MemoryStream in four ts-ordered
     * chunks (so cross-batch state continuation is genuinely
@@ -174,24 +203,22 @@ object EventStream {
     * The driver-side collect is the REPLAY HARNESS, bounded by the
     * gate scale factor — production ingestion uses [[readEvents]]
     * (file/Kafka source) and never materializes the stream. */
-  def sessionizeGate(spark: SparkSession, dir: String): DataFrame = {
+  def sessionizeGate(spark: SparkSession, dir: String,
+                     stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .orderBy(col("us"), col("event_id"))
       .as[(Long, Long, Long)].collect()
+    // a stateful stream commits one state-store per shuffle partition
+    // per micro-batch; at the gate's data size 32 partitions is pure
+    // overhead (5 batches × 32 commits) — narrowed in the gate's own
+    // session, never the caller's
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
     val name = s"st1_gate_${gateRuns.incrementAndGet()}"
-    // A stateful stream commits one state-store per shuffle partition
-    // per micro-batch; at the gate's data size 32 partitions is pure
-    // overhead (5 batches × 32 commits). The stream pins its state
-    // partitioning from the session conf at query start, so narrow it
-    // for this query only and restore after.
-    val shufflePartsKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.get(shufflePartsKey)
-    spark.conf.set(shufflePartsKey, "8")
     val q = sessionize(mem.toDF().toDF("user_id", "event_id", "us")
         .withColumn("ts", timestamp_micros(col("us"))))
       .writeStream.outputMode("append").format("memory")
@@ -208,11 +235,9 @@ object EventStream {
       val flushUs = rows.map(_._3).max + (4L * 3600L + 1800L + 60L) * 1000000L
       mem.addData((-1L, -1L, flushUs))
       q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.set(shufflePartsKey, savedParts)
-    }
-    spark.table(name)
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name)
       .filter(col("user_id") >= 0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
@@ -251,25 +276,24 @@ object EventStream {
     * emitted pairs against the batch tj2 oracle. Same contract note as
     * [[sessionizeGate]]: the collect is the bounded replay harness,
     * production uses [[readEvents]]. */
-  def intervalJoinGate(spark: SparkSession, dir: String): DataFrame = {
+  def intervalJoinGate(spark: SparkSession, dir: String,
+                       stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = graft.Tables.events(spark, dir)
       .filter(col("event_type").isin("error", "click"))
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"))
       .orderBy(col("us"), col("event_id"))
       .as[(Long, Long, Long, String)].collect()
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
     val memC = MemoryStream[(Long, Long, Long)]
     def toEvents(m: MemoryStream[(Long, Long, Long)]): DataFrame =
       m.toDF().toDF("event_id", "user_id", "us")
         .withColumn("ts", timestamp_micros(col("us")))
     val name = s"st2_gate_${gateRuns.incrementAndGet()}"
-    val shufflePartsKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.get(shufflePartsKey)
-    spark.conf.set(shufflePartsKey, "8")
     val q = intervalJoin(toEvents(memE), toEvents(memC))
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
@@ -281,53 +305,64 @@ object EventStream {
         memC.addData(cs.map(r => (r._1, r._2, r._3)).toIndexedSeq)
         q.processAllAvailable()
       }
-    } finally {
-      q.stop()
-      spark.conf.set(shufflePartsKey, savedParts)
-    }
-    spark.table(name).orderBy(col("err_id"), col("click_id"))
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name).orderBy(col("err_id"), col("click_id"))
   }
 
   /** st4 driver gate: streaming exactly-once dedup
     * ([[dedupe]]: dropDuplicatesWithinWatermark, state purged past the
     * lateness window). Replays the events table through a MemoryStream
-    * with EVERY ROW SENT TWICE (adjacent-batch duplicates — the
-    * at-least-once delivery failure mode), so the gate is non-vacuous:
-    * the stream carries 2n rows and must emit exactly n. The oracle is
-    * the batch per-type distinct count over the raw table. Same
-    * bounded-replay contract as st1/st2. */
-  def dedupeGate(spark: SparkSession, dir: String): DataFrame = {
+    * with EVERY ROW DELIVERED TWICE (the at-least-once delivery
+    * failure mode), so the gate is non-vacuous: the stream carries 2n
+    * rows and must emit exactly n.
+    *
+    * Duplicate PLACEMENT is chosen so every second copy reaches the
+    * DEDUP STATE, never the late-record filter (round-7 advisory: a
+    * whole-chunk redelivery spans days of event time, so after the
+    * first delivery advances the watermark to maxTs−lateness most
+    * re-sent rows were being dropped as late, testing the wrong
+    * operator): rows more than the lateness before their chunk's max
+    * ts are duplicated INSIDE the same trigger (the watermark only
+    * advances after the batch, so an intra-batch copy is never late),
+    * and only the chunk's trailing lateness-window rows are
+    * re-delivered one trigger later — those sit above the advanced
+    * watermark by construction. The oracle is the batch per-type
+    * distinct count over the raw table. Same bounded-replay contract
+    * as st1/st2. */
+  def dedupeGate(spark: SparkSession, dir: String,
+                 stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = graft.Tables.events(spark, dir)
       .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
       .orderBy(col("us"), col("event_id"))
       .as[(Long, Long, String)].collect()
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
     val name = s"st4_gate_${gateRuns.incrementAndGet()}"
-    val shufflePartsKey = "spark.sql.shuffle.partitions"
-    val savedParts = spark.conf.get(shufflePartsKey)
-    spark.conf.set(shufflePartsKey, "8")
     val q = dedupe(mem.toDF().toDF("event_id", "us", "event_type")
         .withColumn("ts", timestamp_micros(col("us"))))
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
+      val latenessUs = 2L * 3600L * 1000000L
       val chunk = math.max(1, (rows.length + 3) / 4)
       rows.grouped(chunk).foreach { batch =>
-        mem.addData(batch.toIndexedSeq)
+        val maxUs = batch.last._2 // rows are us-sorted
+        val (tail, head) = batch.partition(_._2 > maxUs - latenessUs)
+        mem.addData((head ++ head ++ tail).toIndexedSeq)
         q.processAllAvailable()
-        // duplicate delivery of the SAME batch one trigger later —
-        // all within the 2h lateness, so every copy must be dropped
-        mem.addData(batch.toIndexedSeq)
+        // second copy of the trailing window, one trigger later:
+        // within lateness of the watermark the first trigger advanced
+        // to, so these hit live dedup state across the batch boundary
+        mem.addData(tail.toIndexedSeq)
         q.processAllAvailable()
       }
-    } finally {
-      q.stop()
-      spark.conf.set(shufflePartsKey, savedParts)
-    }
-    spark.table(name)
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
       .orderBy(col("event_type"))
@@ -341,10 +376,67 @@ object EventStream {
     * operators under micro-batch replay, this gates the file-source +
     * watermark + windowed-agg path end to end. */
   def hourlyGate(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gateSession(spark)
     val name = s"st3_gate_${gateRuns.incrementAndGet()}"
-    val q = runToMemory(spark, dir, name)
+    val q = runToMemory(sess, dir, name)
     q.stop()
-    spark.table(name).orderBy(col("event_type"), col("hour"))
+    sess.table(name).orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Scale harness: the stateful sessionizer over the PRODUCTION
+    * streaming file source (one micro-batch per part file via
+    * maxFilesPerTrigger — genuine incremental state across triggers),
+    * writing to a parquet sink. NO driver-side replay collect, so this
+    * measures at any corpus size. Returns (seconds, emitted sessions,
+    * max state rows): wall-time should grow with data, state with
+    * ACTIVE USERS — the `sessionize` O-claims as measured numbers.
+    * (Sessions still open at end-of-input stay in state — the
+    * file-source run has no sentinel flush — which is the correct
+    * steady-state behavior; the hash-exact completeness twin is the
+    * st1 replay gate.) */
+  def sessionizeFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    val sess = gateSession(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_sess_scale").toString
+    val t0 = System.nanoTime()
+    val q = sessionize(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .option("path", s"$out/data")
+      .start()
+    q.processAllAvailable()
+    val state = q.recentProgress.iterator
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = sess.read.parquet(s"$out/data").count()
+    (sec, n, state)
+  }
+
+  /** Scale harness twin of [[sessionizeFileStats]] for the
+    * stream-stream interval join: both sides are the production file
+    * source (error / click filters), state is the watermark-bounded
+    * join buffer — O(rate × window), measured. */
+  def intervalJoinFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    val sess = gateSession(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_ij_scale").toString
+    val t0 = System.nanoTime()
+    val src = readEvents(sess, dir, maxFilesPerTrigger = Some(1))
+    val q = intervalJoin(
+        src.filter(col("event_type") === "error"),
+        src.filter(col("event_type") === "click"))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .option("path", s"$out/data")
+      .start()
+    q.processAllAvailable()
+    val state = q.recentProgress.iterator
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = sess.read.parquet(s"$out/data").count()
+    (sec, n, state)
   }
 
   /** Run the hourly aggregation over static parquet via the streaming

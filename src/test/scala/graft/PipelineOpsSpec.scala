@@ -201,4 +201,98 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(sorted === rows.sortBy(_._4).map(_._4))
     }
   }
+
+  private def embMap(): Map[Long, Array[Double]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  private def cosD(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("dd8 scaled-width pairs: verify-exact subset of brute pairs, " +
+       "identical vectors always recalled") {
+    val emb = embMap()
+    val scaled = VectorOps.dd8ScaledDups(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(scaled.nonEmpty, "scaled-width gate must be non-vacuous at sf0.001")
+    scaled.foreach { case ((a, b), sim) =>
+      assert(a < b)
+      val exact = BigDecimal(cosD(emb(a), emb(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - exact) < 1e-9, s"pair ($a,$b)")
+      assert(sim >= 0.45)
+    }
+    // identical quantized vectors share the full signature, hence every
+    // band — such a pair can never be missed at ANY banding width
+    val ids = emb.keys.toSeq.sorted
+    val identical = for {
+      a <- ids; b <- ids if a < b
+      if emb(a).map(x => math.floor(x * 1000)).sameElements(
+         emb(b).map(x => math.floor(x * 1000)))
+    } yield (a, b)
+    val got = scaled.map(_._1).toSet
+    identical.foreach(p => assert(got.contains(p), s"identical pair $p missed"))
+  }
+
+  test("ann13 banded range search: subset of the exact ann10 scan with " +
+       "identical similarities") {
+    val exact = VectorOps.ann10RangeSearch(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded = VectorOps.ann13RangeBanded(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(banded.nonEmpty, "banded range gate must be non-vacuous at sf0.001")
+    banded.foreach { case (k, sim) =>
+      assert(exact.contains(k), s"banded pair $k not in the exact τ-scan")
+      assert(exact(k) === sim, s"sim mismatch at $k")
+    }
+  }
+
+  test("ann12 filtered-IVF results respect the label filter and " +
+       "carry exact similarities") {
+    val emb = embMap()
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = VectorOps.ann12FilteredIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, sim, _) =>
+      assert(labels(q) === labels(n), s"cross-label result ($q,$n)")
+      val exact = BigDecimal(cosD(emb(q), emb(n)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sim - exact) < 1e-12, s"pair ($q,$n)")
+    }
+    // per-query ranks are 1..k over distinct neighbours
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted === (1 to rs.length), s"query $q ranks")
+      // ranked by sim desc (ties by n_id asc)
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(-_._3).sorted.sameElements(byRank.map(-_._3)) ||
+        byRank.sliding(2).forall(p => p.head._3 > p.last._3 ||
+          (p.head._3 == p.last._3 && p.head._2 < p.last._2)),
+        s"query $q not sim-ordered")
+    }
+  }
+
+  test("probe-side banded candidates agree with the symmetric form") {
+    import spark.implicits._
+    val sigs = Seq((1L, 0x1234L), (2L, 0x1234L), (3L, 0x0F34L),
+      (4L, 0xABCDL), (5L, 0xAB00L)).toDF("id", "sig")
+    val sym = graft.operators.Banding.candidates(sigs, "id", "sig", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = graft.operators.Banding
+      .probeCandidates(sigs, "id", "sig", 4, 4, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = sym ++ sym.map(_.swap)
+    assert(probe === expected)
+    // restricting the query side keeps exactly the incident pairs
+    val probe1 = graft.operators.Banding
+      .probeCandidates(sigs, "id", "sig", 4, 4, col("id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe1 === expected.filter(_._1 == 1L))
+  }
 }
