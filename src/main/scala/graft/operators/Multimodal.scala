@@ -164,22 +164,67 @@ object Multimodal {
       else Some((rate, samples))
     } catch { case _: Exception => None }
 
-  /** mm4: audio decode END TO END with a real container format — each
-    * doc's payload is materialized as a valid WAV file and then parsed
-    * back through [[parseWav]] inside `mapPartitions` (the batch-decode
-    * contract of mm1), yielding per-clip features. Unlike mm1-mm3's
-    * byte-stat stand-ins, the decode step here is genuine format
-    * plumbing; only the byte SOURCE is synthetic (no media files in
-    * the testdata). Exact oracle: DuckDB recomputes the samples from
-    * the same md5 bytes, and rms is integer-derived (see
-    * [[WavFeatures]]). */
+  /** Materialize the corpus's payloads as REAL media files — one
+    * playable .wav and one valid .bmp per document — under a
+    * per-corpus directory, written EXECUTOR-SIDE (foreachPartition; no
+    * driver collect; on a cluster the same code writes to shared
+    * storage) and memoized behind a `_done` marker. This is the
+    * media-lake stand-in: the mm4/mm5 gates then run the production
+    * shape file-source → decode (Spark's `binaryFile` source), not
+    * bytes conjured inside the query. The FILE BYTES are the same
+    * md5-derived payloads as before, so the decode oracles are
+    * unchanged and still exact. */
+  def ensureMediaDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_media_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val done = new java.io.File(out, "_done")
+    if (!done.exists()) {
+      out.mkdirs()
+      val outPath = out.getAbsolutePath
+      documents(s, dir)
+        .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+        .as[(Long, Array[Byte])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (id, p) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outPath, f"doc_$id%010d.wav"), wavBytes(p))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outPath, f"doc_$id%010d.bmp"), bmpBytes(p))
+          }
+        }
+      done.createNewFile()
+    }
+    out.getAbsolutePath
+  }
+
+  /** The media lake as a DataFrame: `binaryFile` source over the
+    * materialized directory, doc_id parsed from the file name. */
+  def mediaFiles(s: SparkSession, dir: String, ext: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext")
+      .load(ensureMediaDir(s, dir))
+      .select(
+        regexp_extract(col("path"), s"doc_(\\d+)\\.$ext", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+
+  /** mm4: audio decode END TO END from real files — the gate reads the
+    * materialized .wav files through Spark's `binaryFile` source and
+    * parses the container via [[parseWav]] inside `mapPartitions` (the
+    * batch-decode contract of mm1), yielding per-clip features. Since
+    * round 8 the byte path is file-source → decode, exactly what a
+    * production media pipeline runs; the synthesized corpus only
+    * stands in for WHERE the files come from. Exact oracle: DuckDB
+    * recomputes the samples from the same md5 bytes, and rms is
+    * integer-derived (see [[WavFeatures]]). */
   def mm4AudioDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+    mediaFiles(s, dir, "wav")
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
-        parseWav(wavBytes(payload)).map { case (rate, smp) =>
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes).map { case (rate, smp) =>
           val mx = smp.iterator.map(v => math.abs(v.toInt)).max
           val sumSq = smp.iterator.map(v => v.toDouble * v).sum
           val rms = math.sqrt(sumSq / smp.length)
@@ -261,18 +306,17 @@ object Multimodal {
   case class DecodedPixel(doc_id: Long, width: Int, height: Int,
                           px_index: Int, lum: Int)
 
-  /** mm5: image decode END TO END with a real container — the image
-    * twin of mm4: payloads materialize as valid 24-bit BMPs and are
-    * parsed back through [[parseBmp]] per partition batch. The output
-    * is per-pixel in image order, so the bottom-up flip and stride
+  /** mm5: image decode END TO END from real files — the image twin of
+    * mm4: the materialized 24-bit BMPs stream through the `binaryFile`
+    * source and [[parseBmp]] per partition batch. The output is
+    * per-pixel in image order, so the bottom-up flip and stride
     * handling are oracle-verified, not just exercised. */
   def mm5ImageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    documents(s, dir)
-      .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+    mediaFiles(s, dir, "bmp")
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
-        parseBmp(bmpBytes(payload)).toSeq.flatMap { case (w, h, lum) =>
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseBmp(bytes).toSeq.flatMap { case (w, h, lum) =>
           lum.indices.map(i => DecodedPixel(id, w, h, i, lum(i)))
         }
       })
