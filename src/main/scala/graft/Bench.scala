@@ -60,7 +60,7 @@ object Bench {
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, if (err.isDefined) -1.0 else runs.min, err)
+      (name, if (err.isDefined) -1.0 else runs.min, err, runs)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -68,9 +68,9 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
@@ -80,7 +80,21 @@ object Bench {
     // split them out so cross-round comparisons of the batch core are
     // not muddied by streaming-gate count changes
     val streamSec = ok.filter(_._1.startsWith("st")).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"batch_sec":${total - streamSec},"stream_sec":$streamSec,"failed":$failed,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"batch_sec":${total - streamSec},"stream_sec":$streamSec,"failed":$failed,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact capture has truncated the stdout tail in
+    // past rounds (BENCH_r07 carried only the last ~58 of 91 queries) —
+    // persist the full line, PLUS both raw per-query runs so
+    // cross-round readers can judge noise (min-of-2 is what the
+    // headline uses; the raw pair shows when the two disagree).
+    val rawRuns = results.map { case (k, _, _, rs) =>
+      s"${jstr(k)}:[${rs.map(t => f"$t%.3f").mkString(",")}]"
+    }.mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_local.json"),
+      line.dropRight(1) + s""","runs":$rawRuns}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist BENCH_local.json: $e") }
     graft.spark.DfCache.release(spark)
     spark.stop()
   }

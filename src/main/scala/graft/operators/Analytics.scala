@@ -235,6 +235,70 @@ object Analytics {
       .select(col("event_type"), col("approx_users"), col("exact_users"))
       .orderBy(col("event_type"))
 
+  /** q18: sketch-based approximate quantiles — percentile_approx
+    * (Greenwald-Khanna style QuantileSummaries) of extended price per
+    * return flag, next to the exact group count. The 100 TB story:
+    * exact percentiles need a full sort (or one shuffle per group of
+    * EVERY row); the quantile summary is a few KB per group, built
+    * with map-side partials and merged associatively — the only shape
+    * that holds for distribution monitoring over trillions of rows.
+    * Like q17, the estimate is engine-specific (DuckDB's
+    * quantile_cont interpolates; the GK summary returns a data value
+    * within rank error n/accuracy), so this is a rows-only gate with
+    * the accuracy contract spec-asserted (AnalyticsSketchSpec: each
+    * value's rank is within n/10000 + 1 of the target rank). */
+  def q18ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+             array(ps.map(lit): _*), lit(10000)).as("qs"),
+           count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"), posexplode(col("qs")))
+      .select(col("l_returnflag"),
+        element_at(typedLit(ps), col("pos").cast("int") + 1).as("p"),
+        col("col").as("approx_value"), col("n_rows"))
+      .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  /** q19: Count-Min-Sketch frequency estimates for the per-type heavy
+    * hitters — the third sketch next to HLL (q17) and quantile
+    * summaries (q18). The CMS is built DISTRIBUTED (one
+    * count_min_sketch aggregate per event type, merged map-side; a
+    * few KB per group at eps 0.001) and the exact heavy-hitter list is
+    * a distributed groupBy + ranking window; only the final probe —
+    * one sketch row per type, k items each — touches the driver, both
+    * bounded by construction (types × k ≤ dozens at any corpus size)
+    * and documented, the same contract as the PGR evaluation collect.
+    * CMS guarantees est ≥ exact and est ≤ exact + eps·N w.p.
+    * 1−δ — spec-asserted; estimates are engine-specific → rows-only
+    * gate like q17/q18. */
+  def q19FrequentUsers(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir)
+    val sketches = ev.groupBy(col("event_type"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+      .collect() // bounded: one row per event type
+      .map(r => r.getString(0) ->
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+      .toMap
+    val topk = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("exact_n").desc, col("user_id").asc)))
+      .filter(col("rk") <= k)
+    val probed = topk.collect() // bounded: types × k rows
+      .map { r =>
+        val t = r.getString(0)
+        (t, r.getLong(1), r.getLong(2),
+          sketches(t).estimateCount(r.getLong(1)), r.getInt(3))
+      }.toSeq
+    probed.toDF("event_type", "user_id", "exact_n", "cms_n", "rk")
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** Correlated-subquery shape: customers above their nation's average
     * balance (expressed as a window over the nation partition —
     * Catalyst's decorrelated plan). */
@@ -265,6 +329,9 @@ object Analytics {
     "q15_above_nation_avg" -> (q15AboveNationAvg _),
     "q16_hourly_anomaly" -> (q16HourlyAnomaly _),
     "q17_approx_distinct" -> (q17ApproxDistinct _),
+    "q18_approx_quantiles" -> (q18ApproxQuantiles _),
+    "q19_frequent_users" -> ((s: SparkSession, dir: String) =>
+      q19FrequentUsers(s, dir)),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q2_revenue_by_nation" -> (q2RevenueByNation _),
     "q3_top_orders_per_customer" -> (q3TopOrdersPerCustomer _),

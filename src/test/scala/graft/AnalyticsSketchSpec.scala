@@ -30,4 +30,47 @@ class AnalyticsSketchSpec extends AnyFunSuite {
       assert(rel <= 0.05, f"$tpe: approx=$approx exact=$exact rel=$rel%.3f")
     }
   }
+
+  test("approx quantiles: every value's rank within n/accuracy of the " +
+       "target rank, per group") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.operators.Analytics.q18ApproxQuantiles(spark, dir).collect()
+    assert(rows.length >= 8, "too few (flag, p) rows — gate near-vacuous")
+    val byFlag = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val (flag, p, v, n) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val xs = byFlag(flag)
+      assert(n === xs.length)
+      val err = n.toDouble / 10000 + 1
+      val target = p * n
+      val rankLo = xs.count(_ < v)   // smallest rank v could hold
+      val rankHi = xs.count(_ <= v)  // largest rank v could hold
+      assert(rankLo - err <= target && target <= rankHi + err,
+        f"$flag p=$p v=$v rankLo=$rankLo rankHi=$rankHi target=$target%.1f")
+      // the returned value is an actual data value, not an interpolation
+      assert(xs.contains(v), s"$flag p=$p: $v not a data value")
+    }
+  }
+
+  test("CMS heavy-hitter estimates: never under, over by at most eps*N") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.operators.Analytics.q19FrequentUsers(spark, dir).collect()
+    assert(rows.length >= 6, "too few heavy hitters — gate near-vacuous")
+    val totals = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (tpe, exact, est) = (r.getString(0), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"$tpe: CMS must never underestimate")
+      // eps = 0.001; allow 3x slack on the probabilistic upper bound
+      assert(est <= exact + (3 * 0.001 * totals(tpe)).ceil.toLong + 1,
+        s"$tpe: est=$est exact=$exact N=${totals(tpe)}")
+    }
+  }
 }

@@ -54,10 +54,13 @@ class RegistryAnalyzeSpec extends AnyFunSuite {
   }
 
   test("every registered query has an oracle (full-strength gate)") {
-    // q17 is the one deliberate rows-only gate: HLL sketch estimates
-    // are engine-specific, so DuckDB can't value-match it; its ±5%
-    // accuracy is spec-asserted instead (AnalyticsSketchSpec).
-    val rowsOnlyByDesign = Set("q17_approx_distinct")
+    // The sketch family is deliberately rows-only: HLL, quantile
+    // summary, and CMS estimates are engine-specific, so DuckDB can't
+    // value-match them; each accuracy contract is spec-asserted
+    // instead (AnalyticsSketchSpec: q17 ±5%, q18 rank error
+    // n/accuracy, q19 CMS over/under bounds).
+    val rowsOnlyByDesign =
+      Set("q17_approx_distinct", "q18_approx_quantiles", "q19_frequent_users")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
