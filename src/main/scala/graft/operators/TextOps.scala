@@ -219,6 +219,20 @@ object TextOps {
         .select(col("id").as("doc_id"), col("component").as("cluster_id"))
     }.orderBy(col("doc_id"))
 
+  /** dd16: the dd9 clustering through the ALTERNATING-star engine
+    * ([[Components.connectedComponentsAlternating]], Kiveris et al.
+    * SoCC 2014) — the O(log n)-rounds-regardless-of-diameter fallback
+    * for giant components, gated against the SAME recursive-CTE
+    * transitive-closure oracle as dd9: both CC engines must produce
+    * identical clusters on the verified pair graph, as a driver-
+    * verified fact rather than a spec-only claim. */
+  def dd16ClustersAlternating(s: SparkSession, dir: String): DataFrame =
+    Components.connectedComponentsAlternating(
+      dd5LshPairs(s, dir).select(col("id_a").as("src"), col("id_b").as("dst")))
+      ._1
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
   /** dd15: cluster keeper selection — the decision step after
     * clustering (dd9): each near-dup cluster keeps its most-connected
     * member (highest degree in the verified pair graph; ties → lowest
@@ -649,6 +663,7 @@ object TextOps {
     "dd2_fingerprint_dedup" -> (dd2FingerprintDedup _),
     "dd3_jaccard_pairs" -> (dd3JaccardPairs _),
     "dd9_neardup_clusters" -> (dd9NearDupClusters _),
+    "dd16_clusters_alternating" -> (dd16ClustersAlternating _),
     "dd15_cluster_keeper" -> (dd15ClusterKeeper _),
     "dd4_minhash_signatures" -> (dd4MinhashSignatures _),
     "dd5_lsh_pairs" -> ((s: SparkSession, dir: String) => dd5LshPairs(s, dir)),
@@ -913,6 +928,19 @@ object TextOps {
           ORDER BY 1, 2""",
     // transitive closure of the dd5 pair graph; min reachable doc id
     "dd9_neardup_clusters" ->
+      s"""WITH RECURSIVE $dd5PairCtes,
+          pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          verts AS (SELECT DISTINCT a AS id FROM und),
+          reach AS (
+            SELECT id, id AS r FROM verts
+            UNION
+            SELECT e.b AS id, reach.r FROM reach JOIN und e ON reach.id = e.a)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+          GROUP BY id ORDER BY doc_id""",
+    // the alternating-star engine must reproduce the SAME closure
+    "dd16_clusters_alternating" ->
       s"""WITH RECURSIVE $dd5PairCtes,
           pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
           und AS (SELECT id_a AS a, id_b AS b FROM pairs

@@ -60,4 +60,47 @@ class ComponentsSpec extends AnyFunSuite {
       .filter { case (a, b) => a != b }
     assert(cc(edges) === unionFind(edges))
   }
+
+  private def ccAlt(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (df, rounds) =
+      Components.connectedComponentsAlternating(edges.toDF("src", "dst"))
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("alternating large/small-star agrees with pointer jumping and " +
+       "union-find across fuzzed graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val n = 20 + trial * 25
+      val m = 10 + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val expected = unionFind(edges)
+        val (alt, rounds) = ccAlt(edges)
+        assert(alt === expected, s"trial $trial")
+        assert(alt === cc(edges), s"trial $trial vs pointer jumping")
+        assert(rounds >= 1 && rounds < 50, s"trial $trial rounds=$rounds")
+      }
+    }
+  }
+
+  test("alternating form handles the giant path component it exists for") {
+    // path of 200 vertices: diameter 199. Star contraction converges in
+    // O(log n) alternations irrespective of the diameter.
+    val edges = (1L until 200L).map(i => (i + 1, i))
+    val (alt, rounds) = ccAlt(edges)
+    assert(alt.size === 200)
+    assert(alt.values.forall(_ == 1L))
+    assert(rounds <= 12, s"rounds=$rounds not logarithmic")
+  }
+
+  test("alternating form on a pre-contracted star converges immediately") {
+    val edges = (2L to 30L).map(i => (i, 1L))
+    val (alt, rounds) = ccAlt(edges)
+    assert(alt === (1L to 30L).map(i => i -> 1L).toMap)
+    assert(rounds <= 2, s"rounds=$rounds")
+  }
 }
