@@ -106,12 +106,16 @@ object Scale {
                     "ann12_filtered_ivf", "ann13_range_banded"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
-      // ~log(max cluster diameter), not with corpus size
+      // ~log(max cluster diameter), not with corpus size — measured for
+      // BOTH engines (pointer jumping and the alternating-star form)
+      val ccEdges = graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
       val (ccLabels, ccRounds) = graft.operators.Components
-        .connectedComponentsWithStats(
-          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
-            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .connectedComponentsWithStats(ccEdges)
       ccLabels.count()
+      val (ccAltLabels, ccAltRounds) = graft.operators.Components
+        .connectedComponentsAlternating(ccEdges)
+      ccAltLabels.count()
       // dd5 at production signature width — the SAME gate operator
       // (TextOps.dd5LshPairs), wider signature: rows-per-band grown
       // with log n (r=4 to 100k docs, r=6 beyond; false-candidate rate
@@ -189,7 +193,7 @@ object Scale {
         f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State}""" +
         replayJson
       println(s"""{"scale":$n,"base":"$baseDir","seg_intersects_diff":$segDiff,""" +
-        s""""cc_rounds":$ccRounds,"events":$events,""" +
+        s""""cc_rounds":$ccRounds,"cc_alt_rounds":$ccAltRounds,"events":$events,""" +
         s""""corpus":{$cjson},"sec":{$qjson},"rows":{$rjson},""" +
         s""""stream":{$streamJson},"a6":{$a6}}""")
       graft.spark.DfCache.release(spark)
