@@ -22,6 +22,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same session timezone as Verify/Scale/PlanAudit: hour bucketing
+      // (q6/q16/st3) and the TIMESTAMP_NTZ normalization cast in
+      // Tables.normalizeEventTs are session-timezone sensitive, so a
+      // non-UTC host would otherwise bench different plans/rows than
+      // the ones the gates verified.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
