@@ -325,8 +325,41 @@ object Analytics {
       .orderBy(col("c_custkey"))
   }
 
+  /** q20: bloom-prune join — the explicit runtime-filter shape for
+    * big × big joins. The build side (urgent orders) is reduced by its
+    * own predicate, a ~1.2 MB bloom over its join keys is built with
+    * one build-side aggregation job, and the FACT side is pruned by a
+    * codegen'd [[graft.functions.BloomMightContainLong]] BEFORE its
+    * exchange — so ~80 % of lineitem never enters the shuffle. The
+    * join is pinned to sort-merge (`hint("merge")`): with both sides
+    * big enough that neither broadcasts, shuffle volume IS the query
+    * cost at 100 TB, and the bloom cuts it by build-side selectivity
+    * (+fpp). False positives are removed by the join itself, so the
+    * result is exact and the oracle is the plain join SQL. */
+  def q20BloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val urgent = orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // Build-side cardinality sizes the bloom (a dim-side agg job, same
+    // order of work as the broadcast build it replaces); 1 % fpp keeps
+    // the filter ~10 bits/key.
+    val bits = BloomFunctions.buildLongFilter(
+      urgent, "o_orderkey", urgent.count(), 0.01)
+    lineitem(s, dir)
+      .filter(BloomFunctions.mightContainLong(col("l_orderkey"), bits))
+      .join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("urgent_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_above_nation_avg" -> (q15AboveNationAvg _),
+    "q20_bloom_prune_join" -> (q20BloomPruneJoin _),
     "q16_hourly_anomaly" -> (q16HourlyAnomaly _),
     "q17_approx_distinct" -> (q17ApproxDistinct _),
     "q18_approx_quantiles" -> (q18ApproxQuantiles _),
@@ -350,6 +383,13 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q20_bloom_prune_join" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS urgent_revenue,
+         count(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q16_hourly_anomaly" ->
       """WITH h AS (
            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
