@@ -645,8 +645,124 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** cp3: per-domain document cap — every web-scale curation recipe
+    * (C4, RefinedWeb, FineWeb) caps how many documents one domain may
+    * contribute so crawl-heavy hosts don't dominate the mix. Ranked
+    * deterministically by (n_chars DESC, doc_id ASC), keep `cap` per
+    * source.
+    *
+    * 100 TB shape: a single window over `source` funnels a monster
+    * domain's billions of rows through ONE partition. Top-K is
+    * decomposable, so the cap runs in two exact stages: a shard-local
+    * top-K first (`(source, md5-shard)` partitions, ≤ 16·cap
+    * survivors per source), then the global top-K over those
+    * survivors — identical output to the single window, parallelism
+    * 16× on the heavy path. */
+  def cp3DomainCap(s: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val ranked = Seq(col("n_chars").desc, col("doc_id").asc)
+    val local = Window
+      .partitionBy(col("source"), col("shard")).orderBy(ranked: _*)
+    val global = Window.partitionBy(col("source")).orderBy(ranked: _*)
+    documents(s, dir)
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16)
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= cap)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= cap)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** cp4: per-domain token budget — the mixing step that reads each
+    * source in arrival order until its token allowance is spent (how
+    * per-domain sampling weights become an actual corpus slice).
+    * Running token sum per source, keep rows while cumulative ≤
+    * budget. A prefix sum is order-dependent, so unlike cp3 it cannot
+    * shard-decompose; the scale posture is to run it AFTER cp3's cap
+    * (the composition every recipe uses), which bounds any one
+    * source's window input to `cap` rows. */
+  def cp4TokenBudget(s: SparkSession, dir: String, budget: Int = 600): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** dd17: incremental ingest dedup — production corpora are not
+    * re-deduped from scratch per crawl; each NEW batch is deduped
+    * in-batch, then checked against the standing corpus's fingerprint
+    * index. Batch = doc_id % 4 == 0 here; corpus = the rest.
+    *
+    * 100 TB shape: the corpus index is the big side and is NEVER
+    * shuffled — the (small) batch fingerprint set broadcasts to probe
+    * it, the resulting collision set (≤ batch size) broadcasts back
+    * for the anti-join. Corpus cost: one narrow column scan, zero
+    * exchanges, regardless of corpus size. */
+  def dd17IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
+    val fps = documents(s, dir)
+      .select(col("doc_id"), md5(substring(norm, 1, 64)).as("fp"))
+    val batch = fps.filter(col("doc_id") % 4 === 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val corpus = fps.filter(col("doc_id") % 4 =!= 0)
+    val collisions = corpus.join(broadcast(batch.select(col("fp"))), "fp")
+      .select(col("fp")).distinct()
+    batch.join(broadcast(collisions), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ta10: importance weights for data selection (DSIR, Xie et al.
+    * NeurIPS 2023, arXiv:2302.03169): score every raw document by how
+    * target-like it looks under hashed unigram distributions —
+    * weight(doc) = Σ_tokens log p_target(bucket) − log p_raw(bucket),
+    * Laplace-smoothed. Target slice here = lang == 'en'. Hashing the
+    * unbounded vocabulary into 256 buckets is what makes the method
+    * corpus-scale: the distribution estimate is one fixed-width
+    * aggregate however many distinct words exist.
+    *
+    * Plan shape: one groupBy(bucket) computes BOTH distributions
+    * (conditional count), the 256-row log-ratio table broadcasts back
+    * onto the token stream, per-doc weights map-side-combine into the
+    * doc_id aggregate. The weight is the one rounded aggregate
+    * (order-dependent double sum). */
+  def ta10ImportanceWeights(s: SparkSession, dir: String, buckets: Int = 256): DataFrame = {
+    val tok = graft.spark.DfCache.memo(s, s"$dir#ta10tok") {
+      documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("word"))
+        .select(col("doc_id"), col("lang"),
+          (wordHash(col("word")) % buckets).as("b"))
+    }
+    val stats = tok.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = stats.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val ratios = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("nr") + buckets).cast("double")))
+          .as("lr"))
+    tok.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(sum(col("lr")), 4).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
+    "cp3_domain_cap" -> ((s: SparkSession, dir: String) => cp3DomainCap(s, dir)),
+    "cp4_token_budget" -> ((s: SparkSession, dir: String) => cp4TokenBudget(s, dir)),
+    "dd17_incremental_dedup" -> (dd17IncrementalDedup _),
+    "ta10_importance_weights" -> ((s: SparkSession, dir: String) =>
+      ta10ImportanceWeights(s, dir)),
     "cp2_curate_pack" -> ((s: SparkSession, dir: String) => cp2CuratePack(s, dir)),
     "ta8_top_terms" -> ((s: SparkSession, dir: String) => ta8TopTerms(s, dir)),
     "dd12_chunk_dedup" -> (dd12ChunkDedup _),
@@ -739,6 +855,58 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "cp3_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rn FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, rn""",
+    "cp4_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 600 ORDER BY source, doc_id""",
+    "dd17_incremental_dedup" ->
+      """WITH f AS (
+           SELECT doc_id,
+             md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))),
+               '\s+', ' ', 'g'), 1, 64)) AS fp
+           FROM documents),
+         batch AS (SELECT fp, min(doc_id) AS doc_id
+                   FROM f WHERE doc_id % 4 = 0 GROUP BY fp),
+         corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 4 <> 0)
+         SELECT doc_id, fp FROM batch
+         WHERE fp NOT IN (SELECT fp FROM corpus)
+         ORDER BY doc_id""",
+    "ta10_importance_weights" ->
+      s"""WITH words AS (
+           SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+           FROM documents),
+         hashed AS (
+           SELECT doc_id, lang, ($hashExpr) % 256 AS b FROM words),
+         stats AS (
+           SELECT b, count(*) AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+           FROM hashed GROUP BY b),
+         tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM stats),
+         lr AS (
+           SELECT b,
+             ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)) -
+             ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 256 AS DOUBLE)) AS lr
+           FROM stats, tot)
+         SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 4) AS weight
+         FROM hashed JOIN lr USING (b)
+         GROUP BY doc_id ORDER BY doc_id""",
     "dd12_chunk_dedup" ->
       s"""WITH $wordsCte,
          chunks AS (

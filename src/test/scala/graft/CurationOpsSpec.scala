@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-8 curation/selection operators beyond their
+  * DuckDB gates: cp3's shard-decomposed top-K is EXACTLY the
+  * single-window top-K (the claim that lets a monster domain avoid a
+  * one-partition window), dd17's survivors honor the incremental
+  * contract, and ta10's importance weights actually separate the
+  * target slice from the rest (non-vacuous scoring).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("cp3 shard-decomposed cap == single-window cap, at several caps") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.Tables.documents
+    for (cap <- Seq(1, 3, 10, 25)) {
+      val twoStage = graft.operators.TextOps.cp3DomainCap(spark, dir, cap)
+        .select("doc_id", "source", "rn").collect().map(_.toSeq).toSet
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val oneWindow = documents(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .select("doc_id", "source", "rn").collect().map(_.toSeq).toSet
+      assert(twoStage == oneWindow, s"cap=$cap: two-stage != one-window")
+    }
+  }
+
+  test("dd17 survivors: unique per fingerprint, absent from corpus, minimal id") {
+    import graft.Tables.documents
+    val out = graft.operators.TextOps.dd17IncrementalDedup(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "no batch survivors — gate vacuous")
+    assert(rows.map(_.getString(1)).distinct.length == rows.length,
+      "duplicate fingerprints among survivors")
+    // every survivor is a batch doc and its fp is not in the corpus side
+    val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
+    val fps = documents(spark, dir)
+      .select(col("doc_id"), md5(substring(norm, 1, 64)).as("fp"))
+    val corpusFps = fps.filter(col("doc_id") % 4 =!= 0)
+      .select("fp").collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(r.getLong(0) % 4 == 0, s"survivor ${r.getLong(0)} not a batch doc")
+      assert(!corpusFps.contains(r.getString(1)),
+        s"survivor ${r.getLong(0)} collides with the corpus")
+    }
+    // dropped batch docs either collided with corpus or lost in-batch min
+    val batchTotal = fps.filter(col("doc_id") % 4 === 0).count()
+    assert(rows.length < batchTotal, "nothing was dropped — gate vacuous")
+  }
+
+  test("ta10 weights separate the target slice from the rest") {
+    import graft.Tables.documents
+    val w = graft.operators.TextOps.ta10ImportanceWeights(spark, dir)
+      .join(documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    val avg = w.groupBy(col("lang") === "en")
+      .agg(org.apache.spark.sql.functions.avg(col("weight")))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // The synthetic corpus shares one vocabulary across langs, so the
+    // absolute level is dominated by Laplace smoothing (both means sit
+    // below zero); the invariant that matters is ORDER — target docs
+    // must score strictly above the rest on average.
+    assert(avg(true) > avg(false),
+      s"target-slice mean weight ${avg(true)} not above raw ${avg(false)}")
+  }
+}
