@@ -266,16 +266,21 @@ object VectorOps {
   }
 
   /** Corpus-adaptive banding width for the 64-plane signature —
-    * (bands, bitsPerBand): rows-per-band-bucket falls as 2^bits, so
-    * production tuning grows bits with the corpus exactly as dd5 grows
-    * rows-per-band (`TextOps.dd5LshPairs`). ≤100k vectors: 8 bands of
-    * 8 bits (256 buckets/band); beyond: 5 bands of 12 bits (4096
-    * buckets/band, low 60 bits of the signature). Both branches are
-    * one code path over ONE signature family — plane j's weights are
-    * md5(j:dim)-derived independent of the total plane count, so the
-    * branch only changes how the packed long is sliced. */
+    * (bands, bitsPerBand): candidate volume grows ~n²/2^bits per
+    * band, so bits must grow ~2·log2 of the corpus growth to keep
+    * per-unit cost flat (same law dd5 follows by growing
+    * rows-per-band, `TextOps.dd5LshPairs`). Measured on the 200k-row
+    * 100× corpus: 12 bits → 35M candidates (67.9 s, SCALING_r08's
+    * first cut), 14 bits → 8.0M, 16 bits → 2.5M. Schedule: ≤100k
+    * vectors 8×8 (256 buckets/band), ≤400k 4×14, beyond 4×16 (all 64
+    * planes). Recall at 4×14 for a true near-dup (plane agreement
+    * p≈0.95) is 1-(1-p^14)^4 ≈ 0.93 — the recall cost of flat scaling
+    * is a few points, the alternative is the measured quadratic. All
+    * branches are one code path over ONE signature family — plane j's
+    * weights are md5(j:dim)-derived independent of the total plane
+    * count, so the branch only changes how the packed long is sliced. */
   private[operators] def dd8WidthFor(n: Long): (Int, Int) =
-    if (n <= 100000L) (8, 8) else (5, 12)
+    if (n <= 100000L) (8, 8) else if (n <= 400000L) (4, 14) else (4, 16)
 
   /** The shared 64-plane signature table (memoized: quantize + 64
     * integer plane dots run once per session per corpus). */
@@ -691,8 +696,9 @@ object VectorOps {
           FROM embeddings),
         sig AS (SELECT vec_id, v, ${sigExprSql(64)} AS sig FROM emb),
         params AS (
-          SELECT CASE WHEN count(*) <= 100000 THEN 8 ELSE 12 END AS bits,
-                 CASE WHEN count(*) <= 100000 THEN 8 ELSE 5 END AS nb
+          SELECT CASE WHEN count(*) <= 100000 THEN 8
+                      WHEN count(*) <= 400000 THEN 14 ELSE 16 END AS bits,
+                 CASE WHEN count(*) <= 100000 THEN 8 ELSE 4 END AS nb
           FROM embeddings),
         bands AS (
           SELECT vec_id, b.band,
