@@ -103,7 +103,12 @@ object Scale {
       for (q <- Seq("dd5_lsh_pairs", "dd11_simhash_pairs",
                     "ann5_ivf_scaled", "ann8_ivfpq_topk",
                     "ann11_rerank_topk", "dd15_cluster_keeper",
-                    "ann12_filtered_ivf", "ann13_range_banded"))
+                    "ann12_filtered_ivf", "ann13_range_banded",
+                    // round-8 curation/selection family: shard-split
+                    // top-K cap, per-source prefix-sum budget,
+                    // broadcast-probe incremental dedup, DSIR weights
+                    "cp3_domain_cap", "cp4_token_budget",
+                    "dd17_incremental_dedup", "ta10_importance_weights"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
