@@ -59,6 +59,39 @@ class BloomFunctionsSpec extends AnyFunSuite {
     assert(kept == Seq(Some(1L)))
   }
 
+  test("q20: the bloom prunes ~80% of the fact side before its exchange (measured)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.operators.Analytics
+      .q20BloomPruneJoin(spark, "/root/testdata/sf0.01")
+    // collect() (not count()) so the execution lands on THIS dataset's
+    // queryExecution — count() builds a separate agg plan whose metrics
+    // this walk would never see
+    df.collect()
+    // Walk the EXECUTED plan (through AQE wrappers) to the FilterExec
+    // holding the bloom predicate and read its real numOutputRows.
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val bloomFilters = walk(df.queryExecution.executedPlan).collect {
+      case f: FilterExec if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no bloom FilterExec in the executed plan")
+    // the lineitem-side filter: input 60k rows at sf0.01, ~20% urgent
+    // (+ ≤1% false positives) must survive — if the bloom were inert
+    // the exchange would see all 60k
+    val survived = bloomFilters.map(_.metrics("numOutputRows").value).max
+    assert(survived > 5000, s"bloom filter output $survived — gate near-vacuous")
+    assert(survived < 18000,
+      s"bloom filter passed $survived of 60000 fact rows — pruning lost")
+  }
+
   private def withCodegenOff[T](body: => T): T = {
     val key = "spark.sql.codegen.wholeStage"
     val prev = spark.conf.get(key)
