@@ -756,8 +756,30 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** cp5: deterministic corpus shuffle + sharding — the final step of
+    * a training-data pipeline: break any source/time ordering so
+    * every output shard is an i.i.d.-ish sample, reproducibly. Shard
+    * = md5(doc_id) bucket, position = rank of the md5 key within the
+    * shard. No global sort anywhere: shards are independent and each
+    * sorts only its own ~n/shards keys (one shuffle on the shard key,
+    * skew-free because md5 is uniform) — the same reason ta9 packs
+    * per-shard. In production `shards` ≈ output file count and the
+    * write is `repartition($"shard").sortWithinPartitions($"k")`. */
+  def cp5CorpusShard(s: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val k = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"))
+    documents(s, dir)
+      .select(col("doc_id"), k.as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 15), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
+    "cp5_corpus_shard" -> ((s: SparkSession, dir: String) => cp5CorpusShard(s, dir)),
     "cp3_domain_cap" -> ((s: SparkSession, dir: String) => cp3DomainCap(s, dir)),
     "cp4_token_budget" -> ((s: SparkSession, dir: String) => cp4TokenBudget(s, dir)),
     "dd17_incremental_dedup" -> (dd17IncrementalDedup _),
@@ -855,6 +877,15 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "cp5_corpus_shard" ->
+      """WITH t AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 8 AS shard
+           FROM documents)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS INT) AS pos
+         FROM t ORDER BY shard, pos""",
     "cp3_domain_cap" ->
       """SELECT doc_id, source, n_chars, rn FROM (
            SELECT doc_id, source, n_chars,
