@@ -35,7 +35,10 @@ object SparkEntry {
         "st3_stream_hourly" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.hourlyGate(s, dir)),
         "st4_stream_dedupe" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.dedupeGate(s, dir)))
+          graft.streaming.EventStream.dedupeGate(s, dir)),
+        // rows-only by design (sketch state; contracts in EventStreamSpec)
+        "st5_stream_approx_distinct" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.approxDistinctGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

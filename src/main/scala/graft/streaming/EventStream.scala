@@ -368,6 +368,46 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming sketch aggregation — hourly approx-distinct users per
+    * event type with HLL++ registers as the streaming STATE. The
+    * 100 TB story mirrors batch q17: exact streaming distinct would
+    * hold every (type, hour, user) key in the state store —
+    * O(distinct users) rows growing without bound within each window —
+    * while the sketch keeps O(types × hours × 2^p registers) bytes,
+    * watermark-purged like any windowed agg. HLL register merge is a
+    * per-register max — fully commutative/associative — so the
+    * incremental result is bit-identical to the batch sketch over the
+    * same rows (spec-asserted: stream == batch exactly, and ±5 % of
+    * the exact count). */
+  def hourlyApproxDistinct(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("event_type"), col("window.start").as("hour"),
+        col("approx_users"))
+
+  /** st5 driver gate: [[hourlyApproxDistinct]] through the production
+    * file source to completion. Sketch estimates are engine-specific,
+    * so like q17/q18/q19 this is a rows-only gate by design; the exact
+    * contracts live in EventStreamSpec (stream sketch == batch sketch
+    * bit-for-bit; both within ±5 % of exact). */
+  def approxDistinctGate(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gateSession(spark)
+    val name = s"st5_gate_${gateRuns.incrementAndGet()}"
+    // complete mode, like st3's gate: a bounded gate run ends with the
+    // last ~lateness of windows still below the final watermark, which
+    // append mode would never flush. Production uses append/update with
+    // the watermark purging register state; the sketch registers are
+    // identical either way (merge = per-register max).
+    val q = hourlyApproxDistinct(readEvents(sess, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    sess.table(name).orderBy(col("event_type"), col("hour"))
+  }
+
   /** st3 driver gate: the streaming hourly aggregation run over the
     * PRODUCTION reader path — [[readEvents]]' schema-adaptive streaming
     * file source, not a MemoryStream replay — to completion against the

@@ -269,4 +269,32 @@ class EventStreamSpec extends AnyFunSuite {
       assert(tail.nonEmpty, "a chunk with no trailing window is malformed")
     }
   }
+
+  test("streaming HLL sketch state == batch sketch bit-for-bit, ±5% of exact") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = EventStream.approxDistinctGate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    assert(streamed.length > 50, "too few (type, hour) groups — near-vacuous")
+    // batch twin over the same rows: HLL register merge is a
+    // per-register max, so incremental micro-batched accumulation must
+    // land on the IDENTICAL estimate, not merely a close one
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.length == batch.size, "group sets differ")
+    streamed.foreach { case (tpe, hour, approx) =>
+      val (bApprox, exact) = batch((tpe, hour))
+      assert(approx == bApprox,
+        s"($tpe,$hour): stream sketch $approx != batch sketch $bApprox")
+      // ±5% for real cardinalities; tiny groups (a handful of users)
+      // ride HLL++'s small-range correction, which can still be off by
+      // a count or two — allow an absolute slack of 2 there
+      assert(math.abs(approx - exact) <= math.max(2.0, 0.05 * exact),
+        s"($tpe,$hour): approx $approx vs exact $exact beyond bound")
+    }
+  }
 }

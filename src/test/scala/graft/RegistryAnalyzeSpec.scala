@@ -58,9 +58,11 @@ class RegistryAnalyzeSpec extends AnyFunSuite {
     // summary, and CMS estimates are engine-specific, so DuckDB can't
     // value-match them; each accuracy contract is spec-asserted
     // instead (AnalyticsSketchSpec: q17 ±5%, q18 rank error
-    // n/accuracy, q19 CMS over/under bounds).
+    // n/accuracy, q19 CMS over/under bounds; EventStreamSpec: st5
+    // stream sketch == batch sketch exactly, ±5% of exact).
     val rowsOnlyByDesign =
-      Set("q17_approx_distinct", "q18_approx_quantiles", "q19_frequent_users")
+      Set("q17_approx_distinct", "q18_approx_quantiles", "q19_frequent_users",
+        "st5_stream_approx_distinct")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
