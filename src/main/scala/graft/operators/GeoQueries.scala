@@ -375,8 +375,31 @@ object GeoQueries {
       .orderBy(col("zval"), col("id"))
   }
 
+  /** sp15: exact distributed kNN join ([[KnnJoin]]) — each customer
+    * point's 3 nearest supplier-box centroids. Candidates come from a
+    * √-sized grid (3×3 block equi-join), exactness from the per-source
+    * certificate + bounded residual pass; the oracle is the brute
+    * cross-join kNN, so the gate hash-proves grid+residual ≡ exact.
+    * Centroids are half-integer (integer boxes), so distance² is exact
+    * double arithmetic in both engines. */
+  def sp15KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = customer(s, dir).select(
+      col("c_custkey").as("src_id"),
+      ((col("c_custkey") * 17) % 1000).cast("double").as("x"),
+      ((col("c_custkey") * 23) % 1000).cast("double").as("y"))
+    val tgt = supplier(s, dir).select(
+      col("s_suppkey").as("tgt_id"),
+      (((col("s_suppkey") * 37) % 980).cast("double") +
+        (lit(1) + col("s_suppkey") % 23) / 2.0).as("x"),
+      (((col("s_suppkey") * 41) % 980).cast("double") +
+        (lit(1) + (col("s_suppkey") * 7) % 13) / 2.0).as("y"))
+    KnnJoin.knnJoin(src, tgt, k = 3)
+      .orderBy(col("src_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp14_zorder"        -> (sp14Zorder _),
+    "sp15_knn_join"      -> (sp15KnnJoin _),
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
     "sp3_relation_counts" -> (sp3RelationCounts _),
@@ -414,6 +437,28 @@ object GeoQueries {
     s"($sqlStrictOverlap) AND NOT ($sqlContains) AND NOT ($sqlWithin)"
 
   val oracles: Map[String, String] = Map(
+    "sp15_knn_join" ->
+      """WITH src AS (
+           SELECT c_custkey AS src_id,
+             CAST((c_custkey * 17) % 1000 AS DOUBLE) AS sx,
+             CAST((c_custkey * 23) % 1000 AS DOUBLE) AS sy
+           FROM customer),
+         tgt AS (
+           SELECT s_suppkey AS tgt_id,
+             CAST((s_suppkey * 37) % 980 AS DOUBLE)
+               + (1 + s_suppkey % 23) / 2.0 AS tx,
+             CAST((s_suppkey * 41) % 980 AS DOUBLE)
+               + (1 + (s_suppkey * 7) % 13) / 2.0 AS ty
+           FROM supplier),
+         d AS (
+           SELECT src_id, tgt_id,
+             (sx - tx) * (sx - tx) + (sy - ty) * (sy - ty) AS d2,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY (sx - tx) * (sx - tx) + (sy - ty) * (sy - ty),
+                 tgt_id) AS rank
+           FROM src, tgt)
+         SELECT src_id, tgt_id, CAST(rank AS INT) AS rank, d2
+         FROM d WHERE rank <= 3 ORDER BY src_id, rank""",
     "sp14_zorder" -> {
       import graft.functions.ZCurve
       val lo = ZCurve.zValueOf(512, 256, 10)

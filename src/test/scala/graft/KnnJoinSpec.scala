@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KnnJoin differential contract: grid+certificate+residual must equal
+  * brute-force kNN on corpora engineered to stress every path —
+  * uniform (mostly certified), tightly clustered (certificate failures
+  * → residual pass), and tiny target sets (n < k, all-residual).
+  */
+class KnnJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def brute(src: DataFrame, tgt: DataFrame, k: Int): Set[(Long, Long, Int)] = {
+    val d2 = (col("sx") - col("tx")) * (col("sx") - col("tx")) +
+      (col("sy") - col("ty")) * (col("sy") - col("ty"))
+    src.select(col("src_id"), col("x").as("sx"), col("y").as("sy"))
+      .crossJoin(tgt.select(col("tgt_id"), col("x").as("tx"), col("y").as("ty")))
+      .select(col("src_id"), col("tgt_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("d2"), col("tgt_id"))))
+      .filter(col("rank") <= k)
+      .select("src_id", "tgt_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  private def run(src: DataFrame, tgt: DataFrame, k: Int): Set[(Long, Long, Int)] =
+    graft.operators.KnnJoin.knnJoin(src, tgt, k)
+      .select("src_id", "tgt_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  private def pts(ids: Range, fx: Long => Double, fy: Long => Double,
+                  idName: String): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, fx(i.toLong), fy(i.toLong))).toDF(idName, "x", "y")
+  }
+
+  test("uniform corpus equals brute force at k = 1, 3, 7") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = pts(0 until 400, i => (i * 17 % 1000).toDouble,
+      i => (i * 23 % 1000).toDouble, "src_id")
+    val tgt = pts(0 until 300, i => (i * 37 % 1000).toDouble,
+      i => (i * 41 % 1000).toDouble, "tgt_id")
+    for (k <- Seq(1, 3, 7))
+      assert(run(src, tgt, k) == brute(src, tgt, k), s"mismatch at k=$k")
+  }
+
+  test("clustered targets (certificate failures -> residual) equal brute force") {
+    // all targets inside one 20x20 corner patch, sources spread across
+    // the full extent: most sources' kth neighbor is FAR beyond one
+    // cell width, so the certificate fails and the residual pass must
+    // carry them — exactly
+    val src = pts(0 until 200, i => (i * 29 % 1000).toDouble,
+      i => (i * 31 % 1000).toDouble, "src_id")
+    val tgt = pts(0 until 50, i => (i % 20).toDouble, i => (i * 7 % 20).toDouble,
+      "tgt_id")
+    assert(run(src, tgt, 3) == brute(src, tgt, 3))
+  }
+
+  test("fewer targets than k returns all targets ranked, equal to brute force") {
+    val src = pts(0 until 30, i => (i * 11 % 100).toDouble,
+      i => (i * 13 % 100).toDouble, "src_id")
+    val tgt = pts(0 until 2, i => (i * 500 + 100).toDouble, i => 500.0, "tgt_id")
+    val got = run(src, tgt, 5)
+    assert(got == brute(src, tgt, 5))
+    assert(got.size == 30 * 2, "each source must rank every available target")
+  }
+}
