@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{GeoQueries, Progressive, ProgressiveTyped, SkewBalancing, SpatialJoin}
+import graft.operators.{GeoQueries, KnnJoin, Progressive, ProgressiveTyped, SkewBalancing, SpatialJoin}
 import graft.sources.ScaleCorpus
 
 /** Measured scale-up experiment (the reference's own evaluation shape,
@@ -97,6 +97,17 @@ object Scale {
             earlyExit = true)
             .select(col("s_id"), col("t_id"), col("intersects")))
           .count()
+      // sp15's kNN at scale: supplier-box centroids probing the part
+      // corpus (100k queries vs 2M targets at 100x) — the measured
+      // curve for the grid+certificate+residual operator whose
+      // exactness the sp15 gate and KnnJoinSpec prove
+      def centroids(df: DataFrame, idc: String): DataFrame = df.select(
+        col("id").as(idc),
+        ((col("minx") + col("maxx")) / 2).as("x"),
+        ((col("miny") + col("maxy")) / 2).as("y"))
+      results("sp15_knn_join") = timed(2) {
+        KnnJoin.knnJoin(centroids(suppS, "src_id"),
+          centroids(partS, "tgt_id"), k = 3).count() }
       // dd15 includes the dd9 pointer-jumping CC over the dd5 pair
       // graph — the iterative-DataFrame scale shape, measured here for
       // the first time (r7); ann11 is ann8 + the bounded exact rerank.
