@@ -74,7 +74,10 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // Failed queries are named in `errors` only — including a -1
+    // sentinel here would make a consumer's sum over `queries`
+    // disagree with `value` (round-7 advisory).
+    val qs = results.collect { case (k, v, None, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")

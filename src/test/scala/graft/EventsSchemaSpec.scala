@@ -40,6 +40,43 @@ class EventsSchemaSpec extends AnyFunSuite {
     new java.io.File(s"$dir/_tmp").delete()
   }
 
+  /** Write the rows as parquet with `ts` annotated TIMESTAMP(NANOS,
+    * isAdjustedToUTC=false) — the physical form the driver's generator
+    * shipped before round 5. Uses parquet-java's example writer (on the
+    * Spark classpath) since Spark itself never writes NANOS. */
+  private def writeNanosFile(path: String): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+      .withConf(conf).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      g.add("event_id", r._1)
+      g.add("ts", r._2 * 1000L) // nanoseconds
+      g.add("user_id", r._3)
+      g.add("event_type", r._4)
+      g.add("value", r._5)
+      g.add("props", r._6)
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Rows with known microsecond instants (all past epoch 0 — the
     * streaming watermark gotcha). */
   private val baseUs = 1700000000000000L // 2023-11-14T22:13:20Z
@@ -59,14 +96,14 @@ class EventsSchemaSpec extends AnyFunSuite {
         .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
         .select("event_id", "ts", "user_id", "event_type", "value", "props"),
       dirA)
-    // form B: TIMESTAMP(NANOS)-as-long (old testdata) — a raw long
-    // column named ts holding nanoseconds, the shape nanosAsLong yields
+    // form B: a GENUINE parquet TIMESTAMP(NANOS, isAdjustedToUTC=false)
+    // column (the old testdata's physical type), written via parquet-java
+    // directly because Spark can't produce that annotation itself. This
+    // exercises the real legacy read path end to end: the nanosAsLong
+    // scan of an annotated INT64, not merely a raw long that happens to
+    // hold nanos (round-7 advisory).
     val dirB = writeDir("nanos")
-    writeSingleFile(
-      rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
-        .withColumn("ts", (col("us") * 1000L).cast("long"))
-        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
-      dirB)
+    writeNanosFile(s"$dirB/events.parquet")
 
     def normalized(dir: String): Seq[(Long, Long)] =
       Tables.events(spark, dir)
