@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{GeoQueries, KnnJoin, Progressive, ProgressiveTyped, SkewBalancing, SpatialJoin}
+import graft.operators.{DistanceJoin, GeoQueries, KnnJoin, Progressive, ProgressiveTyped, SkewBalancing, SpatialJoin}
 import graft.sources.ScaleCorpus
 
 /** Measured scale-up experiment (the reference's own evaluation shape,
@@ -108,6 +108,12 @@ object Scale {
       results("sp15_knn_join") = timed(2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"),
           centroids(partS, "tgt_id"), k = 3).count() }
+      // sp16's ε-distance join on the same corpora: the g≥ε grid keeps
+      // candidates ~ n·(targets/cells-touched) — the curve should track
+      // output growth (pair density × corpus²), not the raw product
+      results("sp16_distance_join") = timed(2) {
+        DistanceJoin.distanceJoin(centroids(suppS, "src_id"),
+          centroids(partS, "tgt_id"), radius = 5.0).count() }
       // dd15 includes the dd9 pointer-jumping CC over the dd5 pair
       // graph — the iterative-DataFrame scale shape, measured here for
       // the first time (r7); ann11 is ann8 + the bounded exact rerank.

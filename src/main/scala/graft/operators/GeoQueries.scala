@@ -397,9 +397,32 @@ object GeoQueries {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** sp16: exact ε-distance join ([[DistanceJoin]]) — customer points
+    * within 50 units of a supplier-box centroid. Candidates come from a
+    * g≥ε grid (3×3 block equi-join); coverage is exact by construction
+    * (cell width ≥ radius), so unlike sp15 there is no residual pass.
+    * The oracle is the brute cross-join distance filter — the gate
+    * hash-proves grid ≡ exact. Half-integer coordinates make d2 and
+    * the ≤ ε² comparison exact double arithmetic in both engines. */
+  def sp16DistanceJoin(s: SparkSession, dir: String): DataFrame = {
+    val src = customer(s, dir).select(
+      col("c_custkey").as("src_id"),
+      ((col("c_custkey") * 17) % 1000).cast("double").as("x"),
+      ((col("c_custkey") * 23) % 1000).cast("double").as("y"))
+    val tgt = supplier(s, dir).select(
+      col("s_suppkey").as("tgt_id"),
+      (((col("s_suppkey") * 37) % 980).cast("double") +
+        (lit(1) + col("s_suppkey") % 23) / 2.0).as("x"),
+      (((col("s_suppkey") * 41) % 980).cast("double") +
+        (lit(1) + (col("s_suppkey") * 7) % 13) / 2.0).as("y"))
+    DistanceJoin.distanceJoin(src, tgt, radius = 50.0)
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp14_zorder"        -> (sp14Zorder _),
     "sp15_knn_join"      -> (sp15KnnJoin _),
+    "sp16_distance_join" -> (sp16DistanceJoin _),
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
     "sp3_relation_counts" -> (sp3RelationCounts _),
@@ -459,6 +482,24 @@ object GeoQueries {
            FROM src, tgt)
          SELECT src_id, tgt_id, CAST(rank AS INT) AS rank, d2
          FROM d WHERE rank <= 3 ORDER BY src_id, rank""",
+    "sp16_distance_join" ->
+      """WITH src AS (
+           SELECT c_custkey AS src_id,
+             CAST((c_custkey * 17) % 1000 AS DOUBLE) AS sx,
+             CAST((c_custkey * 23) % 1000 AS DOUBLE) AS sy
+           FROM customer),
+         tgt AS (
+           SELECT s_suppkey AS tgt_id,
+             CAST((s_suppkey * 37) % 980 AS DOUBLE)
+               + (1 + s_suppkey % 23) / 2.0 AS tx,
+             CAST((s_suppkey * 41) % 980 AS DOUBLE)
+               + (1 + (s_suppkey * 7) % 13) / 2.0 AS ty
+           FROM supplier)
+         SELECT src_id, tgt_id,
+           (sx - tx) * (sx - tx) + (sy - ty) * (sy - ty) AS d2
+         FROM src, tgt
+         WHERE (sx - tx) * (sx - tx) + (sy - ty) * (sy - ty) <= 2500.0
+         ORDER BY src_id, tgt_id""",
     "sp14_zorder" -> {
       import graft.functions.ZCurve
       val lo = ZCurve.zValueOf(512, 256, 10)
