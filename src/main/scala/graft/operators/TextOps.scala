@@ -694,6 +694,38 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** cp6: temperature-flattened domain mixing — resample so per-LANGUAGE
+    * corpus shares follow n_d^α (α = 0.5 here), the pretraining
+    * "sampling temperature" scheme from the public multilingual-LM
+    * literature (XLM-R/mT5 style): α < 1 flattens the source
+    * distribution so dominant crawls stop drowning small high-value
+    * sources. Without upsampling, the LARGEST corpus with exact
+    * α-shares keeps source d at rate (n_min/n_d)^(1-α) — the smallest
+    * source survives whole and bigger ones downsample toward the
+    * flattened mix. Selection is ta6's deterministic md5-bucket coin at
+    * ppm granularity; α is fixed at 0.5 so the rate is a single IEEE
+    * `sqrt` (correctly rounded, hence bit-identical cross-engine —
+    * `pow` carries no such guarantee).
+    *
+    * 100 TB shape: per-source counts are a |sources|-row aggregate that
+    * broadcasts back; the corpus itself is scanned ONCE with a map-side
+    * hash-probe + filter — zero corpus shuffles. */
+  def cp6TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_d"))
+    val nMin = counts.agg(min(col("n_d")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+    documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000)
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") <
+        sqrt(col("n_min").cast("double") / col("n_d")) * 1000000)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dd17: incremental ingest dedup — production corpora are not
     * re-deduped from scratch per crawl; each NEW batch is deduped
     * in-batch, then checked against the standing corpus's fingerprint
@@ -782,6 +814,7 @@ object TextOps {
     "cp5_corpus_shard" -> ((s: SparkSession, dir: String) => cp5CorpusShard(s, dir)),
     "cp3_domain_cap" -> ((s: SparkSession, dir: String) => cp3DomainCap(s, dir)),
     "cp4_token_budget" -> ((s: SparkSession, dir: String) => cp4TokenBudget(s, dir)),
+    "cp6_temperature_mix" -> (cp6TemperatureMix _),
     "dd17_incremental_dedup" -> (dd17IncrementalDedup _),
     "ta10_importance_weights" -> ((s: SparkSession, dir: String) =>
       ta10ImportanceWeights(s, dir)),
@@ -886,6 +919,20 @@ object TextOps {
          SELECT doc_id, shard,
            CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS INT) AS pos
          FROM t ORDER BY shard, pos""",
+    "cp6_temperature_mix" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+         m AS (SELECT min(n_d) AS n_min FROM c),
+         r AS (SELECT lang, n_d, n_min FROM c, m),
+         b AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS bucket
+           FROM documents)
+         SELECT b.doc_id, b.lang
+         FROM b JOIN r ON b.lang = r.lang
+         WHERE b.bucket < sqrt(CAST(n_min AS DOUBLE) / n_d) * 1000000
+         ORDER BY b.doc_id""",
     "cp3_domain_cap" ->
       """SELECT doc_id, source, n_chars, rn FROM (
            SELECT doc_id, source, n_chars,

@@ -37,6 +37,33 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cp6 keeps the smallest language whole and flattens the mix toward sqrt shares") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.Tables.documents
+    val orig = documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.TextOps.cp6TemperatureMix(spark, dir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSrc = orig.minBy(_._2)._1
+    // rate for the smallest language is exactly 1 -> kept whole
+    assert(kept(minSrc) == orig(minSrc), "smallest language was downsampled")
+    // every source's kept count tracks its expected n_min^(1-a) * n_d^a
+    // within binomial noise (the md5 coin is uniform)
+    val nMin = orig(minSrc).toDouble
+    orig.foreach { case (src, n) =>
+      val expect = math.sqrt(nMin * n)
+      val tol = 4 * math.sqrt(expect) + 3
+      assert(math.abs(kept.getOrElse(src, 0L) - expect) <= tol,
+        s"$src kept ${kept.getOrElse(src, 0L)}, expected ~$expect (±$tol)")
+    }
+    // the mix is genuinely flatter: max/min share ratio shrinks
+    val ratioBefore = orig.values.max.toDouble / orig.values.min
+    val ratioAfter = kept.values.max.toDouble / kept.values.min
+    assert(ratioAfter < ratioBefore,
+      s"flattening failed: $ratioAfter !< $ratioBefore")
+  }
+
   test("dd17 survivors: unique per fingerprint, absent from corpus, minimal id") {
     import graft.Tables.documents
     val out = graft.operators.TextOps.dd17IncrementalDedup(spark, dir)
