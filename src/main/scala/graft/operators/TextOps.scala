@@ -447,6 +447,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ta11: composite document-quality rule filter — the Gopher-style
+    * rule battery from the public large-corpus curation literature
+    * (word-count bounds, mean-word-length band, minimum stopword
+    * evidence, alphabetic-character floor), each emitted as a per-doc
+    * flag plus the conjunctive keep decision, so downstream recipes
+    * can both filter AND audit which rule fired. Every rule is
+    * INTEGER arithmetic (mean word length as n_word_chars vs
+    * n_words×bound cross-products, alpha floor as 5·alpha ≥ 4·len) —
+    * bit-deterministic cross-engine with no double division at all.
+    * One map-side pass over the corpus; nothing shuffles but the
+    * gate's display sort. */
+  def ta11GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val w = col("w")
+    val nWords = size(w).cast("long")
+    val wchars = aggregate(transform(w, x => length(x)),
+      lit(0L), (a, x) => a + x)
+    val stopHits = size(filter(w,
+      x => array_contains(lit(stopwords.toArray), x))).cast("long")
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long")
+    val textLen = length(col("text")).cast("long")
+    docTokens(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"), wchars.as("n_word_chars"),
+        stopHits.as("stop_hits"),
+        (nWords >= 20 && nWords <= 100000).cast("int").as("r_words"),
+        (wchars >= nWords * 4 && wchars <= nWords * 10).cast("int").as("r_wordlen"),
+        (stopHits >= 2).cast("int").as("r_stop"),
+        (alphaChars * 5 >= textLen * 4).cast("int").as("r_alpha"))
+      .withColumn("kept",
+        (col("r_words") === 1 && col("r_wordlen") === 1 &&
+          col("r_stop") === 1 && col("r_alpha") === 1).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Marker vocabularies for the n-gram language heuristic. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "fast", "slow"),
@@ -841,6 +874,7 @@ object TextOps {
     "dd6_simhash" -> (dd6Simhash _),
     "ta1_token_stats" -> (ta1TokenStats _),
     "ta2_quality_score" -> (ta2QualityScore _),
+    "ta11_gopher_rules" -> (ta11GopherRules _),
     "ta3_langid" -> (ta3LangId _)
   )
 
@@ -1240,6 +1274,31 @@ object TextOps {
          SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq,
            CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS uniq_ratio
          FROM words ORDER BY doc_id""",
+    "ta11_gopher_rules" -> {
+      val stops = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+           SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS n_word_chars,
+             CAST(len(list_filter(w, x -> list_contains($stops, x))) AS BIGINT) AS stop_hits,
+             CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+             CAST(len(text) AS BIGINT) AS text_len
+           FROM base)
+         SELECT doc_id, n_words, n_word_chars, stop_hits,
+           CAST(n_words BETWEEN 20 AND 100000 AS INT) AS r_words,
+           CAST(n_word_chars BETWEEN n_words * 4 AND n_words * 10 AS INT) AS r_wordlen,
+           CAST(stop_hits >= 2 AS INT) AS r_stop,
+           CAST(alpha_chars * 5 >= text_len * 4 AS INT) AS r_alpha,
+           CAST(n_words BETWEEN 20 AND 100000
+             AND n_word_chars BETWEEN n_words * 4 AND n_words * 10
+             AND stop_hits >= 2
+             AND alpha_chars * 5 >= text_len * 4 AS INT) AS kept
+         FROM m ORDER BY doc_id"""
+    },
     "ta2_quality_score" -> {
       val stops = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH base AS (
