@@ -38,7 +38,9 @@ object SparkEntry {
           graft.streaming.EventStream.dedupeGate(s, dir)),
         // rows-only by design (sketch state; contracts in EventStreamSpec)
         "st5_stream_approx_distinct" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.approxDistinctGate(s, dir)))
+          graft.streaming.EventStream.approxDistinctGate(s, dir)),
+        "st6_stream_heavy_hitters" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.heavyHittersGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -273,11 +273,12 @@ object Analytics {
     * CMS guarantees est ≥ exact and est ≤ exact + eps·N w.p.
     * 1−δ — spec-asserted; estimates are engine-specific → rows-only
     * gate like q17/q18. */
-  def q19FrequentUsers(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def q19FrequentUsers(s: SparkSession, dir: String, k: Int = 3,
+                       eps: Double = 0.001): DataFrame = {
     import s.implicits._
     val ev = events(s, dir)
     val sketches = ev.groupBy(col("event_type"))
-      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("cms"))
       .collect() // bounded: one row per event type
       .map(r => r.getString(0) ->
         org.apache.spark.util.sketch.CountMinSketch.readFrom(

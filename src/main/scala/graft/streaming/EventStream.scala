@@ -408,6 +408,72 @@ object EventStream {
     sess.table(name).orderBy(col("event_type"), col("hour"))
   }
 
+  /** Hourly per-type Count-Min frequency sketch of user activity — the
+    * streaming frequency-sketch twin of st5's HLL (and of the batch
+    * q19): per-(type, day-window) CMS registers are the ONLY state,
+    * watermark-bounded like any windowed agg — O(types × active
+    * windows × sketch KB), never O(distinct users). Downstream, window
+    * sketches merge cellwise (CMS merge is addition), so any coarser
+    * rollup (per-day, global) is a register sum away without
+    * re-reading the stream. */
+  def dailyHeavyHitters(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(expr("count_min_sketch(user_id, 0.01d, 0.99d, 42)").as("cms"))
+      .select(col("event_type"), col("window.start").as("day"), col("cms"))
+
+  /** st6 driver gate: [[dailyHeavyHitters]] through the production
+    * file source to completion, then the streamed window sketches are
+    * merged per type (bounded driver work: one ~8 KB row per
+    * (type, corpus-day)) and probed at the batch-exact per-type top-k
+    * users — the q19 shape, built from STREAMING state. Estimates are
+    * engine-specific → rows-only gate like q17/q18/q19/st5; the exact
+    * contract (streamed merged sketch ≡ the batch-global sketch, cell
+    * for cell) is spec-asserted in EventStreamSpec. */
+  def heavyHittersGate(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.util.sketch.CountMinSketch
+    val sess = gateSession(spark)
+    val name = s"st6_gate_${gateRuns.incrementAndGet()}"
+    val q = dailyHeavyHitters(readEvents(sess, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    // The complete-mode memory sink is driver-resident by definition,
+    // so the rollup input is already local; the merge is a bounded
+    // driver loop over types × corpus-days rows of ~8 KB each (~1 MB
+    // for this corpus's 30-day span). The first cut used HOURLY
+    // windows at eps 0.001 — 93 MB of sketch state through the sink —
+    // window granularity × eps IS the state-size dial for a frequency
+    // sketch, and day/0.01 is the fit for per-user counts here.
+    val merged = sess.table(name).select(col("event_type"), col("cms"))
+      .collect() // bounded: one ~8 KB row per (type, corpus-day)
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+      }
+    import sess.implicits._
+    val topk = graft.Tables.events(sess, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("exact_n").desc, col("user_id").asc)))
+      .filter(col("rk") <= k)
+    topk.collect() // bounded: types × k rows
+      .map { r =>
+        val t = r.getString(0)
+        (t, r.getLong(1), r.getLong(2), merged(t).estimateCount(r.getLong(1)),
+          r.getInt(3))
+      }.toSeq
+      .toDF("event_type", "user_id", "exact_n", "cms_n", "rk")
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** st3 driver gate: the streaming hourly aggregation run over the
     * PRODUCTION reader path — [[readEvents]]' schema-adaptive streaming
     * file source, not a MemoryStream replay — to completion against the

@@ -270,6 +270,27 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS heavy hitters == batch q19 row-for-row, est >= exact") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = EventStream.heavyHittersGate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(streamed.nonEmpty, "no heavy hitters — gate vacuous")
+    // CMS merge is cellwise addition over identically-seeded registers,
+    // so the union of the per-window STREAMED sketches must equal the
+    // single batch-global sketch exactly — q19's output row for row,
+    // not merely within epsilon (q19 built at st6's eps for the twin)
+    val batch = graft.operators.Analytics
+      .q19FrequentUsers(spark, dir, k = 3, eps = 0.01)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed merged CMS diverges from the batch-global sketch")
+    streamed.foreach { case (t, u, exact, est, _) =>
+      assert(est >= exact, s"($t,$u): CMS under-counted $est < $exact")
+    }
+  }
+
   test("streaming HLL sketch state == batch sketch bit-for-bit, ±5% of exact") {
     val dir = "/root/testdata/sf0.01"
     val streamed = EventStream.approxDistinctGate(spark, dir)

@@ -62,7 +62,7 @@ class RegistryAnalyzeSpec extends AnyFunSuite {
     // stream sketch == batch sketch exactly, ±5% of exact).
     val rowsOnlyByDesign =
       Set("q17_approx_distinct", "q18_approx_quantiles", "q19_frequent_users",
-        "st5_stream_approx_distinct")
+        "st5_stream_approx_distinct", "st6_stream_heavy_hitters")
     val noOracle =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
