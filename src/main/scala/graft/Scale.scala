@@ -174,6 +174,8 @@ object Scale {
         graft.streaming.EventStream.sessionizeFileStats(spark, dataDir)
       val (ij1Sec, ij1Rows, ij1State) =
         graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)
+      val (sk1Sec, sk1Rows, sk1State) =
+        graft.streaming.EventStream.sketchFileStats(spark, dataDir)
       // the hash-gated MemoryStream replay harnesses carry bounded
       // driver collects — run them to 10× (1M rows), never silently
       val events = Tables.events(spark, dataDir).count()
@@ -212,7 +214,8 @@ object Scale {
       val cjson = corpus.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val streamJson =
         f""""st1_file":{"sec":$st1Sec%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
-        f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State}""" +
+        f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
+        f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State}""" +
         replayJson
       println(s"""{"scale":$n,"base":"$baseDir","seg_intersects_diff":$segDiff,""" +
         s""""cc_rounds":$ccRounds,"cc_alt_rounds":$ccAltRounds,"events":$events,""" +

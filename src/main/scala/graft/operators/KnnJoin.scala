@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   *    expected candidates); each source equi-joins its 3×3 block and
   *    ranks candidates by (distance², id). A source's result is
   *    CERTIFIED exact when it saw ≥ k candidates AND its kth distance
-  *    is < one cell width g: every non-candidate lies outside the 3×3
-  *    block, hence at distance ≥ g — so no true neighbor was missed.
+  *    is < one cell width min(gx, gy): every non-candidate lies outside
+  *    the 3×3 block, hence at distance ≥ that width — so no true
+  *    neighbor was missed.
   * 2. **Residual** — the (empirically few) uncertified sources rerun
   *    against ALL targets via a broadcast of just those sources. Exact
   *    by construction, cost bounded by |uncertified| × n, and the pass
   *    vanishes as density grows.
+  *
+  * The grid DOMAIN is derived from the target bounds in the SAME
+  * single stats job that sizes the grid — never assumed. (The first
+  * cut took a static extent parameter; a corpus whose coordinates
+  * exceeded it clamped most targets into the edge cells, failed every
+  * certificate, and pushed the full source set through the residual —
+  * a ~2 B-row window at 10× in the Scale harness. Correct, but the
+  * worst case. Grid geometry must follow the data.)
   *
   * The union is EXACTLY the brute-force kNN — gated against a DuckDB
   * cross-join oracle (sp15) — while the plan never materializes the
@@ -36,29 +45,34 @@ import org.apache.spark.sql.functions._
   *
   * @param src (src_id: long, x: double, y: double)
   * @param tgt (tgt_id: long, x: double, y: double)
-  * @param extent coordinate-space width/height (grid sizing only —
-  *   correctness never depends on it)
   */
 object KnnJoin {
 
-  def knnJoin(src: DataFrame, tgt: DataFrame, k: Int,
-              extent: Double = 1000.0): DataFrame = {
+  def knnJoin(src: DataFrame, tgt: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    // One dim-side count sizes the grid (same contract as θ's one-job
-    // stats collect). Cells/axis ~ sqrt(n/4k) keeps E[3x3 candidates]
-    // ≈ 36k regardless of n.
-    val n = tgt.count()
+    // One dim-side stats job sizes the grid AND derives its domain
+    // (same one-job contract as θ's stats collect). Cells/axis ~
+    // sqrt(n/4k) keeps E[3x3 candidates] ≈ 36k regardless of n.
+    val b = tgt.agg(count(lit(1)), min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head
+    val n = b.getLong(0)
+    val (x0, x1, y0, y1) =
+      if (n == 0) (0.0, 1.0, 0.0, 1.0)
+      else (b.getDouble(1), b.getDouble(2), b.getDouble(3), b.getDouble(4))
     val ncells = math.max(1L, math.sqrt(n.toDouble / (4.0 * k)).toLong)
-    val g = extent / ncells
+    val gx = math.max((x1 - x0) / ncells, 1e-9)
+    val gy = math.max((y1 - y0) / ncells, 1e-9)
+    val gMin = math.min(gx, gy)
 
-    def cell(c: Column): Column =
-      least(greatest(floor(c / g), lit(0)), lit(ncells - 1)).cast("long")
+    def cell(c: Column, origin: Double, g: Double): Column =
+      least(greatest(floor((c - origin) / g), lit(0)), lit(ncells - 1))
+        .cast("long")
 
     val t = tgt.select(col("tgt_id"), col("x").as("tx"), col("y").as("ty"),
-      cell(col("x")).as("tcx"), cell(col("y")).as("tcy"))
+      cell(col("x"), x0, gx).as("tcx"), cell(col("y"), y0, gy).as("tcy"))
     val sCells = src
       .select(col("src_id"), col("x").as("sx"), col("y").as("sy"),
-        cell(col("x")).as("scx"), cell(col("y")).as("scy"))
+        cell(col("x"), x0, gx).as("scx"), cell(col("y"), y0, gy).as("scy"))
       .withColumn("ncx", explode(array(col("scx") - 1, col("scx"), col("scx") + 1)))
       .withColumn("ncy", explode(array(col("scy") - 1, col("scy"), col("scy") + 1)))
 
@@ -78,7 +92,7 @@ object KnnJoin {
     // be closer than the kth candidate
     val certified = topk.groupBy(col("src_id"))
       .agg(max(col("n_cand")).as("nc"), max(col("d2")).as("dk2"))
-      .filter(col("nc") >= k && col("dk2") < g * g)
+      .filter(col("nc") >= k && col("dk2") < gMin * gMin)
       .select(col("src_id"))
 
     val good = topk.join(certified, "src_id")

@@ -519,6 +519,34 @@ object EventStream {
     (sec, n, state)
   }
 
+  /** Scale harness twin for the windowed-sketch family (st5/st6): the
+    * hourly HLL distinct through the production file source with an
+    * append-mode parquet sink (append emits each window once it
+    * finalizes under the watermark; the last ~lateness of windows
+    * correctly stays in state — steady-state behavior, the complete
+    * snapshot twin is the st5 gate). Returns (seconds, emitted
+    * windows, max state rows): state must track types × ACTIVE
+    * windows, never distinct users — the sketch-state claim as a
+    * measured number. */
+  def sketchFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    val sess = gateSession(spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_sketch_scale").toString
+    val t0 = System.nanoTime()
+    val q = hourlyApproxDistinct(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", s"$out/_ckpt")
+      .option("path", s"$out/data")
+      .start()
+    q.processAllAvailable()
+    val state = q.recentProgress.iterator
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
+    q.stop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = sess.read.parquet(s"$out/data").count()
+    (sec, n, state)
+  }
+
   /** Scale harness twin of [[sessionizeFileStats]] for the
     * stream-stream interval join: both sides are the production file
     * source (error / click filters), state is the watermark-bounded

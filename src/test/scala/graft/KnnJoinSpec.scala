@@ -64,6 +64,19 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(run(src, tgt, 3) == brute(src, tgt, 3))
   }
 
+  test("wide-domain corpus (coords far beyond 1000) equals brute force") {
+    // The tiled Scale corpora span grid×extent (e.g. ~4000 at 10×); the
+    // grid domain must FOLLOW the data — a static-extent grid clamped
+    // these corpora into edge cells, failed every certificate, and
+    // pushed the whole source set through the residual (measured as a
+    // ~2B-row window before the domain became data-derived).
+    val src = pts(0 until 300, i => (i * 131 % 8000).toDouble,
+      i => (i * 137 % 8000).toDouble, "src_id")
+    val tgt = pts(0 until 500, i => (i * 139 % 8000).toDouble,
+      i => (i * 149 % 8000).toDouble, "tgt_id")
+    assert(run(src, tgt, 3) == brute(src, tgt, 3))
+  }
+
   test("fewer targets than k returns all targets ranked, equal to brute force") {
     val src = pts(0 until 30, i => (i * 11 % 100).toDouble,
       i => (i * 13 % 100).toDouble, "src_id")
