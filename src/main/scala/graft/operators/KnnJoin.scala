@@ -86,7 +86,12 @@ object KnnJoin {
       .withColumn("rank", row_number().over(w))
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("src_id"))))
 
-    val topk = ranked.filter(col("rank") <= k)
+    // Materialize the narrow top-k frame (≈ k rows per source) ONCE:
+    // certified, good AND bad all branch from it, and without the
+    // checkpoint each branch recomputes the double-window `ranked`
+    // scan — measured 3× the whole-operator cost at the 100× scale
+    // corpus. The checkpointed frame is k·|src| short rows.
+    val topk = ranked.filter(col("rank") <= k).localCheckpoint()
     // certificate: saw >= k candidates AND the kth distance fits inside
     // one cell width (strict) — then nothing outside the 3x3 block can
     // be closer than the kth candidate
