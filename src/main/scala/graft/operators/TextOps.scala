@@ -203,6 +203,49 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd18: cross-corpus FUZZY contamination — the MinHash-banded twin
+    * of dd10 (exact fingerprint) and dd13 (n-gram buckets): eval-set
+    * documents (doc_id % 4 == 0, dd17's split convention) whose
+    * shingle Jaccard against any TRAIN document reaches `jaccardMin`,
+    * even when no fingerprint or n-gram bucket matches exactly. This
+    * closes the contamination ladder: exact → bucketed → fuzzy, all
+    * candidate-bounded.
+    *
+    * 100 TB shape: identical to dd5 — both sides band the SAME
+    * session-cached signature frame, candidates come from a band-
+    * bucket equi-join (never eval × train), and the exact-Jaccard
+    * verify touches only candidates. The eval side is the small side
+    * in production; here the %4 split keeps the gate self-contained
+    * on one table with a factorable oracle. */
+  def dd18FuzzyContamination(s: SparkSession, dir: String, perms: Int = 8,
+                             numBands: Int = 4,
+                             jaccardMin: Double = 0.8): DataFrame = {
+    require(perms % numBands == 0, s"perms=$perms not divisible by numBands=$numBands")
+    val rpb = perms / numBands
+    val base = graft.spark.DfCache.memo(s, s"$dir#shingleSigs$perms")(
+      shingleSigs(s, dir, perms))
+    val bandCols = (0 until numBands).map { bi =>
+      concat_ws(":", lit(bi) +: (0 until rpb).map(j => col(s"mh${bi * rpb + j}")): _*)
+    }
+    val bands = base.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .select(col("doc_id"), col("col").as("bucket"))
+    val ev = bands.filter(col("doc_id") % 4 === 0)
+      .select(col("bucket"), col("doc_id").as("eval_id"))
+    val tr = bands.filter(col("doc_id") % 4 =!= 0)
+      .select(col("bucket"), col("doc_id").as("train_id"))
+    val cand = ev.join(tr, "bucket")
+      .select(col("eval_id"), col("train_id")).distinct()
+    val wa = base.select(col("doc_id").as("eval_id"), col("sset").as("w_a"))
+    val wb = base.select(col("doc_id").as("train_id"), col("sset").as("w_b"))
+    cand.join(wa, "eval_id").join(wb, "train_id")
+      .withColumn("jaccard", graft.functions.GeomFunctions.barrier(
+        size(array_intersect(col("w_a"), col("w_b"))).cast("double") /
+        size(array_union(col("w_a"), col("w_b"))).cast("double")))
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("eval_id"), col("train_id"), col("jaccard"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   /** dd9: near-duplicate CLUSTERS — connected components over the dd5
     * LSH-verified pair graph (cluster id = smallest doc_id in the
     * cluster): the step that turns pairwise near-dup evidence into a
@@ -871,6 +914,8 @@ object TextOps {
     "dd15_cluster_keeper" -> (dd15ClusterKeeper _),
     "dd4_minhash_signatures" -> (dd4MinhashSignatures _),
     "dd5_lsh_pairs" -> ((s: SparkSession, dir: String) => dd5LshPairs(s, dir)),
+    "dd18_fuzzy_contamination" -> ((s: SparkSession, dir: String) =>
+      dd18FuzzyContamination(s, dir)),
     "dd6_simhash" -> (dd6Simhash _),
     "ta1_token_stats" -> (ta1TokenStats _),
     "ta2_quality_score" -> (ta2QualityScore _),
@@ -919,9 +964,9 @@ object TextOps {
   private val hashExpr =
     s"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P"
 
-  // dd5's banded-LSH pair pipeline as a reusable CTE prefix (ends at
-  // `scored`: candidate pairs with exact shingle Jaccard).
-  private val dd5PairCtes: String = {
+  // MinHash signature + band CTEs (ends at `bands`) — shared by the
+  // dd5 pair pipeline and the dd18 cross-corpus form.
+  private val bandsCtes: String = {
     val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $P) AS mh$i"
     }.mkString(", ")
@@ -932,7 +977,13 @@ object TextOps {
         tok AS (SELECT doc_id, unnest(sset) AS word FROM sh),
         hashed AS (SELECT doc_id, $hashExpr AS h FROM tok),
         sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
-        bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig),
+        bands AS (SELECT doc_id, unnest($bandList) AS bucket FROM sig)"""
+  }
+
+  // dd5's banded-LSH pair pipeline as a reusable CTE prefix (ends at
+  // `scored`: candidate pairs with exact shingle Jaccard).
+  private val dd5PairCtes: String =
+    s"""$bandsCtes,
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
                  ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -941,7 +992,6 @@ object TextOps {
             CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
           FROM cand JOIN sh sa ON sa.doc_id = id_a
                     JOIN sh sb ON sb.doc_id = id_b)"""
-  }
 
   val oracles: Map[String, String] = Map(
     "cp5_corpus_shard" ->
@@ -1205,6 +1255,18 @@ object TextOps {
     "dd5_lsh_pairs" ->
       s"""WITH $dd5PairCtes
           SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+          ORDER BY 1, 2""",
+    "dd18_fuzzy_contamination" ->
+      s"""WITH $bandsCtes,
+          cand AS (SELECT DISTINCT a.doc_id AS eval_id, b.doc_id AS train_id
+                   FROM bands a JOIN bands b ON a.bucket = b.bucket
+                   WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+          scored AS (SELECT eval_id, train_id,
+              CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE) AS jaccard
+            FROM cand JOIN sh sa ON sa.doc_id = eval_id
+                      JOIN sh sb ON sb.doc_id = train_id)
+          SELECT eval_id, train_id, jaccard FROM scored WHERE jaccard >= 0.8
           ORDER BY 1, 2""",
     // transitive closure of the dd5 pair graph; min reachable doc id
     "dd9_neardup_clusters" ->
