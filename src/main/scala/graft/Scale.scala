@@ -125,7 +125,12 @@ object Scale {
                     // top-K cap, per-source prefix-sum budget,
                     // broadcast-probe incremental dedup, DSIR weights
                     "cp3_domain_cap", "cp4_token_budget",
-                    "dd17_incremental_dedup", "ta10_importance_weights"))
+                    "dd17_incremental_dedup", "ta10_importance_weights",
+                    // wave-3: temperature mix (broadcast-probe shape),
+                    // Gopher rules (map-side), fuzzy contamination
+                    // (dd5's banded shape over the shared sig cache)
+                    "cp6_temperature_mix", "ta11_gopher_rules",
+                    "dd18_fuzzy_contamination"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
