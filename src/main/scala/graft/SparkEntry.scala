@@ -40,7 +40,9 @@ object SparkEntry {
         "st5_stream_approx_distinct" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.approxDistinctGate(s, dir)),
         "st6_stream_heavy_hitters" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.heavyHittersGate(s, dir)))
+          graft.streaming.EventStream.heavyHittersGate(s, dir)),
+        "st7_stream_enrich" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.enrichGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +64,11 @@ object SparkEntry {
         // land back on the raw table's per-type cardinalities
         "st4_stream_dedupe" ->
           """SELECT event_type, count(*) AS n_unique
-             FROM events GROUP BY 1 ORDER BY 1""")
+             FROM events GROUP BY 1 ORDER BY 1""",
+        // the stream-static enrichment join vs its batch twin
+        "st7_stream_enrich" ->
+          """SELECT c.c_nationkey AS nation, date_trunc('hour', e.ts) AS hour,
+               count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+             FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -573,6 +573,43 @@ object EventStream {
     (sec, n, state)
   }
 
+  /** Stream-STATIC enrichment join — the remaining streaming join
+    * shape next to st2's stream-stream form: each event is enriched
+    * map-side against a broadcast dimension (customer → nation here)
+    * and rolled up per (nation, hour window). The static side never
+    * shuffles the stream; the only stateful operator is the windowed
+    * agg, watermark-bounded as usual. This is the production
+    * "dimension enrichment" pipeline: at 100 TB the dimension is the
+    * broadcast side and per-event enrichment costs one hash probe. */
+  def enrichedHourly(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("c_nationkey").as("nation"), col("window.start").as("hour"),
+        col("n_events"), col("sum_value"))
+
+  /** st7 driver gate: [[enrichedHourly]] through the production file
+    * source to completion against the static events table; the oracle
+    * is the batch events ⋈ customer SQL, so the stream-static join is
+    * hash-verified end to end (complete mode for the bounded gate run,
+    * like st3/st5 — append would never flush the last ~lateness of
+    * windows). */
+  def enrichGate(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gateSession(spark)
+    val name = s"st7_gate_${gateRuns.incrementAndGet()}"
+    val q = enrichedHourly(readEvents(sess, dir),
+        graft.Tables.customer(sess, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    sess.table(name).orderBy(col("nation"), col("hour"))
+  }
+
   /** Run the hourly aggregation over static parquet via the streaming
     * engine into an in-memory sink; returns the finished query. */
   def runToMemory(spark: SparkSession, dir: String, name: String): StreamingQuery = {
