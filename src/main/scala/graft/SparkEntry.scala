@@ -36,7 +36,8 @@ object SparkEntry {
           graft.streaming.EventStream.hourlyGate(s, dir)),
         "st4_stream_dedupe" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.dedupeGate(s, dir)),
-        // rows-only by design (sketch state; contracts in EventStreamSpec)
+        // hash-exact since round 9: exact payload + sketch-contract
+        // boolean (estimate-level contracts stay in EventStreamSpec)
         "st5_stream_approx_distinct" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.approxDistinctGate(s, dir)),
         "st6_stream_heavy_hitters" -> ((s: SparkSession, dir: String) =>
@@ -65,6 +66,21 @@ object SparkEntry {
         "st4_stream_dedupe" ->
           """SELECT event_type, count(*) AS n_unique
              FROM events GROUP BY 1 ORDER BY 1""",
+        // st5/st6 (hash-exact since round 9): exact payload + literal
+        // TRUE for the sketch-contract boolean — a broken sketch flips
+        // the boolean on the Spark side and fails the hash
+        "st5_stream_approx_distinct" ->
+          """SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(DISTINCT user_id) AS exact_users, TRUE AS within_bounds
+             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "st6_stream_heavy_hitters" ->
+          """SELECT event_type, user_id, exact_n, rk, TRUE AS within_bounds
+             FROM (
+               SELECT event_type, user_id, count(*) AS exact_n,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY count(*) DESC, user_id ASC) AS rk
+               FROM events GROUP BY 1, 2)
+             WHERE rk <= 3 ORDER BY event_type, rk""",
         // the stream-static enrichment join vs its batch twin
         "st7_stream_enrich" ->
           """SELECT c.c_nationkey AS nation, date_trunc('hour', e.ts) AS hour,

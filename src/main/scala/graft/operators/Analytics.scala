@@ -218,47 +218,138 @@ object Analytics {
   }
 
   /** q17: sketch-based distinct counting — approx_count_distinct
-    * (HyperLogLog++) of users per event type, next to the exact count.
-    * The 100 TB story: exact distinct is a full shuffle of every
-    * distinct key; the HLL sketch is a few KB per group, merged
-    * map-side — THE scale path for cardinality over trillions of
-    * rows. Sketch estimates are engine-specific by nature, so this is
-    * the repo's one deliberately rows-only gate (no value oracle); the
-    * ±5% accuracy claim is spec-asserted against the exact count
-    * (AnalyticsSketchSpec), and the exact column keeps the row count
-    * oracle-checkable. */
+    * (HyperLogLog++) of users per event type. The 100 TB story: exact
+    * distinct is a full shuffle of every distinct key; the HLL sketch
+    * is a few KB per group, merged map-side — THE scale path for
+    * cardinality over trillions of rows.
+    *
+    * Gate shape (hash-exact since round 9): sketch estimates are
+    * engine-specific, so the PAYLOAD is the exact count (which DuckDB
+    * computes identically) plus `within_bounds`, the sketch contract
+    * as a boolean — |approx − exact| ≤ 3·rsd·exact with rsd = 0.05
+    * (approx_count_distinct's default relative standard deviation; 3σ
+    * ⇒ ~99.7 % per group). The oracle is the exact count + literal
+    * TRUE, so a broken sketch flips the boolean and fails the hash.
+    * The empirically tighter ±5 % fact on this corpus stays
+    * spec-asserted in AnalyticsSketchSpec. */
   def q17ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
-      .select(col("event_type"), col("approx_users"), col("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(3 * 0.05) * col("exact_users").cast("double")).as("within_bounds"))
       .orderBy(col("event_type"))
 
   /** q18: sketch-based approximate quantiles — percentile_approx
     * (Greenwald-Khanna style QuantileSummaries) of extended price per
-    * return flag, next to the exact group count. The 100 TB story:
-    * exact percentiles need a full sort (or one shuffle per group of
-    * EVERY row); the quantile summary is a few KB per group, built
-    * with map-side partials and merged associatively — the only shape
-    * that holds for distribution monitoring over trillions of rows.
-    * Like q17, the estimate is engine-specific (DuckDB's
-    * quantile_cont interpolates; the GK summary returns a data value
-    * within rank error n/accuracy), so this is a rows-only gate with
-    * the accuracy contract spec-asserted (AnalyticsSketchSpec: each
-    * value's rank is within n/10000 + 1 of the target rank). */
+    * return flag. The 100 TB story: exact percentiles need a full sort
+    * (or one shuffle per group of EVERY row); the quantile summary is
+    * a few KB per group, built with map-side partials and merged
+    * associatively — the only shape that holds for distribution
+    * monitoring over trillions of rows.
+    *
+    * Gate shape (hash-exact since round 9): the GK estimate is
+    * engine-specific, so the PAYLOAD is the exact discrete lower
+    * quantile — the smallest value whose 1-based rank ≥ ⌈p·n⌉, a pure
+    * SELECTION with no value arithmetic, bit-identical in any engine —
+    * plus `within_bounds`: the GK contract that the sketch value's
+    * attainable rank interval [count(<v)+1, count(≤v)] comes within
+    * n/accuracy + 1 of the target rank p·n (deterministic, not
+    * probabilistic — Greenwald-Khanna's worst-case bound).
+    *
+    * Plan: three passes over the 2-column scan — the sketch agg, one
+    * broadcast-probe agg counting ranks of the ~|flags|·|ps| sketch
+    * values, and a per-flag cumulative count over DISTINCT prices for
+    * the exact selection (windowed by flag — partitioned, and over
+    * group-reduced rows, not the raw table). The exact arm is the
+    * verification baseline, same contract as dd7/ann1. */
   def q18ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
-    lineitem(s, dir)
+    val acc = 10000
+    val li = lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"))
+    // sketch arm: one GK summary per flag, exploded to (flag, p, av)
+    val approx = li
       .groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("l_extendedprice"),
-             array(ps.map(lit): _*), lit(10000)).as("qs"),
+      .agg(percentile_approx(col("price"),
+             array(ps.map(lit): _*), lit(acc)).as("qs"),
            count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"), col("n_rows"), posexplode(col("qs")))
       .select(col("l_returnflag"),
         element_at(typedLit(ps), col("pos").cast("int") + 1).as("p"),
-        col("col").as("approx_value"), col("n_rows"))
+        col("col").as("av"), col("n_rows"))
+      .withColumn("target", ceil(col("p") * col("n_rows")).cast("long"))
+    // rank the sketch values: one fact pass against the broadcast
+    // (flag, p, av) frame — rank_lo/rank_hi bracket av's attainable rank
+    val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p"), col("av"),
+        col("n_rows"), col("target"))
+      .agg(sum(when(col("price") < col("av"), 1L).otherwise(0L)).as("rank_lo"),
+           sum(when(col("price") <= col("av"), 1L).otherwise(0L)).as("rank_hi"))
+    // exact arm: cumulative counts over DISTINCT prices per flag, then
+    // min price reaching the target rank (broadcast range join against
+    // the aggregate-reduced sketch frame)
+    val cum = li.groupBy(col("l_returnflag"), col("price"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("price"))))
+    val exact = cum.as("c").join(
+        broadcast(approx.select(col("l_returnflag"), col("p"), col("target"))).as("a"),
+        col("c.l_returnflag") === col("a.l_returnflag") &&
+          col("c.cum") >= col("a.target"))
+      .groupBy(col("a.l_returnflag").as("l_returnflag"), col("a.p").as("p"))
+      .agg(min(col("c.price")).as("exact_value"))
+    val err = col("n_rows").cast("double") / acc + lit(1.0)
+    val targetRank = col("p") * col("n_rows").cast("double")
+    ranks.join(exact, Seq("l_returnflag", "p"))
+      .select(col("l_returnflag"), col("p"), col("exact_value"), col("n_rows"),
+        (col("rank_lo").cast("double") - err <= targetRank &&
+          targetRank <= col("rank_hi").cast("double") + err).as("within_bounds"))
       .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  /** Shared exact-top-k + CMS-probe step — the common tail of q19
+    * (batch-built sketches) and st6 (streaming-state sketches, merged
+    * per type): rank exact per-(type, user) counts, keep the top k per
+    * type, probe each type's sketch at those users, and emit the exact
+    * payload plus the CMS contract as `within_bounds`: est ≥ exact
+    * always (deterministic) and est ≤ exact + 3·eps·N + 1 (3× slack on
+    * the probabilistic upper bound; N = sketch.totalCount, the items
+    * fed to that type's sketch — so the bound needs no extra counting
+    * job). Only the probe — types × k rows — touches the driver, the
+    * same bounded-collect contract as the PGR evaluation.
+    *
+    * `emitEstimate = true` (spec use only) appends the raw `cms_n`
+    * estimate so EventStreamSpec can assert the streamed merged sketch
+    * equals the batch-global sketch ESTIMATE-for-estimate, a strictly
+    * stronger fact than both booleans landing true. */
+  private[graft] def cmsProbeTopK(s: SparkSession, ev: DataFrame, k: Int,
+      eps: Double,
+      sketches: Map[String, org.apache.spark.util.sketch.CountMinSketch],
+      emitEstimate: Boolean = false): DataFrame = {
+    import s.implicits._
+    val topk = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("exact_n").desc, col("user_id").asc)))
+      .filter(col("rk") <= k)
+    val probed = topk.collect() // bounded: types × k rows
+      .map { r =>
+        val t = r.getString(0)
+        val exact = r.getLong(2)
+        val est = sketches(t).estimateCount(r.getLong(1))
+        val bound =
+          exact + math.ceil(3 * eps * sketches(t).totalCount()).toLong + 1
+        (t, r.getLong(1), exact, r.getInt(3),
+          est >= exact && est <= bound, est)
+      }.toSeq
+      .toDF("event_type", "user_id", "exact_n", "rk", "within_bounds", "cms_n")
+    (if (emitEstimate) probed
+     else probed.drop("cms_n"))
+      .orderBy(col("event_type"), col("rk"))
   }
 
   /** q19: Count-Min-Sketch frequency estimates for the per-type heavy
@@ -270,34 +361,29 @@ object Analytics {
     * one sketch row per type, k items each — touches the driver, both
     * bounded by construction (types × k ≤ dozens at any corpus size)
     * and documented, the same contract as the PGR evaluation collect.
-    * CMS guarantees est ≥ exact and est ≤ exact + eps·N w.p.
-    * 1−δ — spec-asserted; estimates are engine-specific → rows-only
-    * gate like q17/q18. */
+    *
+    * Gate shape (hash-exact since round 9): estimates are
+    * engine-specific, so the payload is the exact top-k counts plus
+    * the CMS contract as a boolean (est ≥ exact, over by at most
+    * 3·eps·N — see [[cmsProbeTopK]]); the oracle is the exact ranking
+    * + literal TRUE. */
   def q19FrequentUsers(s: SparkSession, dir: String, k: Int = 3,
-                       eps: Double = 0.001): DataFrame = {
-    import s.implicits._
+                       eps: Double = 0.001,
+                       emitEstimate: Boolean = false): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps must be in (0,1): $eps")
+    // plain-decimal literal: Scala's Double rendering turns 1e-4 into
+    // "1.0E-4", whose validity as a SQL literal would depend on
+    // Double.toString formatting (round-8 advisory)
+    val epsLit = java.math.BigDecimal.valueOf(eps).toPlainString
     val ev = events(s, dir)
     val sketches = ev.groupBy(col("event_type"))
-      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("cms"))
+      .agg(expr(s"count_min_sketch(user_id, ${epsLit}d, 0.99d, 42)").as("cms"))
       .collect() // bounded: one row per event type
       .map(r => r.getString(0) ->
         org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
       .toMap
-    val topk = ev.groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("exact_n"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(col("exact_n").desc, col("user_id").asc)))
-      .filter(col("rk") <= k)
-    val probed = topk.collect() // bounded: types × k rows
-      .map { r =>
-        val t = r.getString(0)
-        (t, r.getLong(1), r.getLong(2),
-          sketches(t).estimateCount(r.getLong(1)), r.getInt(3))
-      }.toSeq
-    probed.toDF("event_type", "user_id", "exact_n", "cms_n", "rk")
-      .orderBy(col("event_type"), col("rk"))
+    cmsProbeTopK(s, ev, k, eps, sketches, emitEstimate)
   }
 
   /** Correlated-subquery shape: customers above their nation's average
@@ -384,6 +470,46 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q17_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         TRUE AS within_bounds
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // exact discrete lower quantile: smallest price whose cumulative
+    // count reaches ceil(p*n) — selection only, no value arithmetic,
+    // so the doubles are bit-identical across engines. p is CAST to
+    // DOUBLE so ceil(p*n) evaluates in the same IEEE arithmetic as
+    // Spark (DuckDB VALUES would otherwise infer DECIMAL).
+    "q18_approx_quantiles" ->
+      """WITH n AS (
+           SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1),
+         ps AS (SELECT CAST(p AS DOUBLE) AS p
+                FROM (VALUES (0.25),(0.5),(0.75),(0.95)) t(p)),
+         tgt AS (
+           SELECT l_returnflag, p, n_rows,
+             CAST(ceil(p * n_rows) AS BIGINT) AS target
+           FROM n CROSS JOIN ps),
+         cum AS (
+           SELECT l_returnflag, price,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cum
+           FROM (SELECT l_returnflag, l_extendedprice AS price,
+                   count(*) AS cnt
+                 FROM lineitem GROUP BY 1, 2)),
+         sel AS (
+           SELECT t.l_returnflag, t.p, t.n_rows,
+             min(c.price) AS exact_value
+           FROM tgt t JOIN cum c
+             ON c.l_returnflag = t.l_returnflag AND c.cum >= t.target
+           GROUP BY 1, 2, 3)
+         SELECT l_returnflag, p, exact_value, n_rows, TRUE AS within_bounds
+         FROM sel ORDER BY l_returnflag, p""",
+    "q19_frequent_users" ->
+      """SELECT event_type, user_id, exact_n, rk, TRUE AS within_bounds
+         FROM (
+           SELECT event_type, user_id, count(*) AS exact_n,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id ASC) AS rk
+           FROM events GROUP BY 1, 2)
+         WHERE rk <= 3 ORDER BY event_type, rk""",
     "q20_bloom_prune_join" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS urgent_revenue,

@@ -388,11 +388,18 @@ object EventStream {
         col("approx_users"))
 
   /** st5 driver gate: [[hourlyApproxDistinct]] through the production
-    * file source to completion. Sketch estimates are engine-specific,
-    * so like q17/q18/q19 this is a rows-only gate by design; the exact
-    * contracts live in EventStreamSpec (stream sketch == batch sketch
-    * bit-for-bit; both within ±5 % of exact). */
-  def approxDistinctGate(spark: SparkSession, dir: String): DataFrame = {
+    * file source to completion, joined against the per-window exact
+    * distinct counts so the gate is hash-exact (since round 9):
+    * the payload is the exact count plus `within_bounds` — the q17
+    * contract per (type, hour) window, |approx − exact| ≤ 3·rsd·exact
+    * (rsd 0.05) with an absolute slack of 2 for the handful-of-users
+    * windows riding HLL++'s small-range correction. The join is inner,
+    * but a stream-dropped window still fails the gate: the oracle
+    * produces every (type, hour) group, so a missing row breaks the
+    * row-count compare. The stream≡batch bit-for-bit register contract
+    * stays spec-asserted (EventStreamSpec, emitEstimate = true). */
+  def approxDistinctGate(spark: SparkSession, dir: String,
+                         emitEstimate: Boolean = false): DataFrame = {
     val sess = gateSession(spark)
     val name = s"st5_gate_${gateRuns.incrementAndGet()}"
     // complete mode, like st3's gate: a bounded gate run ends with the
@@ -405,7 +412,21 @@ object EventStream {
       .queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    sess.table(name).orderBy(col("event_type"), col("hour"))
+    val exact = graft.Tables.events(sess, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val joined = sess.table(name).join(exact, Seq("event_type", "hour"))
+      .withColumn("within_bounds",
+        abs(col("approx_users") - col("exact_users")).cast("double") <=
+          greatest(lit(2.0),
+            lit(3 * 0.05) * col("exact_users").cast("double")))
+    (if (emitEstimate)
+       joined.select(col("event_type"), col("hour"), col("approx_users"),
+         col("exact_users"), col("within_bounds"))
+     else
+       joined.select(col("event_type"), col("hour"), col("exact_users"),
+         col("within_bounds")))
+      .orderBy(col("event_type"), col("hour"))
   }
 
   /** Hourly per-type Count-Min frequency sketch of user activity — the
@@ -427,12 +448,14 @@ object EventStream {
     * file source to completion, then the streamed window sketches are
     * merged per type (bounded driver work: one ~8 KB row per
     * (type, corpus-day)) and probed at the batch-exact per-type top-k
-    * users — the q19 shape, built from STREAMING state. Estimates are
-    * engine-specific → rows-only gate like q17/q18/q19/st5; the exact
-    * contract (streamed merged sketch ≡ the batch-global sketch, cell
-    * for cell) is spec-asserted in EventStreamSpec. */
-  def heavyHittersGate(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * users — the q19 shape, built from STREAMING state, through the
+    * SAME probe step ([[graft.operators.Analytics.cmsProbeTopK]], so
+    * the twins cannot drift — round-8 advisory). Hash-exact since
+    * round 9: payload is the exact top-k + the CMS contract boolean;
+    * the streamed-merged ≡ batch-global register contract is
+    * spec-asserted in EventStreamSpec (emitEstimate = true). */
+  def heavyHittersGate(spark: SparkSession, dir: String, k: Int = 3,
+                       emitEstimate: Boolean = false): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
     val sess = gateSession(spark)
     val name = s"st6_gate_${gateRuns.incrementAndGet()}"
@@ -456,22 +479,10 @@ object EventStream {
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
           .reduce { (a, b) => a.mergeInPlace(b); a }
       }
-    import sess.implicits._
-    val topk = graft.Tables.events(sess, dir)
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("exact_n"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(col("exact_n").desc, col("user_id").asc)))
-      .filter(col("rk") <= k)
-    topk.collect() // bounded: types × k rows
-      .map { r =>
-        val t = r.getString(0)
-        (t, r.getLong(1), r.getLong(2), merged(t).estimateCount(r.getLong(1)),
-          r.getInt(3))
-      }.toSeq
-      .toDF("event_type", "user_id", "exact_n", "cms_n", "rk")
-      .orderBy(col("event_type"), col("rk"))
+    // eps must match dailyHeavyHitters' count_min_sketch literal
+    graft.operators.Analytics.cmsProbeTopK(
+      sess, graft.Tables.events(sess, dir), k, eps = 0.01,
+      sketches = merged, emitEstimate = emitEstimate)
   }
 
   /** st3 driver gate: the streaming hourly aggregation run over the

@@ -1,13 +1,16 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Accuracy contract for the repo's one rows-only gate: q17's
-  * HyperLogLog++ distinct estimate must land within 5% of the exact
-  * count on every group (HLL++ at default rsd 0.05; the synthetic
-  * user-id cardinalities here are thousands, far above the sparse
-  * regime where the sketch is exact anyway).
+/** Accuracy contracts for the sketch family (q17/q18/q19). Since
+  * round 9 the GATE payload is the exact value + a within_bounds
+  * boolean (hash-exact vs DuckDB); this spec asserts the parts the
+  * gate can't: the booleans actually land true on real data, the
+  * exact payload matches an independently computed exact answer, and
+  * the raw estimates sit within their EMPIRICALLY tighter bounds
+  * (HLL++ ±5 % here vs the 3σ = 15 % gate bound).
   */
 class AnalyticsSketchSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
@@ -17,24 +20,33 @@ class AnalyticsSketchSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("approx distinct users per type within 5% of exact at sf0.01") {
+  val dir = "/root/testdata/sf0.01"
+
+  test("q17: within_bounds all true; raw HLL estimate within the " +
+       "empirical 5% of exact per type") {
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = graft.operators.Analytics
-      .q17ApproxDistinct(spark, "/root/testdata/sf0.01")
-      .collect()
+    val rows = graft.operators.Analytics.q17ApproxDistinct(spark, dir).collect()
     assert(rows.length >= 3, "too few event types — gate near-vacuous")
     rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: zero exact distinct")
+      assert(r.getBoolean(2), s"${r.getString(0)}: sketch outside 3-sigma bound")
+    }
+    // estimate-level empirical contract (the gate only carries 3σ)
+    val est = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect()
+    est.foreach { r =>
       val (tpe, approx, exact) = (r.getString(0), r.getLong(1), r.getLong(2))
-      assert(exact > 0, s"$tpe: zero exact distinct — vacuous")
       val rel = math.abs(approx - exact).toDouble / exact
       assert(rel <= 0.05, f"$tpe: approx=$approx exact=$exact rel=$rel%.3f")
     }
   }
 
-  test("approx quantiles: every value's rank within n/accuracy of the " +
-       "target rank, per group") {
+  test("q18: within_bounds all true; exact_value matches the locally " +
+       "computed discrete lower quantile") {
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
     val rows = graft.operators.Analytics.q18ApproxQuantiles(spark, dir).collect()
     assert(rows.length >= 8, "too few (flag, p) rows — gate near-vacuous")
     val byFlag = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -42,33 +54,32 @@ class AnalyticsSketchSpec extends AnyFunSuite {
       .groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getDouble(1)).sorted }
     rows.foreach { r =>
-      val (flag, p, v, n) =
-        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val (flag, p, v, n, wb) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getLong(3), r.getBoolean(4))
       val xs = byFlag(flag)
       assert(n === xs.length)
-      val err = n.toDouble / 10000 + 1
-      val target = p * n
-      val rankLo = xs.count(_ < v)   // smallest rank v could hold
-      val rankHi = xs.count(_ <= v)  // largest rank v could hold
-      assert(rankLo - err <= target && target <= rankHi + err,
-        f"$flag p=$p v=$v rankLo=$rankLo rankHi=$rankHi target=$target%.1f")
-      // the returned value is an actual data value, not an interpolation
-      assert(xs.contains(v), s"$flag p=$p: $v not a data value")
+      assert(wb, s"$flag p=$p: GK rank bound violated")
+      // exact discrete lower quantile: value at 1-based rank ceil(p*n)
+      val target = math.ceil(p * n).toInt
+      assert(v === xs(target - 1),
+        s"$flag p=$p: exact_value $v != ${xs(target - 1)} at rank $target")
     }
   }
 
-  test("CMS heavy-hitter estimates: never under, over by at most eps*N") {
+  test("q19: within_bounds all true; raw CMS estimate never under, " +
+       "over by at most 3*eps*N") {
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val rows = graft.operators.Analytics.q19FrequentUsers(spark, dir).collect()
+    val rows = graft.operators.Analytics
+      .q19FrequentUsers(spark, dir, emitEstimate = true).collect()
     assert(rows.length >= 6, "too few heavy hitters — gate near-vacuous")
     val totals = spark.read.parquet(s"$dir/events.parquet")
       .groupBy("event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val (tpe, exact, est) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (tpe, exact, wb, est) =
+        (r.getString(0), r.getLong(2), r.getBoolean(4), r.getLong(5))
+      assert(wb, s"$tpe: within_bounds false")
       assert(est >= exact, s"$tpe: CMS must never underestimate")
-      // eps = 0.001; allow 3x slack on the probabilistic upper bound
       assert(est <= exact + (3 * 0.001 * totals(tpe)).ceil.toLong + 1,
         s"$tpe: est=$est exact=$exact N=${totals(tpe)}")
     }

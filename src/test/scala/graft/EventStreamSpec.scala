@@ -272,29 +272,32 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("streaming CMS heavy hitters == batch q19 row-for-row, est >= exact") {
     val dir = "/root/testdata/sf0.01"
-    val streamed = EventStream.heavyHittersGate(spark, dir)
+    val streamed = EventStream.heavyHittersGate(spark, dir, emitEstimate = true)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getInt(4)))
+        r.getInt(3), r.getBoolean(4), r.getLong(5)))
     assert(streamed.nonEmpty, "no heavy hitters — gate vacuous")
     // CMS merge is cellwise addition over identically-seeded registers,
     // so the union of the per-window STREAMED sketches must equal the
-    // single batch-global sketch exactly — q19's output row for row,
-    // not merely within epsilon (q19 built at st6's eps for the twin)
+    // single batch-global sketch exactly — q19's output (incl. the raw
+    // cms_n estimates) row for row, not merely within epsilon (q19
+    // built at st6's eps for the twin)
     val batch = graft.operators.Analytics
-      .q19FrequentUsers(spark, dir, k = 3, eps = 0.01)
+      .q19FrequentUsers(spark, dir, k = 3, eps = 0.01, emitEstimate = true)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getInt(4)))
+        r.getInt(3), r.getBoolean(4), r.getLong(5)))
     assert(streamed.toSeq == batch.toSeq,
       "streamed merged CMS diverges from the batch-global sketch")
-    streamed.foreach { case (t, u, exact, est, _) =>
+    streamed.foreach { case (t, u, exact, _, wb, est) =>
       assert(est >= exact, s"($t,$u): CMS under-counted $est < $exact")
+      assert(wb, s"($t,$u): within_bounds false")
     }
   }
 
   test("streaming HLL sketch state == batch sketch bit-for-bit, ±5% of exact") {
     val dir = "/root/testdata/sf0.01"
-    val streamed = EventStream.approxDistinctGate(spark, dir)
-      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val streamed = EventStream.approxDistinctGate(spark, dir, emitEstimate = true)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
     assert(streamed.length > 50, "too few (type, hour) groups — near-vacuous")
     // batch twin over the same rows: HLL register merge is a
     // per-register max, so incremental micro-batched accumulation must
@@ -307,10 +310,13 @@ class EventStreamSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getTimestamp(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     assert(streamed.length == batch.size, "group sets differ")
-    streamed.foreach { case (tpe, hour, approx) =>
+    streamed.foreach { case (tpe, hour, approx, gateExact, wb) =>
       val (bApprox, exact) = batch((tpe, hour))
       assert(approx == bApprox,
         s"($tpe,$hour): stream sketch $approx != batch sketch $bApprox")
+      assert(gateExact == exact,
+        s"($tpe,$hour): gate exact $gateExact != batch exact $exact")
+      assert(wb, s"($tpe,$hour): within_bounds false")
       // ±5% for real cardinalities; tiny groups (a handful of users)
       // ride HLL++'s small-range correction, which can still be off by
       // a count or two — allow an absolute slack of 2 there

@@ -54,17 +54,12 @@ class RegistryAnalyzeSpec extends AnyFunSuite {
   }
 
   test("every registered query has an oracle (full-strength gate)") {
-    // The sketch family is deliberately rows-only: HLL, quantile
-    // summary, and CMS estimates are engine-specific, so DuckDB can't
-    // value-match them; each accuracy contract is spec-asserted
-    // instead (AnalyticsSketchSpec: q17 ±5%, q18 rank error
-    // n/accuracy, q19 CMS over/under bounds; EventStreamSpec: st5
-    // stream sketch == batch sketch exactly, ±5% of exact).
-    val rowsOnlyByDesign =
-      Set("q17_approx_distinct", "q18_approx_quantiles", "q19_frequent_users",
-        "st5_stream_approx_distinct", "st6_stream_heavy_hitters")
-    val noOracle =
-      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    // Since round 9 the sketch family (q17/q18/q19/st5/st6) is
+    // hash-exact too — the gate payload is the DuckDB-computable exact
+    // value plus a within_bounds boolean carrying the sketch contract
+    // — so there is NO rows-only whitelist anymore: every registered
+    // query must carry an oracle.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracleSql: $noOracle")
   }
 }
