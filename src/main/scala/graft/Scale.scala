@@ -108,6 +108,20 @@ object Scale {
       results("sp15_knn_join") = timed(2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"),
           centroids(partS, "tgt_id"), k = 3).count() }
+      // sp15 on a HEAVILY CLUSTERED corpus: 95 % of targets squeezed
+      // into 1 % of the domain area (coords/10), sources spread across
+      // the full extent. The round-8 single-shot residual (uncertified
+      // × ALL targets) made this shape its worst case; the round-9
+      // expanding ring certifies each source once r·cellWidth passes
+      // its kth-neighbor distance, so the curve must stay ~linear.
+      val tgtClustered = centroids(partS, "tgt_id")
+        .withColumn("x", when(pmod(col("tgt_id"), lit(20)) === 0, col("x"))
+          .otherwise(col("x") / 10))
+        .withColumn("y", when(pmod(col("tgt_id"), lit(20)) === 0, col("y"))
+          .otherwise(col("y") / 10))
+      results("sp15_knn_clustered") = timed(2) {
+        KnnJoin.knnJoin(centroids(suppS, "src_id"), tgtClustered, k = 3)
+          .count() }
       // sp16's ε-distance join on the same corpora: the g≥ε grid keeps
       // candidates ~ n·(targets/cells-touched) — the curve should track
       // output growth (pair density × corpus²), not the raw product

@@ -64,6 +64,36 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(run(src, tgt, 3) == brute(src, tgt, 3))
   }
 
+  test("95% of targets in 1% of the area (multi-round escalation) " +
+       "equals brute force") {
+    // the round-8 worst case: heavily clustered targets fail the r=1
+    // certificate for most sources, and the old single-shot residual
+    // paid |uncertified| x |targets|; the expanding ring must instead
+    // certify each source once r*cellWidth exceeds its kth-neighbor
+    // distance. 950 of 1000 targets sit in a 100x100 corner of the
+    // 10000-wide domain (1% of the area); sources spread everywhere,
+    // so kth distances range from ~1 cell to ~the domain diagonal —
+    // exercising several distinct certification rounds.
+    val tgt = pts(0 until 1000,
+      i => if (i % 20 == 0) (i * 131 % 10000).toDouble
+           else (i * 37 % 100).toDouble,
+      i => if (i % 20 == 0) (i * 137 % 10000).toDouble
+           else (i * 41 % 100).toDouble, "tgt_id")
+    val src = pts(0 until 300, i => (i * 139 % 10000).toDouble,
+      i => (i * 149 % 10000).toDouble, "src_id")
+    for (k <- Seq(1, 5))
+      assert(run(src, tgt, k) == brute(src, tgt, k), s"mismatch at k=$k")
+  }
+
+  test("all targets at one point, sources far away, equals brute force") {
+    // degenerate density: every certificate needs the ring to reach
+    // the single occupied cell AND grow past the (large) kth distance
+    val tgt = pts(0 until 100, _ => 5000.0, _ => 5000.0, "tgt_id")
+    val src = pts(0 until 50, i => (i * 197 % 10000).toDouble,
+      i => (i * 211 % 10000).toDouble, "src_id")
+    assert(run(src, tgt, 3) == brute(src, tgt, 3))
+  }
+
   test("wide-domain corpus (coords far beyond 1000) equals brute force") {
     // The tiled Scale corpora span grid×extent (e.g. ~4000 at 10×); the
     // grid domain must FOLLOW the data — a static-extent grid clamped
