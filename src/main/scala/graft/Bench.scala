@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   * linkers (DS-JedAI `experiments/GiantExp.scala:71-79`). The warmup
   * cost is reported separately as `warmup_sec`, so nothing is hidden —
   * per-query numbers then measure the query, not whichever one ran
-  * first.
+  * first. Each query additionally gets a discarded first run (cache
+  * isolation — see the loop comment), so the reported min-of-2 is the
+  * warm plan cost and is comparable across rounds even as the
+  * registry grows.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,11 +50,22 @@ object Bench {
       graft.operators.GeoQueries.mixedCorpus(spark, sfDir).count()
     } catch { case _: Throwable => }
     val warmup = (System.nanoTime() - w0) / 1e9
-    // Min of two runs per query: a single GC/IO stall otherwise lands on
+    // THREE runs per query; the headline is min of the LAST TWO.
+    // Run 1 is the cache-isolation run (round-8 advisory): several
+    // queries share session-memoized bases (DfCache WKT corpora, the
+    // dd9 CC output, LSH signature caches), and whichever query FIRST
+    // touched an unpopulated cache used to be charged its population —
+    // so merely inserting new queries shifted sorted order and moved
+    // multi-second cache costs between unrelated queries across rounds
+    // (r8: sp12 0.78→1.63 s, sp6 1.72→0.26 s with zero code change).
+    // With run 1 never reported, every reported number is the WARM
+    // steady-state cost of the plan, comparable across rounds
+    // regardless of registry growth; the raw triple is persisted below
+    // so the cold cost stays visible.
+    // Min of the two warm runs: a single GC/IO stall otherwise lands on
     // whichever query happens to be running and can blow the whole-suite
     // comparison by itself (a 0.6 MB groupBy was once charged 58 s by one
-    // such stall). The min is the steady-state cost of the PLAN — the
-    // thing a cross-round comparison is meant to measure.
+    // such stall).
     // A throwing query must NOT record its time-to-exception as a
     // plausible runtime (that masked the r5/r6 events breakage for two
     // rounds): failures report a -1 sentinel time plus the exception
@@ -59,14 +73,14 @@ object Bench {
     // miss in the one-line artifact.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, if (err.isDefined) -1.0 else runs.min, err, runs)
+      (name, if (err.isDefined) -1.0 else runs.tail.min, err, runs)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -93,9 +107,10 @@ object Bench {
     println(line)
     // The driver's artifact capture has truncated the stdout tail in
     // past rounds (BENCH_r07 carried only the last ~58 of 91 queries) —
-    // persist the full line, PLUS both raw per-query runs so
-    // cross-round readers can judge noise (min-of-2 is what the
-    // headline uses; the raw pair shows when the two disagree).
+    // persist the full line, PLUS all raw per-query runs so
+    // cross-round readers can judge noise (the headline is min of
+    // runs 2-3; run 1 is the untimed-in-spirit cache-isolation pass,
+    // kept in the triple so the cold cost stays visible).
     val rawRuns = results.map { case (k, _, _, rs) =>
       s"${jstr(k)}:[${rs.map(t => f"$t%.3f").mkString(",")}]"
     }.mkString("{", ",", "}")

@@ -36,7 +36,16 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      directly above a scan that pushed NOTHING — rule 3's
   *      reduction test accepts column pruning, so a regression that
   *      silently loses filter pushdown (while pruning still holds)
-  *      would otherwise go uncaught (round-7 advisory).
+  *      would otherwise go uncaught (round-7 advisory);
+  *   6. partition pruning: a FilterExec above a PARTITIONED scan must
+  *      not retain a deterministic conjunct referencing only
+  *      partition columns while the scan's `partitionFilters` is
+  *      empty — such conjuncts are exactly what FileSourceStrategy
+  *      moves into the scan for pruning, so one left behind with
+  *      nothing pruned means a full-catalog scan of a partitioned
+  *      table (round-8 verdict item; the gate tables are single
+  *      files, so this rule guards the library's partitioned-read
+  *      path, exercised in PlanAuditSpec).
   *
   * Rule 2 admits a broadcast-nested-loop join structurally when its
   * build side is aggregate-reduced (a trained codebook / LUT bounded
@@ -161,14 +170,27 @@ object PlanAudit {
     case other => other.children.exists(hasPushableAtom)
   }
 
-  /** Audit every gate query at `sfDir`; returns (query, problems)
-    * pairs — empty problem lists mean a clean plan. Errors surface as
-    * a one-element problem list. */
-  def auditAll(spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val problems = try {
-        val df = fn(spark, sfDir)
-        df.collect() // finalize the adaptive plan
+  /** Conjuncts FileSourceStrategy would move into `partitionFilters`:
+    * deterministic predicates whose references are ALL partition
+    * columns. Mixed conjuncts (partition OR data column) legitimately
+    * cannot prune and are not counted. */
+  private[graft] def partitionOnlyConjuncts(
+      cond: Expression, partCols: Set[String]): Seq[Expression] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    split(cond).filter(c => c.deterministic && c.references.nonEmpty &&
+      c.references.forall(a => partCols(a.name)))
+  }
+
+  /** Audit one executed DataFrame (the plan must be finalized by an
+    * action first); returns the rule violations. Exposed so specs can
+    * audit plans outside the gate registry (e.g. the partitioned-scan
+    * cases for rule 6). */
+  private[graft] def auditPlan(name: String,
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
         val nodes = walk(df.queryExecution.executedPlan)
         val globalWindows = nodes.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -208,6 +230,20 @@ object PlanAudit {
               case _ => null
             }
         }.filter(_ != null)
+        // rule 6: a filter retaining a partition-only conjunct above a
+        // PARTITIONED scan whose partitionFilters is empty = partition
+        // pruning lost (a full-catalog scan of a partitioned table)
+        val unprunedPartitions = nodes.collect {
+          case f: FilterExec =>
+            throughTransparent(f.child) match {
+              case scan: FileSourceScanExec
+                if scan.relation.partitionSchema.nonEmpty &&
+                  scan.partitionFilters.isEmpty &&
+                  partitionOnlyConjuncts(f.condition,
+                    scan.relation.partitionSchema.fieldNames.toSet).nonEmpty => f
+              case _ => null
+            }
+        }.filter(_ != null)
         Seq(
           if (globalWindows.nonEmpty)
             Some(s"${globalWindows.size} unpartitioned WindowExec") else None,
@@ -221,8 +257,23 @@ object PlanAudit {
               "(ranking must be map-side)") else None,
           if (unpushedFilters.nonEmpty)
             Some(s"${unpushedFilters.size} pushable filter(s) directly above " +
-              "a scan that pushed nothing (filter pushdown lost)") else None
+              "a scan that pushed nothing (filter pushdown lost)") else None,
+          if (unprunedPartitions.nonEmpty)
+            Some(s"${unprunedPartitions.size} partition-only filter(s) above " +
+              "a partitioned scan with empty partitionFilters " +
+              "(partition pruning lost)") else None
         ).flatten
+  }
+
+  /** Audit every gate query at `sfDir`; returns (query, problems)
+    * pairs — empty problem lists mean a clean plan. Errors surface as
+    * a one-element problem list. */
+  def auditAll(spark: SparkSession, sfDir: String): Seq[(String, Seq[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val problems = try {
+        val df = fn(spark, sfDir)
+        df.collect() // finalize the adaptive plan
+        auditPlan(name, df)
       } catch {
         case e: Throwable => Seq(s"ERR ${e.getMessage}")
       }

@@ -144,7 +144,10 @@ object Scale {
                     // Gopher rules (map-side), fuzzy contamination
                     // (dd5's banded shape over the shared sig cache)
                     "cp6_temperature_mix", "ta11_gopher_rules",
-                    "dd18_fuzzy_contamination"))
+                    "dd18_fuzzy_contamination",
+                    // round-9: the composed curation pipeline — the
+                    // shuffle-ledger claim measured as one curve
+                    "cp7_full_curation"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
@@ -195,6 +198,17 @@ object Scale {
         graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)
       val (sk1Sec, sk1Rows, sk1State) =
         graft.streaming.EventStream.sketchFileStats(spark, dataDir)
+      // Same harnesses on the RocksDB state store — the provider a
+      // 100 TB deployment runs (state spills beyond the executor heap;
+      // the default HDFS-backed store is entirely on-heap). Both
+      // curves are recorded: rows must match the in-memory run
+      // exactly, wall time shows the provider overhead at gate state
+      // sizes.
+      val rocks = Some(graft.streaming.EventStream.RocksDbProvider)
+      val (st1rSec, st1rRows, st1rState) =
+        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir, rocks)
+      val (ij1rSec, ij1rRows, ij1rState) =
+        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir, rocks)
       // the hash-gated MemoryStream replay harnesses carry bounded
       // driver collects — run them to 10× (1M rows), never silently
       val events = Tables.events(spark, dataDir).count()
@@ -234,7 +248,9 @@ object Scale {
       val streamJson =
         f""""st1_file":{"sec":$st1Sec%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
         f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
-        f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State}""" +
+        f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State},""" +
+        f""""st1_file_rocksdb":{"sec":$st1rSec%.3f,"rows":$st1rRows,"state_rows":$st1rState},""" +
+        f""""st2_file_rocksdb":{"sec":$ij1rSec%.3f,"rows":$ij1rRows,"state_rows":$ij1rState}""" +
         replayJson
       println(s"""{"scale":$n,"base":"$baseDir","seg_intersects_diff":$segDiff,""" +
         s""""cc_rounds":$ccRounds,"cc_alt_rounds":$ccAltRounds,"events":$events,""" +

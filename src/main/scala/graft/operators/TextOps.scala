@@ -864,6 +864,98 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** cp7: the FULL curation pipeline composed end to end — ingest
+    * dedup (dd17) → per-domain cap (cp3) → per-domain token budget
+    * (cp4) → temperature-flattened language mix (cp6) → deterministic
+    * shard + position (cp5) — one gate whose oracle is the composed
+    * SQL, because at 100 TB the COMPOSITION is the artifact: stage
+    * boundaries must not re-materialize or re-shuffle the corpus.
+    *
+    * Composed plan shape (shuffle ledger):
+    *  - the narrow base projection (id/source/lang/chars/tokens/fp —
+    *    never the text past the scan) is computed ONCE and session-
+    *    persisted ([[graft.spark.DfCache]]): the dd17 stage's three
+    *    consumers (batch dedup, corpus probe, pass-through) otherwise
+    *    re-scan and re-tokenize the corpus once each;
+    *  - dd17: only the BATCH quarter shuffles (its in-batch dedup
+    *    groupBy); the standing corpus is probed by broadcast and
+    *    passes through with zero exchanges;
+    *  - cp3: the two-stage exact top-K — (source, md5-shard-16) local
+    *    cap then source-global cap over ≤ 16·cap survivors;
+    *  - cp4: the prefix-sum window rides cp3's existing `source`
+    *    partitioning (no new exchange — AQE-visible in the plan);
+    *  - cp6: per-lang counts of the SURVIVOR set (a |langs|-row agg)
+    *    broadcast back as ppm coin rates — map-side filter;
+    *  - cp5: the single final shuffle onto the output shard key.
+    * Total full-width data movement: cp3's cap shuffle and cp5's
+    * shard shuffle — everything else is bounded aggregates or
+    * broadcasts. */
+  def cp7FullCuration(s: SparkSession, dir: String, cap: Int = 10,
+                      budget: Int = 600, shards: Int = 8): DataFrame = {
+    val norm =
+      regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
+    val base = graft.spark.DfCache.memo(s, s"$dir#cp7base") {
+      documents(s, dir).select(
+        col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"),
+        md5(substring(norm, 1, 64)).as("fp"))
+    }
+    // stage 1 — dd17 ingest dedup: batch (doc_id%4==0) dedupes
+    // in-batch, then drops fingerprints already in the standing corpus
+    val batch = base.filter(col("doc_id") % 4 === 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val collisions = base.filter(col("doc_id") % 4 =!= 0)
+      .join(broadcast(batch.select(col("fp"))), "fp")
+      .select(col("fp")).distinct()
+    val batchKeep = batch.join(broadcast(collisions), Seq("fp"), "left_anti")
+      .select(col("doc_id"), lit(1).as("kb"))
+    val kept = base.join(broadcast(batchKeep), Seq("doc_id"), "left")
+      .filter(col("doc_id") % 4 =!= 0 || col("kb").isNotNull)
+    // stage 2 — cp3 two-stage exact domain cap
+    val ranked = Seq(col("n_chars").desc, col("doc_id").asc)
+    val local = Window.partitionBy(col("source"), col("shard16"))
+      .orderBy(ranked: _*)
+    val global = Window.partitionBy(col("source")).orderBy(ranked: _*)
+    val capped = kept
+      .withColumn("shard16",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16)
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= cap)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= cap)
+    // stage 3 — cp4 token budget (rides the `source` partitioning)
+    val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgeted = capped
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wb))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
+    // stage 4 — cp6 temperature mix over the SURVIVOR distribution
+    val counts = budgeted.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+    val nMin = counts.agg(min(col("n_d")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+    val mixed = budgeted
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000)
+      .join(broadcast(rates), "lang")
+      .filter(col("bucket") <
+        sqrt(col("n_min").cast("double") / col("n_d")) * 1000000)
+    // stage 5 — cp5 shard + deterministic position
+    val k = md5(col("doc_id").cast("string"))
+    val ws = Window.partitionBy(col("shard")).orderBy(col("k"))
+    mixed
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        k.as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 15), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(ws))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** cp5: deterministic corpus shuffle + sharding — the final step of
     * a training-data pipeline: break any source/time ordering so
     * every output shard is an i.i.d.-ish sample, reproducibly. Shard
@@ -891,6 +983,7 @@ object TextOps {
     "cp3_domain_cap" -> ((s: SparkSession, dir: String) => cp3DomainCap(s, dir)),
     "cp4_token_budget" -> ((s: SparkSession, dir: String) => cp4TokenBudget(s, dir)),
     "cp6_temperature_mix" -> (cp6TemperatureMix _),
+    "cp7_full_curation" -> ((s: SparkSession, dir: String) => cp7FullCuration(s, dir)),
     "dd17_incremental_dedup" -> (dd17IncrementalDedup _),
     "ta10_importance_weights" -> ((s: SparkSession, dir: String) =>
       ta10ImportanceWeights(s, dir)),
@@ -1037,6 +1130,54 @@ object TextOps {
            FROM t)
          SELECT doc_id, source, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 600 ORDER BY source, doc_id""",
+    // cp7: the composed pipeline — each CTE is the proven single-form
+    // oracle of its stage (dd17 / cp3 / cp4 / cp6 / cp5), chained over
+    // the previous stage's survivors instead of raw `documents`
+    "cp7_full_curation" ->
+      """WITH base AS (
+           SELECT doc_id, source, lang, n_chars,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+             md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))),
+               '\s+', ' ', 'g'), 1, 64)) AS fp
+           FROM documents),
+         batch AS (SELECT fp, min(doc_id) AS doc_id
+                   FROM base WHERE doc_id % 4 = 0 GROUP BY fp),
+         corpusfp AS (SELECT DISTINCT fp FROM base WHERE doc_id % 4 <> 0),
+         keep AS (
+           SELECT * FROM base
+           WHERE doc_id % 4 <> 0
+              OR doc_id IN (SELECT doc_id FROM batch
+                            WHERE fp NOT IN (SELECT fp FROM corpusfp))),
+         capped AS (
+           SELECT doc_id, source, lang, n_tokens FROM (
+             SELECT doc_id, source, lang, n_tokens,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn
+             FROM keep) WHERE rn <= 10),
+         budgeted AS (
+           SELECT doc_id, source, lang, n_tokens FROM (
+             SELECT doc_id, source, lang, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+             FROM capped) WHERE cum_tokens <= 600),
+         c AS (SELECT lang, count(*) AS n_d FROM budgeted GROUP BY 1),
+         m AS (SELECT min(n_d) AS n_min FROM c),
+         mixed AS (
+           SELECT b.doc_id, b.source, b.lang, b.n_tokens
+           FROM budgeted b JOIN c ON b.lang = c.lang CROSS JOIN m
+           WHERE CAST('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000
+                 < sqrt(CAST(m.n_min AS DOUBLE) / c.n_d) * 1000000),
+         sharded AS (
+           SELECT doc_id, source, lang, n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS k,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 8 AS shard
+           FROM mixed)
+         SELECT doc_id, source, lang, n_tokens, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k) AS INT) AS pos
+         FROM sharded ORDER BY shard, pos""",
     "dd17_incremental_dedup" ->
       """WITH f AS (
            SELECT doc_id,

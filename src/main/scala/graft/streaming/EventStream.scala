@@ -500,6 +500,65 @@ object EventStream {
     sess.table(name).orderBy(col("event_type"), col("hour"))
   }
 
+  /** Tracks the peak state-store rows across EVERY progress update.
+    * `q.recentProgress` is a ring buffer keeping only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * entries, so a maxFilesPerTrigger=1 run over >100 part files could
+    * under-measure the peak (round-8 advisory) — a listener sees every
+    * update. One listener per harness call on a dedicated child
+    * session (gateSession), so no cross-query filtering is needed. */
+  private final class MaxStateListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    @volatile var maxRows: Long = -1L
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      val m = e.progress.stateOperators.map(_.numRowsTotal)
+        .foldLeft(-1L)(math.max)
+      if (m > maxRows) maxRows = m
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** FQCN of the RocksDB state store provider — the provider a 100 TB
+    * deployment runs, where state must spill beyond the executor heap
+    * (the default HDFSBackedStateStoreProvider holds every state row
+    * on-heap). Scale records both curves. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Shared runner for the file-source scale harnesses: build the
+    * streaming frame against the given child session, drain it into a
+    * parquet sink, and return (seconds, emitted rows, peak state rows
+    * via [[MaxStateListener]]). `stateProvider` overrides the state
+    * store provider for this session BEFORE query start (when the
+    * provider is pinned) — pass [[RocksDbProvider]] for the
+    * spill-capable curve. */
+  private def runFileSinkStats(sess: SparkSession, prefix: String,
+      stateProvider: Option[String])(build: => DataFrame): (Double, Long, Long) = {
+    stateProvider.foreach(p =>
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    val listener = new MaxStateListener
+    sess.streams.addListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val q = build
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", s"$out/_ckpt")
+        .option("path", s"$out/data")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val n = sess.read.parquet(s"$out/data").count()
+      (sec, n, listener.maxRows)
+    } finally sess.streams.removeListener(listener)
+  }
+
   /** Scale harness: the stateful sessionizer over the PRODUCTION
     * streaming file source (one micro-batch per part file via
     * maxFilesPerTrigger — genuine incremental state across triggers),
@@ -511,23 +570,12 @@ object EventStream {
     * file-source run has no sentinel flush — which is the correct
     * steady-state behavior; the hash-exact completeness twin is the
     * st1 replay gate.) */
-  def sessionizeFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+  def sessionizeFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
     val sess = gateSession(spark)
-    val out = java.nio.file.Files.createTempDirectory("graft_sess_scale").toString
-    val t0 = System.nanoTime()
-    val q = sessionize(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("checkpointLocation", s"$out/_ckpt")
-      .option("path", s"$out/data")
-      .start()
-    q.processAllAvailable()
-    val state = q.recentProgress.iterator
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
-    q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val n = sess.read.parquet(s"$out/data").count()
-    (sec, n, state)
+    runFileSinkStats(sess, "graft_sess_scale", stateProvider) {
+      sessionize(readEvents(sess, dir, maxFilesPerTrigger = Some(1))).toDF()
+    }
   }
 
   /** Scale harness twin for the windowed-sketch family (st5/st6): the
@@ -539,49 +587,27 @@ object EventStream {
     * windows, max state rows): state must track types × ACTIVE
     * windows, never distinct users — the sketch-state claim as a
     * measured number. */
-  def sketchFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+  def sketchFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
     val sess = gateSession(spark)
-    val out = java.nio.file.Files.createTempDirectory("graft_sketch_scale").toString
-    val t0 = System.nanoTime()
-    val q = hourlyApproxDistinct(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("checkpointLocation", s"$out/_ckpt")
-      .option("path", s"$out/data")
-      .start()
-    q.processAllAvailable()
-    val state = q.recentProgress.iterator
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
-    q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val n = sess.read.parquet(s"$out/data").count()
-    (sec, n, state)
+    runFileSinkStats(sess, "graft_sketch_scale", stateProvider) {
+      hourlyApproxDistinct(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
+    }
   }
 
   /** Scale harness twin of [[sessionizeFileStats]] for the
     * stream-stream interval join: both sides are the production file
     * source (error / click filters), state is the watermark-bounded
     * join buffer — O(rate × window), measured. */
-  def intervalJoinFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+  def intervalJoinFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
     val sess = gateSession(spark)
-    val out = java.nio.file.Files.createTempDirectory("graft_ij_scale").toString
-    val t0 = System.nanoTime()
-    val src = readEvents(sess, dir, maxFilesPerTrigger = Some(1))
-    val q = intervalJoin(
+    runFileSinkStats(sess, "graft_ij_scale", stateProvider) {
+      val src = readEvents(sess, dir, maxFilesPerTrigger = Some(1))
+      intervalJoin(
         src.filter(col("event_type") === "error"),
         src.filter(col("event_type") === "click"))
-      .writeStream.outputMode("append")
-      .format("parquet")
-      .option("checkpointLocation", s"$out/_ckpt")
-      .option("path", s"$out/data")
-      .start()
-    q.processAllAvailable()
-    val state = q.recentProgress.iterator
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
-    q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val n = sess.read.parquet(s"$out/data").count()
-    (sec, n, state)
+    }
   }
 
   /** Stream-STATIC enrichment join — the remaining streaming join

@@ -242,6 +242,14 @@ class EventStreamSpec extends AnyFunSuite {
       .filter(col("event_type").isin("error", "click")).count()
     assert(jState <= errClicks,
       s"join state $jState exceeds its whole input $errClicks")
+    // RocksDB provider (the 100 TB spill-capable store): same emitted
+    // rows as the in-memory provider, state still bounded
+    val (rSec, rRows, rState) = EventStream.sessionizeFileStats(spark, dir,
+      Some(EventStream.RocksDbProvider))
+    assert(rSec > 0 && rRows == rows,
+      s"RocksDB run emitted $rRows sessions vs in-memory $rows")
+    assert(rState > 0 && rState <= users,
+      s"RocksDB sessionizer state $rState must be bounded by $users")
   }
 
   test("the dedupe gate's duplicate placement never routes a second " +

@@ -25,4 +25,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.map { case (n, ps) =>
       s"$n: ${ps.mkString("; ")}" }.mkString("\n"))
   }
+
+  test("rule 6: healthy partitioned reads pass; the conjunct classifier " +
+       "separates prunable from mixed predicates") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a genuinely partitioned table: pruning must land in
+    // partitionFilters and rule 6 must stay silent
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_audit").toString
+    (0 until 1000).map(i => (i.toLong, i % 5, s"v$i"))
+      .toDF("id", "p", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("p") === 3 && col("id") > 10)
+    pruned.collect()
+    assert(PlanAudit.auditPlan("partitioned_read", pruned).isEmpty,
+      "healthy pruned read must not be flagged")
+    // mixed disjunction (partition OR data column) legitimately cannot
+    // prune — rule 6 must NOT flag it as lost pruning
+    val mixed = spark.read.parquet(dir).filter(col("p") === 3 || col("id") > 990)
+    mixed.collect()
+    assert(PlanAudit.auditPlan("mixed_read", mixed)
+      .forall(!_.contains("partition pruning")),
+      "mixed partition/data disjunction must not count as lost pruning")
+    // classifier unit contract: exactly the partition-only
+    // deterministic conjuncts are extracted (what FileSourceStrategy
+    // moves into partitionFilters)
+    val pAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "p", org.apache.spark.sql.types.IntegerType)()
+    val idAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "id", org.apache.spark.sql.types.LongType)()
+    import org.apache.spark.sql.catalyst.expressions.{And, Or, EqualTo, GreaterThan, Literal}
+    val partOnly = EqualTo(pAttr, Literal(3))
+    val dataOnly = GreaterThan(idAttr, Literal(10L))
+    assert(PlanAudit.partitionOnlyConjuncts(
+      And(partOnly, dataOnly), Set("p")) == Seq(partOnly))
+    assert(PlanAudit.partitionOnlyConjuncts(
+      Or(partOnly, dataOnly), Set("p")).isEmpty,
+      "a mixed disjunction is one conjunct referencing a data column")
+    assert(PlanAudit.partitionOnlyConjuncts(
+      partOnly, Set.empty) == Seq.empty)
+  }
 }
