@@ -23,7 +23,10 @@ object ConfigRunner {
                      algorithm: String, budget: Int, mainWF: String,
                      batchSize: Int, violations: Int, precisionLimit: Double,
                      exportPath: Option[String],
-                     scheme: String = "SIMPLE", secondaryWF: String = "")
+                     scheme: String = "SIMPLE", secondaryWF: String = "",
+                     partitions: Option[Int] = None,
+                     thetaGranularity: String = "avg",
+                     gridType: Option[String] = None)
 
   /** Minimal two-level YAML subset: `key:` section headers with
     * two-space-indented `sub: value` entries, plus top-level
@@ -75,7 +78,11 @@ object ConfigRunner {
         case "JS" => "w_js"; case "CF" => "w_cf"; case "MBRO" => "w_mbro"
         case "PEARSONS_X2" | "X2" => "w_x2"; case "ISP" => "w_isp"
         case w => w
-      })
+      },
+      partitions = yaml.get("configurations.partitions").map(_.toInt),
+      thetaGranularity =
+        yaml.getOrElse("configurations.thetaGranularity", "avg"),
+      gridType = yaml.get("configurations.gridType"))
   }
 
   private def load(spark: SparkSession, d: DatasetConf): DataFrame =
@@ -89,14 +96,47 @@ object ConfigRunner {
     * counts for DE9IM, id pairs for single relations). When both
     * datasets declare a dateField, single-relation jobs apply the
     * reference's ±2-day temporal filter (SpatioTemporalEntity
-    * semantics). */
+    * semantics).
+    *
+    * Template-key contract (ConfigRunnerSpec walks the reference's own
+    * `config/configurationTemplate.yaml:1-27` key for key): every key
+    * is either HONORED (paths/fields/patterns, relation, partitions →
+    * input repartition + region count, thetaGranularity=avg — the
+    * implemented dynamic-tiling statistic and the template's
+    * recommended value, gridType=KDBTREE → the sample-KD region join,
+    * all five weighting functions, all progressive algorithms incl.
+    * RANDOM, budget, exportPath) or REJECTED with an explicit message
+    * (thetaGranularity≠avg; gridType=QUADTREE; gridType with DE9IM /
+    * progressive jobs, where the region path would change the output
+    * contract silently). */
   def run(spark: SparkSession, conf: JobConf): DataFrame = {
+    require(conf.thetaGranularity.equalsIgnoreCase("avg"),
+      s"thetaGranularity '${conf.thetaGranularity}' is not implemented: " +
+        "dynamic tiling uses AVG (the template's recommended setting)")
     val temporal = conf.source.dateField.isDefined && conf.target.dateField.isDefined
-    val link = SpatialLink(load(spark, conf.source), load(spark, conf.target))
+    conf.gridType.foreach { g =>
+      require(g.equalsIgnoreCase("KDBTREE"),
+        s"gridType '$g' is not implemented; KDBTREE (sample-KD regions) is")
+      require(conf.algorithm.equalsIgnoreCase("GIANT") &&
+          !conf.relation.equalsIgnoreCase("DE9IM") && !temporal,
+        "gridType routing is implemented for single-relation non-temporal " +
+          "GIANT jobs; DE9IM/temporal/progressive jobs use the θ-tile path")
+    }
+    def part(df: DataFrame): DataFrame =
+      conf.partitions.fold(df)(df.repartition)
+    val link = SpatialLink(part(load(spark, conf.source)),
+      part(load(spark, conf.target)))
     val result = (conf.algorithm.toUpperCase, conf.relation.toUpperCase) match {
+      case ("GIANT", rel) if conf.gridType.isDefined =>
+        graft.partition.SpatialPartitioner.joinByRegions(
+          link.source, link.target, rel.toLowerCase,
+          n = conf.partitions.getOrElse(16))
       case ("GIANT", "DE9IM")    => link.de9im()
       case ("GIANT", rel) if temporal => link.relateTemporal(rel.toLowerCase)
       case ("GIANT", rel)        => link.relate(rel.toLowerCase)
+      case ("RANDOM", rel) =>
+        link.progressive(conf.budget, "w_rand",
+          if (rel == "DE9IM") "intersects" else rel.toLowerCase)
       case ("PROGRESSIVE_GIANT", rel) =>
         link.progressive(conf.budget, conf.mainWF,
           if (rel == "DE9IM") "intersects" else rel.toLowerCase)

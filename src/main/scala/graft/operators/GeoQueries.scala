@@ -419,10 +419,24 @@ object GeoQueries {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  /** sp17: the spatial runtime filter — supplier boxes (the SMALL
+    * source) joined to part boxes through the tile-bloom-pruned
+    * candidate path ([[SpatialJoin.relateBloomPruned]]): the source's
+    * occupied θ-tile keys become a bloom that prunes the big side's
+    * exploded tile rows BEFORE their exchange. Pair set identical to
+    * the plain path (false positives die in the tile equi-join), so
+    * the oracle is the plain rectangle-intersects SQL; the exchange
+    * cut is asserted from SQL metrics in SpatialJoinSpec. */
+  def sp17BloomPrunedJoin(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.relateBloomPruned(supplierBoxes(s, dir), partBoxes(s, dir),
+      "intersects")
+      .orderBy(col("s_id"), col("t_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp14_zorder"        -> (sp14Zorder _),
     "sp15_knn_join"      -> (sp15KnnJoin _),
     "sp16_distance_join" -> (sp16DistanceJoin _),
+    "sp17_bloom_pruned_join" -> (sp17BloomPrunedJoin _),
     "sp1_point_in_box"   -> (sp1PointInBox _),
     "sp2_box_intersects" -> (sp2BoxIntersects _),
     "sp3_relation_counts" -> (sp3RelationCounts _),
@@ -524,6 +538,13 @@ object GeoQueries {
       s"""$geomCtes
          SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
          FROM sb s, tb t WHERE $sqlIntersects
+         ORDER BY 1, 2""",
+    // sp17 = sp2 with the sides swapped (supplier boxes are the small
+    // SOURCE building the tile bloom; part boxes the pruned target)
+    "sp17_bloom_pruned_join" ->
+      s"""$geomCtes
+         SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id
+         FROM tb s, sb t WHERE $sqlIntersects
          ORDER BY 1, 2""",
     "sp3_relation_counts" ->
       s"""$geomCtes

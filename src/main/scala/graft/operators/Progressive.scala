@@ -177,6 +177,7 @@ object Progressive {
     if (weights.contains("w_x2"))
       out = withChi2Weight(out, theta, totalTiles(source, theta))
     if (weights.contains("w_isp")) out = out.withColumn("w_isp", ispWeight)
+    if (weights.contains("w_rand")) out = out.withColumn("w_rand", randomWeight)
     out
   }
 

@@ -82,12 +82,17 @@ object SpatialJoin {
     * (persist them when parsing is expensive — the gate queries do). */
   def candidatePairsNarrow(source: DataFrame, target: DataFrame,
                            theta: Theta): DataFrame = {
-    val s = prefixed(source.drop("geom"), "s_").withColumn("tile",
-      explode(tile_cover(col("s_minx"), col("s_miny"), col("s_maxx"), col("s_maxy"),
-        theta.x, theta.y)))
-    val t = prefixed(target.drop("geom"), "t_").withColumn("tile",
-      explode(tile_cover(col("t_minx"), col("t_miny"), col("t_maxx"), col("t_maxy"),
-        theta.x, theta.y)))
+    val s = tiled(source, "s_", theta)
+    val t = tiled(target, "t_", theta)
+    pairJoinTail(s, t, theta)
+  }
+
+  private def tiled(side: DataFrame, p: String, theta: Theta): DataFrame =
+    prefixed(side.drop("geom"), p).withColumn("tile",
+      explode(tile_cover(col(p + "minx"), col(p + "miny"),
+        col(p + "maxx"), col(p + "maxy"), theta.x, theta.y)))
+
+  private def pairJoinTail(s: DataFrame, t: DataFrame, theta: Theta): DataFrame = {
     val mbrIntersects =
       col("s_minx") <= col("t_maxx") && col("s_maxx") >= col("t_minx") &&
       col("s_miny") <= col("t_maxy") && col("s_maxy") >= col("t_miny")
@@ -100,6 +105,48 @@ object SpatialJoin {
     s.join(t, "tile")
       .filter(mbrIntersects && col("tile") === refTile)
       .drop("tile")
+  }
+
+  /** [[candidatePairsNarrow]] with a tile-key runtime filter — q20's
+    * bloom composed into the spatial exchange (round-8 verdict item):
+    * when the SOURCE is much smaller than the target but too large (or
+    * too blob-heavy) to broadcast, build a
+    * [[graft.functions.BloomFunctions]] membership sketch over the
+    * source's OCCUPIED θ-tile keys (one small-side aggregation job,
+    * O(bits) result shipped as a plan constant) and prune the target's
+    * exploded tile rows BEFORE their exchange: a tile no source row
+    * covers cannot produce a candidate pair, so (1 − source tile
+    * occupancy) of the big side's post-explode shuffle volume never
+    * moves. False positives (fpp 1 %) only re-admit rows the tile
+    * equi-join drops anyway — the pair set is EXACTLY
+    * [[candidatePairsNarrow]]'s (spec-asserted pair-for-pair, and sp17
+    * hash-gates the composed join; the exchange cut is asserted from
+    * the executed plan's SQL metrics like q20's). */
+  def candidatePairsNarrowPruned(source: DataFrame, target: DataFrame,
+                                 theta: Theta): DataFrame = {
+    import graft.functions.BloomFunctions
+    val s = tiled(source, "s_", theta)
+    val sTiles = s.select(col("tile"))
+    // expectedItems = source (row, tile) entries — an upper bound on
+    // distinct occupied tiles; overestimating only widens the bloom
+    val bits = BloomFunctions.buildLongFilter(sTiles, "tile",
+      sTiles.count(), 0.01)
+    val t = tiled(target, "t_", theta)
+      .filter(BloomFunctions.mightContainLong(col("tile"), bits))
+    pairJoinTail(s, t, theta)
+  }
+
+  /** [[relate]] over the tile-bloom-pruned candidate path — the
+    * asymmetric big×big spatial join shape (see
+    * [[candidatePairsNarrowPruned]]). */
+  def relateBloomPruned(source: DataFrame, target: DataFrame,
+                        relation: String): DataFrame = {
+    val theta = computeTheta(source)
+    candidatePairsNarrowPruned(source, target, theta)
+      .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+      .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
+      .filter(st_predicate(col("s_geom"), col("t_geom"), relation))
+      .select(col("s_id"), col("t_id"))
   }
 
   /** Candidate pairs after tile join + MBR filter + reference-point

@@ -149,4 +149,127 @@ class ConfigRunnerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(esQual.nonEmpty && esQual.subsetOf(batch))
   }
+
+  test("reference configurationTemplate.yaml parity: every template key " +
+       "is honored or explicitly rejected") {
+    // 1. the reference's OWN template file parses key for key
+    //    (/root/reference/config/configurationTemplate.yaml:1-27)
+    val template = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/config/configurationTemplate.yaml"))
+    val parsed = ConfigRunner.parseYaml(template)
+    val expectedKeys = Seq(
+      "source.path", "source.realIdField", "source.geometryField",
+      "source.dateField", "source.datePattern",
+      "target.path", "target.realIdField", "target.geometryField",
+      "target.dateField", "target.datePattern",
+      "relation",
+      "configurations.partitions", "configurations.thetaGranularity",
+      "configurations.gridType", "configurations.mainWF",
+      "configurations.secondaryWF", "configurations.progressiveAlgorithm",
+      "configurations.budget", "configurations.exportPath")
+    val missing = expectedKeys.filterNot(parsed.contains)
+    assert(missing.isEmpty, s"template keys the parser dropped: $missing")
+
+    // 2. a real config exercising every HONORED key end to end
+    val dir = Files.createTempDirectory("cfgparity")
+    val srcCsv = dir.resolve("src.csv")
+    val tgtCsv = dir.resolve("tgt.csv")
+    Files.writeString(srcCsv, TestGeoms.corpus(seed = 1, n = 40, world = 30)
+      .map { case (id, wkt) => s"""$id;"$wkt"""" }.mkString("\n"))
+    Files.writeString(tgtCsv, TestGeoms.corpus(seed = 2, n = 30, world = 30)
+      .map { case (id, wkt) => s"""$id;"$wkt"""" }.mkString("\n"))
+    def yamlConf(extra: String, rel: String = "intersects") =
+      ConfigRunner.jobConf(ConfigRunner.parseYaml(
+        s"""source:
+           |  path: $srcCsv
+           |  realIdField: 0
+           |  geometryField: 1
+           |  delimiter: ;
+           |target:
+           |  path: $tgtCsv
+           |  realIdField: 0
+           |  geometryField: 1
+           |  delimiter: ;
+           |relation: $rel
+           |configurations:
+           |$extra
+           |""".stripMargin))
+    val batch = ConfigRunner.run(spark,
+      yamlConf("  progressiveAlgorithm: GIANT")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // partitions + thetaGranularity=avg + gridType=KDBTREE + exportPath:
+    // the sample-KD region join must produce the identical pair set and
+    // the export must land on disk
+    val export = dir.resolve("out").toString
+    val regionConf = yamlConf(
+      s"""  partitions: 6
+         |  thetaGranularity: "avg"
+         |  gridType: "KDBTREE"
+         |  exportPath: $export""".stripMargin)
+    assert(regionConf.partitions.contains(6) &&
+      regionConf.gridType.contains("KDBTREE"))
+    val regionPairs = ConfigRunner.run(spark, regionConf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(regionPairs === batch,
+      "KDBTREE region join must equal the θ-tile pair set")
+    assert(new java.io.File(export).exists, "exportPath not honored")
+    // datePattern with the template's own example value
+    // (yyyy-MM-dd'T'HH:mm:ss) parses through the temporal path
+    val srcT = dir.resolve("srcT.csv")
+    val tgtT = dir.resolve("tgtT.csv")
+    def withIsoDates(rows: Seq[(String, String)]) = rows.zipWithIndex.map {
+      case ((id, wkt), i) =>
+        val day = if (i % 2 == 0) "2020-01-01" else "2020-01-11"
+        s"""$id;"$wkt";${day}T00:00:00"""
+    }
+    Files.writeString(srcT,
+      withIsoDates(TestGeoms.corpus(seed = 1, n = 40, world = 30)).mkString("\n"))
+    Files.writeString(tgtT,
+      withIsoDates(TestGeoms.corpus(seed = 2, n = 30, world = 30)).mkString("\n"))
+    val isoConf = ConfigRunner.jobConf(ConfigRunner.parseYaml(
+      s"""source:
+         |  path: $srcT
+         |  realIdField: 0
+         |  geometryField: 1
+         |  dateField: 2
+         |  datePattern: "yyyy-MM-dd'T'HH:mm:ss"
+         |  delimiter: ;
+         |target:
+         |  path: $tgtT
+         |  realIdField: 0
+         |  geometryField: 1
+         |  dateField: 2
+         |  datePattern: "yyyy-MM-dd'T'HH:mm:ss"
+         |  delimiter: ;
+         |relation: intersects
+         |""".stripMargin))
+    val isoPairs = ConfigRunner.run(spark, isoConf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(isoPairs.nonEmpty && isoPairs.subsetOf(batch) &&
+      isoPairs.size < batch.size,
+      "datePattern'd temporal job must parse and filter")
+    // the template's fourth progressive algorithm: RANDOM — exhaustive
+    // budget recovers the full qualifying set
+    val randQual = ConfigRunner.run(spark, yamlConf(
+      """  progressiveAlgorithm: RANDOM
+        |  budget: 1000000""".stripMargin))
+      .filter(org.apache.spark.sql.functions.col("qualifies"))
+      .select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(randQual === batch, "RANDOM scheduling must verify the same set")
+
+    // 3. explicit rejections with messages, never silent drops
+    def rejects(extra: String, rel: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        ConfigRunner.run(spark, yamlConf(extra, rel))
+      }
+      assert(e.getMessage.contains(needle),
+        s"rejection message '${e.getMessage}' lacks '$needle'")
+    }
+    rejects("  thetaGranularity: \"min\"", "intersects", "thetaGranularity")
+    rejects("  gridType: \"QUADTREE\"", "intersects", "KDBTREE")
+    rejects("  gridType: \"KDBTREE\"", "DE9IM", "tile path")
+    rejects("  progressiveAlgorithm: NO_SUCH_ALG", "intersects",
+      "unknown algorithm")
+  }
 }

@@ -148,6 +148,62 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("tile-bloom-pruned candidates equal the plain path pair-for-pair, " +
+       "and the bloom measurably cuts the target's exchange input") {
+    val s = entitiesDf(source)
+    val t = entitiesDf(target)
+    val theta = SpatialJoin.computeTheta(s)
+    val plain = SpatialJoin.candidatePairsNarrow(s, t, theta)
+      .select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val pruned = SpatialJoin.candidatePairsNarrowPruned(s, t, theta)
+    // collect() so metrics land on THIS dataset's queryExecution
+    val prunedPairs = pruned.select("s_id", "t_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(prunedPairs === plain,
+      "bloom pruning must not change the candidate pair set")
+    // the relate form over the pruned path agrees with plain relate
+    val gotRelate = SpatialJoin
+      .relateBloomPruned(s, t, "intersects")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val plainRelate = SpatialJoin.relate(s, t, "intersects")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gotRelate === plainRelate)
+    // SQL-metric assertion (the q20 pattern): the FilterExec holding
+    // the bloom predicate must pass strictly fewer rows than the
+    // target side's exploded tile count — i.e. the exchange input was
+    // actually cut, not just wrapped
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val metricsDf = SpatialJoin.candidatePairsNarrowPruned(s, t, theta)
+    metricsDf.collect()
+    val bloomFilters = walk(metricsDf.queryExecution.executedPlan).collect {
+      case f: FilterExec if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no bloom FilterExec in the executed plan")
+    // InferFiltersFromConstraints may propagate the tile predicate to
+    // the SOURCE side through the equi-join key (harmless — prunes
+    // nothing there); the assertion targets the TARGET-side filter
+    val targetSide = bloomFilters.filter(_.output.exists(_.name == "t_id"))
+    assert(targetSide.nonEmpty, "no bloom FilterExec on the target side")
+    val survived = targetSide.map(_.metrics("numOutputRows").value).max
+    val tExplodedTiles = t.select(
+      explode(graft.functions.GeomFunctions.tile_cover(
+        col("minx"), col("miny"), col("maxx"), col("maxy"),
+        theta.x, theta.y))).count()
+    assert(survived < tExplodedTiles,
+      s"bloom passed $survived of $tExplodedTiles exploded target tiles " +
+        "— no exchange cut")
+  }
+
   test("typed cogroup+index path equals the declarative tile join") {
     val declarative = SpatialJoin.de9im(entitiesDf(source), entitiesDf(target))
       .select("s_id", "t_id", "de9im").collect()
