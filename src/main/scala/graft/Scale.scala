@@ -114,11 +114,12 @@ object Scale {
       // × ALL targets) made this shape its worst case; the round-9
       // expanding ring certifies each source once r·cellWidth passes
       // its kth-neighbor distance, so the curve must stay ~linear.
+      // ids are STRINGS in the scaled frames ("12~3" copy suffixes) —
+      // pick the kept-wide 5 % by hash, never by numeric cast
+      val spreadTgt = pmod(xxhash64(col("tgt_id")), lit(20)) === 0
       val tgtClustered = centroids(partS, "tgt_id")
-        .withColumn("x", when(pmod(col("tgt_id"), lit(20)) === 0, col("x"))
-          .otherwise(col("x") / 10))
-        .withColumn("y", when(pmod(col("tgt_id"), lit(20)) === 0, col("y"))
-          .otherwise(col("y") / 10))
+        .withColumn("x", when(spreadTgt, col("x")).otherwise(col("x") / 10))
+        .withColumn("y", when(spreadTgt, col("y")).otherwise(col("y") / 10))
       results("sp15_knn_clustered") = timed(2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"), tgtClustered, k = 3)
           .count() }
@@ -146,8 +147,10 @@ object Scale {
                     "cp6_temperature_mix", "ta11_gopher_rules",
                     "dd18_fuzzy_contamination",
                     // round-9: the composed curation pipeline — the
-                    // shuffle-ledger claim measured as one curve
-                    "cp7_full_curation"))
+                    // shuffle-ledger claim measured as one curve —
+                    // and PMI collocations (two aggregates + broadcast
+                    // joins; the curve should track token volume)
+                    "cp7_full_curation", "ta12_pmi_bigrams"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for

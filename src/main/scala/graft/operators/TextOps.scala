@@ -956,6 +956,51 @@ object TextOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** ta12: bigram collocation mining by pointwise mutual information —
+    * the corpus-analytics step behind tokenizer-merge candidates,
+    * stop-phrase lists and quality lexicons: which adjacent word pairs
+    * co-occur far more than chance? PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    * with p from corpus counts; only pairs seen ≥ `minCount` times are
+    * scored (the standard noise floor — PMI of rare pairs is
+    * degenerate).
+    *
+    * Scale shape: one scan explodes adjacent pairs in-row (`zip_with`
+    * over two array slices — no positional self-join); bigram and
+    * unigram counts are two key-partitioned aggregates; the minCount
+    * filter reduces the bigram table BEFORE its two unigram joins; the
+    * unigram side is a vocab-bounded aggregate (broadcast here; at a
+    * 100 TB vocab the same joins run key-partitioned — both sides are
+    * already aggregates, orders smaller than the corpus). The PMI log
+    * is the one rounded double (ta10's pattern: integer counts in,
+    * round(…, 4) out). */
+  def ta12PmiBigrams(s: SparkSession, dir: String, minCount: Int = 25): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val bi = documents(s, dir)
+      .select(barrier(tokens(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = uni.agg(sum(col("c_w")).as("nu"))
+    val nb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val nbTotal = nb.agg(sum(col("c_ab")).as("nbt"))
+    nb.filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("cb"))), "w2")
+      .crossJoin(broadcast(nbTotal))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("nbt")) /
+          ((col("ca").cast("double") / col("nu")) *
+            (col("cb").cast("double") / col("nu")))), 4).as("pmi"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
   /** cp5: deterministic corpus shuffle + sharding — the final step of
     * a training-data pipeline: break any source/time ordering so
     * every output shard is an i.i.d.-ish sample, reproducibly. Shard
@@ -984,6 +1029,7 @@ object TextOps {
     "cp4_token_budget" -> ((s: SparkSession, dir: String) => cp4TokenBudget(s, dir)),
     "cp6_temperature_mix" -> (cp6TemperatureMix _),
     "cp7_full_curation" -> ((s: SparkSession, dir: String) => cp7FullCuration(s, dir)),
+    "ta12_pmi_bigrams" -> ((s: SparkSession, dir: String) => ta12PmiBigrams(s, dir)),
     "dd17_incremental_dedup" -> (dd17IncrementalDedup _),
     "ta10_importance_weights" -> ((s: SparkSession, dir: String) =>
       ta10ImportanceWeights(s, dir)),
@@ -1130,6 +1176,30 @@ object TextOps {
            FROM t)
          SELECT doc_id, source, n_tokens, cum_tokens FROM c
          WHERE cum_tokens <= 600 ORDER BY source, doc_id""",
+    "ta12_pmi_bigrams" ->
+      """WITH w AS (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+           FROM documents),
+         bi AS (
+           SELECT t[i] AS w1, t[i+1] AS w2
+           FROM w, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+           WHERE len(t) >= 2),
+         uni AS (
+           SELECT tok AS w, count(*) AS c_w
+           FROM (SELECT unnest(t) AS tok FROM w) GROUP BY 1),
+         nu AS (SELECT CAST(sum(c_w) AS BIGINT) AS nu FROM uni),
+         nb AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+         nbt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nbt FROM nb)
+         SELECT b.w1, b.w2, b.c_ab,
+           round(ln((CAST(b.c_ab AS DOUBLE) / nbt.nbt) /
+             ((CAST(a.c_w AS DOUBLE) / nu.nu) *
+              (CAST(c.c_w AS DOUBLE) / nu.nu))), 4) AS pmi
+         FROM nb b
+         JOIN uni a ON a.w = b.w1
+         JOIN uni c ON c.w = b.w2
+         CROSS JOIN nbt CROSS JOIN nu
+         WHERE b.c_ab >= 25
+         ORDER BY b.w1, b.w2""",
     // cp7: the composed pipeline — each CTE is the proven single-form
     // oracle of its stage (dd17 / cp3 / cp4 / cp6 / cp5), chained over
     // the previous stage's survivors instead of raw `documents`
