@@ -43,7 +43,9 @@ object SparkEntry {
         "st6_stream_heavy_hitters" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.heavyHittersGate(s, dir)),
         "st7_stream_enrich" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.enrichGate(s, dir)))
+          graft.streaming.EventStream.enrichGate(s, dir)),
+        "st8_stream_daily_rollup" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.dailyRollupGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -81,6 +83,22 @@ object SparkEntry {
                    ORDER BY count(*) DESC, user_id ASC) AS rk
                FROM events GROUP BY 1, 2)
              WHERE rk <= 3 ORDER BY event_type, rk""",
+        // st8: chained stateful aggs emit only days finalized under the
+        // final watermark (max(ts) − lateness); the oracle applies the
+        // same cutoff — Spark evicts when window.end <= watermark
+        "st8_stream_daily_rollup" ->
+          """WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+             h AS (
+               SELECT event_type, user_id, date_trunc('hour', ts) AS hr,
+                 count(*) AS n
+               FROM events GROUP BY 1, 2, 3),
+             d AS (
+               SELECT event_type, date_trunc('day', hr) AS day,
+                 count(*) AS n_user_hours, CAST(sum(n) AS BIGINT) AS n_events
+               FROM h GROUP BY 1, 2)
+             SELECT d.event_type, d.day, d.n_user_hours, d.n_events
+             FROM d, wm WHERE d.day + INTERVAL 1 DAY <= wm.w
+             ORDER BY 1, 2""",
         // the stream-static enrichment join vs its batch twin
         "st7_stream_enrich" ->
           """SELECT c.c_nationkey AS nation, date_trunc('hour', e.ts) AS hour,

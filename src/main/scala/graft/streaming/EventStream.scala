@@ -610,6 +610,48 @@ object EventStream {
     }
   }
 
+  /** st8: CHAINED stateful aggregations in one streaming query — an
+    * hourly per-(type, user) pre-aggregation feeding a daily per-type
+    * rollup (Spark's multi-stateful-operator pipeline, append mode).
+    * This is the production pre-aggregation ladder: the first agg
+    * bounds the second's input to (types × active users × 24) rows per
+    * day REGARDLESS of raw event rate, so the daily state is tiny and
+    * the raw stream is aggregated exactly once.
+    *
+    * Correctness shape worth gating: a day window can only finalize
+    * after the watermark passes its end, by which point every
+    * constituent hour window (all ending ≤ day end) has already been
+    * finalized and emitted downstream — so emitted days carry COMPLETE
+    * counts, equal to the batch rollup over the same rows. The gate
+    * hash-checks exactly that against the batch SQL, restricted (on
+    * both sides) to days finalized under the final watermark
+    * max(ts) − lateness. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("event_type"), col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), window(col("window"), "1 day"))
+      .agg(count(lit(1)).as("n_user_hours"), sum(col("n")).as("n_events"))
+      .select(col("event_type"), col("window.start").as("day"),
+        col("n_user_hours"), col("n_events"))
+
+  /** st8 driver gate: [[dailyRollup]] through the production file
+    * source to completion. Chained stateful operators REQUIRE append
+    * mode (no complete-mode snapshot like st3/st5), so the last
+    * ~lateness of day windows correctly stays in state; the oracle
+    * applies the same finalization cutoff in SQL. */
+  def dailyRollupGate(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gateSession(spark)
+    val name = s"st8_gate_${gateRuns.incrementAndGet()}"
+    val q = dailyRollup(readEvents(sess, dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    sess.table(name).orderBy(col("event_type"), col("day"))
+  }
+
   /** Stream-STATIC enrichment join — the remaining streaming join
     * shape next to st2's stream-stream form: each event is enriched
     * map-side against a broadcast dimension (customer → nation here)

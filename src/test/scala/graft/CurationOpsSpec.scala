@@ -87,6 +87,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.length < batchTotal, "nothing was dropped — gate vacuous")
   }
 
+  test("cp7 composed pipeline honors every stage's invariant at once") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = graft.operators.TextOps.cp7FullCuration(spark, dir,
+      cap = 10, budget = 600, shards = 8).collect()
+    assert(out.nonEmpty, "composed pipeline emitted nothing — vacuous")
+    val rows = out.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getInt(3), r.getLong(4), r.getInt(5)))
+    // stage-2 cap: no source exceeds `cap` docs
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.length <= 10, s"$src exceeds the domain cap: ${rs.length}")
+    }
+    // stage-3 budget: per-source token totals stay within budget (the
+    // prefix-sum filter ran BEFORE mixing, so survivors sum under it)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._4.toLong).sum <= 600, s"$src exceeds token budget")
+    }
+    // stage-5 sharding: positions are 1..n_shard dense per shard, and
+    // the shard is the doc's md5 bucket
+    rows.groupBy(_._5).foreach { case (shard, rs) =>
+      assert(rs.map(_._6).sorted.toSeq == (1 to rs.length),
+        s"shard $shard positions not dense")
+    }
+    // stage-1 dedup: no surviving batch doc (id%4==0) may share a
+    // fingerprint with any standing-corpus doc
+    val fps = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        md5(substring(regexp_replace(trim(lower(substring(col("text"), 1, 512))),
+          "\\s+", " "), 1, 64)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpusFps = fps.collect { case (id, fp) if id % 4 != 0 => fp }.toSet
+    rows.filter(_._1 % 4 == 0).foreach { case (id, _, _, _, _, _) =>
+      assert(!corpusFps.contains(fps(id)),
+        s"batch doc $id duplicates a standing-corpus fingerprint")
+    }
+  }
+
   test("ta10 weights separate the target slice from the rest") {
     import graft.Tables.documents
     val w = graft.operators.TextOps.ta10ImportanceWeights(spark, dir)

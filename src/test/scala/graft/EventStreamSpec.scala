@@ -278,6 +278,37 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("chained stateful aggregations (st8): emitted days carry COMPLETE " +
+       "batch-equal counts; only unfinalized days are withheld") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = EventStream.dailyRollupGate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.size > 100, "too few (type, day) groups — near-vacuous")
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"),
+        date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), date_trunc("day", col("hr")).as("day"))
+      .agg(count(lit(1)).as("n_user_hours"), sum(col("n")).as("n_events"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val wm = graft.Tables.events(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0).getTime - 2L * 3600 * 1000
+    batch.foreach { case ((tpe, day), counts) =>
+      val dayEnd = day.getTime + 24L * 3600 * 1000
+      if (dayEnd <= wm)
+        // finalized day: the chained pipeline must have emitted it with
+        // counts identical to the one-shot batch rollup (every hour of
+        // the day finalized before the day did)
+        assert(streamed.get((tpe, day)).contains(counts),
+          s"($tpe,$day): streamed ${streamed.get((tpe, day))} != batch $counts")
+      else
+        assert(!streamed.contains((tpe, day)),
+          s"($tpe,$day): emitted although not finalized under the watermark")
+    }
+  }
+
   test("streaming CMS heavy hitters == batch q19 row-for-row, est >= exact") {
     val dir = "/root/testdata/sf0.01"
     val streamed = EventStream.heavyHittersGate(spark, dir, emitEstimate = true)
