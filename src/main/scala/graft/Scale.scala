@@ -201,6 +201,8 @@ object Scale {
         graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)
       val (sk1Sec, sk1Rows, sk1State) =
         graft.streaming.EventStream.sketchFileStats(spark, dataDir)
+      val (dr1Sec, dr1Rows, dr1State) =
+        graft.streaming.EventStream.dailyRollupFileStats(spark, dataDir)
       // Same harnesses on the RocksDB state store — the provider a
       // 100 TB deployment runs (state spills beyond the executor heap;
       // the default HDFS-backed store is entirely on-heap). Both
@@ -252,6 +254,7 @@ object Scale {
         f""""st1_file":{"sec":$st1Sec%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
         f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
         f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State},""" +
+        f""""st8_file":{"sec":$dr1Sec%.3f,"rows":$dr1Rows,"state_rows":$dr1State},""" +
         f""""st1_file_rocksdb":{"sec":$st1rSec%.3f,"rows":$st1rRows,"state_rows":$st1rState},""" +
         f""""st2_file_rocksdb":{"sec":$ij1rSec%.3f,"rows":$ij1rRows,"state_rows":$ij1rState}""" +
         replayJson

@@ -89,6 +89,8 @@ object ConfigRunner {
     if (d.path.endsWith(".nt")) SpatialIO.readNTriples(spark, d.path)
     else if (d.path.endsWith(".json") || d.path.endsWith(".geojson"))
       SpatialIO.readGeoJson(spark, d.path, "id")
+    else if (d.path.endsWith(".parquet"))
+      SpatialIO.readWkbParquet(spark, d.path)
     else SpatialIO.readDelimitedWkt(spark, d.path, d.realIdField,
       d.geometryField, d.delimiter, d.dateField, d.datePattern)
 

@@ -98,6 +98,26 @@ case class StGeomFromWkt(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Validate/normalize WKB bytes (the parquet-native geometry
+  * encoding): parse, apply the SAME load-time validity filter as
+  * [[StGeomFromWkt]] (null for unparseable / empty /
+  * GeometryCollection / invalid), and re-emit canonical WKB — so
+  * downstream expressions never meet a malformed blob and byte-level
+  * encoding variants (endianness, 2.5D flags) normalize to the
+  * engine's canonical form. */
+case class StGeomFromWkb(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    try {
+      val g = Jts.fromWkb(v.asInstanceOf[Array[Byte]])
+      if (g == null || g.isEmpty || g.getClass == classOf[GeometryCollection] || !g.isValid) null
+      else Jts.toWkb(g)
+    } catch { case _: Exception => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** Envelope of a WKB geometry as struct<minx,miny,maxx,maxy>. */
 case class StEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StEnvelope.schema
@@ -417,6 +437,7 @@ case class ExprBarrier(child: Expression) extends UnaryExpression with CodegenFa
 object GeomFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column => mk, expression => ex}
   def st_geomfromwkt(wkt: Column): Column = mk(StGeomFromWkt(ex(wkt)))
+  def st_geomfromwkb(wkb: Column): Column = mk(StGeomFromWkb(ex(wkb)))
   def barrier(c: Column): Column = mk(ExprBarrier(ex(c)))
   def st_envelope(geom: Column): Column = mk(StEnvelope(ex(geom)))
   def st_numpoints(geom: Column): Column = mk(StNumPoints(ex(geom)))

@@ -50,6 +50,25 @@ object SpatialJoin {
         col("env.maxx").as("maxx") +: col("env.maxy").as("maxy") +:
         extra.map { case (n, _) => col(n) }: _*)
 
+  /** [[entities]] over parquet-native WKB geometry bytes
+    * ([[graft.functions.StGeomFromWkb]]) — production geospatial
+    * tables carry WKB binary columns, not WKT text; this keeps the
+    * scan binary end to end (no text parse) while applying the same
+    * validity filter and canonical normalization. */
+  def entitiesFromWkb(df: DataFrame, id: Column, wkb: Column,
+                      extra: (String, Column)*): DataFrame =
+    df.select(id.cast("string").as("id") +:
+        // qualified: Spark 4.1's own functions._ also exports an
+        // st_geomfromwkb (its geospatial preview surface)
+        barrier(graft.functions.GeomFunctions.st_geomfromwkb(wkb)).as("geom") +:
+        extra.map { case (n, c) => c.as(n) }: _*)
+      .filter(col("geom").isNotNull)
+      .withColumn("env", barrier(st_envelope(col("geom"))))
+      .select(col("id") +: col("geom") +:
+        col("env.minx").as("minx") +: col("env.miny").as("miny") +:
+        col("env.maxx").as("maxx") +: col("env.maxy").as("maxy") +:
+        extra.map { case (n, _) => col(n) }: _*)
+
   /** θ = average SOURCE envelope extent per axis (zero-extent inputs —
     * points / axis-parallel lines — fall back to 1.0, mirroring the
     * reference's guard for degenerate extents,

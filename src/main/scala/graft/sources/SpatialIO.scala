@@ -160,6 +160,23 @@ object SpatialIO {
   def writePairsCsv(pairs: DataFrame, path: String): Unit =
     pairs.write.option("header", "true").mode("overwrite").csv(path)
 
+  /** Parquet-native spatial source: a parquet table carrying an id
+    * column and a WKB binary geometry column (the columnar encoding
+    * production geospatial lakes use — no text parse on the scan
+    * path). Rows failing the load-time validity filter (malformed /
+    * empty / GeometryCollection WKB) are dropped, matching the WKT
+    * readers. */
+  def readWkbParquet(spark: SparkSession, path: String,
+                     idCol: String = "id", wkbCol: String = "wkb"): DataFrame =
+    SpatialJoin.entitiesFromWkb(spark.read.parquet(path), col(idCol), col(wkbCol))
+
+  /** Writer twin of [[readWkbParquet]]: dump an entity frame's id +
+    * canonical WKB to parquet (the storage format for derived spatial
+    * corpora; envelopes re-derive on read). */
+  def writeWkbParquet(entities: DataFrame, path: String): Unit =
+    entities.select(col("id"), col("geom").as("wkb"))
+      .write.mode("overwrite").parquet(path)
+
   /** GeoSPARQL N-Triples export — reference S8 `Utils.exportRDF`: one
     * `geo:sf<Relation>` triple per true relation of each verified pair. */
   def writeRdf(de9im: DataFrame, path: String): Unit = {

@@ -595,6 +595,18 @@ object EventStream {
     }
   }
 
+  /** Scale harness for the CHAINED stateful pipeline (st8): hourly
+    * pre-agg → daily rollup through the production file source. Peak
+    * state must track (types × users × active hours) + (types ×
+    * active days) — the pre-aggregation bound — never raw events. */
+  def dailyRollupFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
+    val sess = gateSession(spark)
+    runFileSinkStats(sess, "graft_rollup_scale", stateProvider) {
+      dailyRollup(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
+    }
+  }
+
   /** Scale harness twin of [[sessionizeFileStats]] for the
     * stream-stream interval join: both sides are the production file
     * source (error / click filters), state is the watermark-bounded

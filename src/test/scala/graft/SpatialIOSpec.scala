@@ -66,6 +66,52 @@ class SpatialIOSpec extends AnyFunSuite {
     assert(rows("p2") === 3.0) // polygon maxx
   }
 
+  test("WKB parquet source: write/read round-trip preserves join results; " +
+       "corrupt and collection blobs are dropped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a mixed entity corpus via the WKT path
+    val src = SpatialJoin.entities(
+      TestGeoms.corpus(seed = 11, n = 30, world = 40).toDF("i", "wkt"),
+      col("i"), col("wkt"))
+    val tgt = SpatialJoin.entities(
+      TestGeoms.corpus(seed = 12, n = 25, world = 40).toDF("i", "wkt"),
+      col("i"), col("wkt"))
+    val dir = tmp("wkbpq")
+    SpatialIO.writeWkbParquet(src, s"$dir/src.parquet")
+    val reread = SpatialIO.readWkbParquet(spark, s"$dir/src.parquet")
+    // identical entity set (ids + envelopes) after the binary round-trip
+    val a = src.select("id", "minx", "miny", "maxx", "maxy").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val b = reread.select("id", "minx", "miny", "maxx", "maxy").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(a === b, "entity set changed across the WKB round-trip")
+    // join results identical from either source
+    val viaWkt = SpatialJoin.relate(src, tgt, "intersects")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaWkb = SpatialJoin.relate(reread, tgt, "intersects")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaWkt === viaWkb)
+    // validity filter: corrupt bytes, a GeometryCollection, and an
+    // empty polygon must be dropped, valid rows kept
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val wkbW = new org.locationtech.jts.io.WKBWriter()
+    val coll = wkbW.write(gf.createGeometryCollection(Array(
+      gf.createPoint(new org.locationtech.jts.geom.Coordinate(1, 2)))))
+    val emptyPoly = wkbW.write(gf.createPolygon())
+    val good = wkbW.write(gf.createPoint(
+      new org.locationtech.jts.geom.Coordinate(3, 4)))
+    Seq(("ok", good), ("junk", Array[Byte](1, 2, 3)),
+        ("coll", coll), ("empty", emptyPoly))
+      .toDF("id", "wkb").write.mode("overwrite")
+      .parquet(s"$dir/dirty.parquet")
+    val kept = SpatialIO.readWkbParquet(spark, s"$dir/dirty.parquet")
+      .select("id").as[String].collect().toSet
+    assert(kept === Set("ok"), s"validity filter kept $kept")
+  }
+
   test("RDF writer emits one GeoSPARQL triple per true relation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
