@@ -75,14 +75,10 @@ object SparkEntry {
           """SELECT event_type, date_trunc('hour', ts) AS hour,
              count(DISTINCT user_id) AS exact_users, TRUE AS within_bounds
              FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        // st6 shares q19's probe step (cmsProbeTopK) AND its oracle —
+        // referencing the same SQL keeps the twins provably identical
         "st6_stream_heavy_hitters" ->
-          """SELECT event_type, user_id, exact_n, rk, TRUE AS within_bounds
-             FROM (
-               SELECT event_type, user_id, count(*) AS exact_n,
-                 row_number() OVER (PARTITION BY event_type
-                   ORDER BY count(*) DESC, user_id ASC) AS rk
-               FROM events GROUP BY 1, 2)
-             WHERE rk <= 3 ORDER BY event_type, rk""",
+          Analytics.oracles("q19_frequent_users"),
         // st8: chained stateful aggs emit only days finalized under the
         // final watermark (max(ts) − lateness); the oracle applies the
         // same cutoff — Spark evicts when window.end <= watermark

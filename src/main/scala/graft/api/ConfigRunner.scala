@@ -89,8 +89,15 @@ object ConfigRunner {
     if (d.path.endsWith(".nt")) SpatialIO.readNTriples(spark, d.path)
     else if (d.path.endsWith(".json") || d.path.endsWith(".geojson"))
       SpatialIO.readGeoJson(spark, d.path, "id")
-    else if (d.path.endsWith(".parquet"))
-      SpatialIO.readWkbParquet(spark, d.path)
+    else if (d.path.endsWith(".parquet")) {
+      // honor the template's realIdField/geometryField as COLUMN
+      // INDICES (their documented meaning for delimited sources) —
+      // hardcoding "id"/"wkb" would silently ignore two declared keys
+      val df = spark.read.parquet(d.path)
+      graft.operators.SpatialJoin.entitiesFromWkb(df,
+        org.apache.spark.sql.functions.col(df.columns(d.realIdField)),
+        org.apache.spark.sql.functions.col(df.columns(d.geometryField)))
+    }
     else SpatialIO.readDelimitedWkt(spark, d.path, d.realIdField,
       d.geometryField, d.delimiter, d.dateField, d.datePattern)
 

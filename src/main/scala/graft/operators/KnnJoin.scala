@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *    of targets in 1 % of cells) the old residual made the
   *    uncertified×all pass the dominant cost; the ring path keeps each
   *    source local to its own density (KnnJoinSpec clustered cases,
-  *    Scale `sp15_clustered`).
+  *    Scale `sp15_knn_clustered`).
   *
   * The grid DOMAIN is derived from the target bounds in the SAME
   * single stats job that sizes the grid — never assumed. (The first

@@ -145,11 +145,15 @@ object SpatialJoin {
                                  theta: Theta): DataFrame = {
     import graft.functions.BloomFunctions
     val s = tiled(source, "s_", theta)
-    val sTiles = s.select(col("tile"))
-    // expectedItems = source (row, tile) entries — an upper bound on
-    // distinct occupied tiles; overestimating only widens the bloom
-    val bits = BloomFunctions.buildLongFilter(sTiles, "tile",
-      sTiles.count(), 0.01)
+    // expectedItems sizes the bloom: source rows × the 3×3-ish tile
+    // cover a θ-scaled envelope typically spans, from the CHEAP
+    // un-exploded count (column-pruned scan / metadata) — counting the
+    // exploded tiling would run the explode a third time for a number
+    // whose only job is bit-sizing, and overestimating merely widens
+    // the filter. The tiled source is still computed twice (the bloom
+    // build aggregation and the pair join) — both are necessary scans.
+    val bits = BloomFunctions.buildLongFilter(s.select(col("tile")), "tile",
+      source.count() * 9, 0.01)
     val t = tiled(target, "t_", theta)
       .filter(BloomFunctions.mightContainLong(col("tile"), bits))
     pairJoinTail(s, t, theta)

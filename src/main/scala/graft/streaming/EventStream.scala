@@ -552,10 +552,18 @@ object EventStream {
         .option("path", s"$out/data")
         .start()
       q.processAllAvailable()
+      // Listener events ride the ASYNC listener bus — the final
+      // progress updates may still be queued here. recentProgress is
+      // populated synchronously but ring-buffered (last ≤100); the max
+      // of BOTH covers early updates past the buffer (listener) and
+      // any still-undelivered tail (recentProgress), so the peak is
+      // never under-read whichever side the race lands on.
+      val syncMax = q.recentProgress.iterator
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
       q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       val n = sess.read.parquet(s"$out/data").count()
-      (sec, n, listener.maxRows)
+      (sec, n, math.max(listener.maxRows, syncMax))
     } finally sess.streams.removeListener(listener)
   }
 

@@ -258,6 +258,39 @@ class ConfigRunnerSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(randQual === batch, "RANDOM scheduling must verify the same set")
 
+    // parquet-native WKB dataset: realIdField/geometryField are honored
+    // as COLUMN INDICES (columns deliberately NOT named id/wkb, and the
+    // geometry placed first so defaults would misread)
+    val pq = dir.resolve("src_pq.parquet").toString
+    import org.apache.spark.sql.functions.col
+    graft.sources.SpatialIO.writeWkbParquet(
+      graft.api.SpatialLink.entities(
+        {
+          import spark.implicits._
+          TestGeoms.corpus(seed = 1, n = 40, world = 30).toDF("i", "wkt")
+        }, col("i"), col("wkt")), pq)
+    // writeWkbParquet emits (id, wkb); re-write shuffled column order
+    val shuffled = spark.read.parquet(pq)
+      .select(col("wkb").as("geo_bytes"), col("id").as("key"))
+    val pq2 = dir.resolve("src_pq2.parquet").toString
+    shuffled.write.mode("overwrite").parquet(pq2)
+    val pqConf = ConfigRunner.jobConf(ConfigRunner.parseYaml(
+      s"""source:
+         |  path: $pq2
+         |  realIdField: 1
+         |  geometryField: 0
+         |target:
+         |  path: $tgtCsv
+         |  realIdField: 0
+         |  geometryField: 1
+         |  delimiter: ;
+         |relation: intersects
+         |""".stripMargin))
+    val pqPairs = ConfigRunner.run(spark, pqConf).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pqPairs === batch,
+      "parquet WKB source with index-addressed columns must equal the CSV run")
+
     // 3. explicit rejections with messages, never silent drops
     def rejects(extra: String, rel: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
