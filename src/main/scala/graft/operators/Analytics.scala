@@ -276,21 +276,23 @@ object Analytics {
     val li = lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice").as("price"))
     // sketch arm: one GK summary per flag, exploded to (flag, p, av).
-    // localCheckpoint materializes the ~|flags|·|ps|-row frame ONCE
-    // (eager, knnJoin's documented pattern): it feeds two differently-
-    // projected broadcasts below, which ReuseExchange cannot merge —
-    // without it the full-scan GK aggregation would execute twice.
-    val approx = li
-      .groupBy(col("l_returnflag"))
-      .agg(percentile_approx(col("price"),
-             array(ps.map(lit): _*), lit(acc)).as("qs"),
-           count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag"), col("n_rows"), posexplode(col("qs")))
-      .select(col("l_returnflag"),
-        element_at(typedLit(ps), col("pos").cast("int") + 1).as("p"),
-        col("col").as("av"), col("n_rows"))
-      .withColumn("target", ceil(col("p") * col("n_rows")).cast("long"))
-      .localCheckpoint()
+    // The frame feeds BOTH consumers below; column pruning specializes
+    // each broadcast arm so ReuseExchange cannot merge them (the
+    // standard DfCache diamond — an eager localCheckpoint, tried
+    // first, serialized the stages for a net slowdown), so the
+    // full-scan GK aggregation is session-memoized instead and runs
+    // once per (session, dir).
+    val approx = graft.spark.DfCache.memo(s, s"$dir#q18approx") {
+      li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("price"),
+               array(ps.map(lit): _*), lit(acc)).as("qs"),
+             count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"), posexplode(col("qs")))
+        .select(col("l_returnflag"),
+          element_at(typedLit(ps), col("pos").cast("int") + 1).as("p"),
+          col("col").as("av"), col("n_rows"))
+        .withColumn("target", ceil(col("p") * col("n_rows")).cast("long"))
+    }
     // rank the sketch values: one fact pass against the broadcast
     // (flag, p, av) frame — rank_lo/rank_hi bracket av's attainable rank
     val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
@@ -305,8 +307,7 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("l_returnflag")).orderBy(col("price"))))
-    val exact = cum.as("c").join(
-        broadcast(approx.select(col("l_returnflag"), col("p"), col("target"))).as("a"),
+    val exact = cum.as("c").join(broadcast(approx).as("a"),
         col("c.l_returnflag") === col("a.l_returnflag") &&
           col("c.cum") >= col("a.target"))
       .groupBy(col("a.l_returnflag").as("l_returnflag"), col("a.p").as("p"))
