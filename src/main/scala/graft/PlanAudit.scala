@@ -45,7 +45,15 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *      nothing pruned means a full-catalog scan of a partitioned
   *      table (round-8 verdict item; the gate tables are single
   *      files, so this rule guards the library's partitioned-read
-  *      path, exercised in PlanAuditSpec).
+  *      path, exercised in PlanAuditSpec);
+  *   7. no window partitioned ONLY by low-NDV gate-table columns
+  *      (round-9 verdict item — the q18 funnel class: |partitions| =
+  *      the column's domain, so one task sorts a whole domain value
+  *      regardless of shuffle.partitions). The global stage of a
+  *      shard-local → global top-k decomposition is accepted
+  *      structurally (a descendant window over a strict superset of
+  *      the keys caps its input); domain-bounded windows over
+  *      aggregate-reduced rows carry a named whitelist entry.
   *
   * Rule 2 admits a broadcast-nested-loop join structurally when its
   * build side is aggregate-reduced (a trained codebook / LUT bounded
@@ -181,8 +189,55 @@ object PlanAudit {
         split(l) ++ split(r)
       case other => Seq(other)
     }
+    // Case-insensitive name match: Spark's default resolver is
+    // case-insensitive, so a filter written against an upper-cased
+    // partition column still resolves (and still should prune) — the
+    // audit must not let it escape on a case mismatch.
+    val partColsLower = partCols.map(_.toLowerCase(java.util.Locale.ROOT))
     split(cond).filter(c => c.deterministic && c.references.nonEmpty &&
-      c.references.forall(a => partCols(a.name)))
+      c.references.forall(a =>
+        partColsLower(a.name.toLowerCase(java.util.Locale.ROOT))))
+  }
+
+  /** Rule 7 — low-cardinality-partition windows. Columns of the gate
+    * tables whose domain is a small enum: a window partitioned ONLY by
+    * these has |partitions| bounded by the column's domain (< any
+    * realistic shuffle.partitions), so each task sorts an entire
+    * domain-value's rows no matter how the cluster scales — the q18
+    * funnel class from the round-9 verdict. Low-NDV by data contract,
+    * not by name shape, so the list is explicit. */
+  private val lowNdvCols = Set(
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+    "o_orderstatus", "o_orderpriority", "c_mktsegment", "r_name", "n_name",
+    "p_mfgr", "p_brand", "p_container", "event_type", "source", "lang")
+
+  /** Windows whose per-partition input is bounded by construction and
+    * documented at the definition site — the one shape rule 7 cannot
+    * see structurally: q16's trailing-rate window runs over per-(type,
+    * hour) AGGREGATED rows, so a partition holds at most the hour
+    * domain (time-retention-bounded), not a data-proportional row set. */
+  private val allowedLowNdvWindows = Set("q16_hourly_anomaly")
+
+  private def windowPartitionNames(w: WindowExec): Set[String] =
+    w.partitionSpec.flatMap {
+      case a: Attribute => Seq(a.name.toLowerCase(java.util.Locale.ROOT))
+      // computed partition keys (md5 shards etc.) project to fresh
+      // attrs (_w0...) — never in the low-NDV list, so not flagged
+      case e => e.references.map(_ => "__computed__").toSeq.take(1)
+    }.toSet
+
+  /** True when `w` is the GLOBAL stage of the proven shard-local →
+    * global decomposition: some descendant WindowExec partitions by a
+    * strict superset of `w`'s keys (the shard-local stage), whose rank
+    * filter caps `w`'s input at shards × k rows per key. */
+  private def hasShardedLocalStage(w: WindowExec): Boolean = {
+    val mine = windowPartitionNames(w)
+    w.children.flatMap(walk).exists {
+      case inner: WindowExec =>
+        val theirs = windowPartitionNames(inner)
+        mine.subsetOf(theirs) && theirs.size > mine.size
+      case _ => false
+    }
   }
 
   /** Audit one executed DataFrame (the plan must be finalized by an
@@ -233,6 +288,19 @@ object PlanAudit {
         // rule 6: a filter retaining a partition-only conjunct above a
         // PARTITIONED scan whose partitionFilters is empty = partition
         // pruning lost (a full-catalog scan of a partitioned table)
+        // rule 7: a window partitioned only by low-NDV gate-table
+        // columns funnels each domain value's full row set into one
+        // task — unless it is the global stage of a shard-local →
+        // global decomposition (input capped by the local stage) or a
+        // documented domain-bounded window
+        val lowNdvWindows =
+          if (allowedLowNdvWindows(name)) Seq.empty
+          else nodes.collect {
+            case w: WindowExec
+              if w.partitionSpec.nonEmpty &&
+                windowPartitionNames(w).forall(lowNdvCols) &&
+                !hasShardedLocalStage(w) => w
+          }
         val unprunedPartitions = nodes.collect {
           case f: FilterExec =>
             throughTransparent(f.child) match {
@@ -261,7 +329,11 @@ object PlanAudit {
           if (unprunedPartitions.nonEmpty)
             Some(s"${unprunedPartitions.size} partition-only filter(s) above " +
               "a partitioned scan with empty partitionFilters " +
-              "(partition pruning lost)") else None
+              "(partition pruning lost)") else None,
+          if (lowNdvWindows.nonEmpty)
+            Some(s"${lowNdvWindows.size} window(s) partitioned only by " +
+              "low-NDV column(s) (task count bounded by the column domain, " +
+              "not shuffle.partitions)") else None
         ).flatten
   }
 

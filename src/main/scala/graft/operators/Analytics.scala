@@ -266,10 +266,12 @@ object Analytics {
     *
     * Plan: three passes over the 2-column scan — the sketch agg, one
     * broadcast-probe agg counting ranks of the ~|flags|·|ps| sketch
-    * values, and a per-flag cumulative count over DISTINCT prices for
-    * the exact selection (windowed by flag — partitioned, and over
-    * group-reduced rows, not the raw table). The exact arm is the
-    * verification baseline, same contract as dd7/ann1. */
+    * values, and a cumulative count over DISTINCT (flag, price) rows
+    * for the exact selection via Ranks' range-exchange running sums
+    * (NOT a per-flag window: the flag column's 3-value domain would
+    * bound the window's parallelism regardless of shuffle.partitions).
+    * The exact arm is the verification baseline, same contract as
+    * dd7/ann1. */
   def q18ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
     val acc = 10000
@@ -300,16 +302,30 @@ object Analytics {
         col("n_rows"), col("target"))
       .agg(sum(when(col("price") < col("av"), 1L).otherwise(0L)).as("rank_lo"),
            sum(when(col("price") <= col("av"), 1L).otherwise(0L)).as("rank_hi"))
-    // exact arm: cumulative counts over DISTINCT prices per flag, then
-    // min price reaching the target rank (broadcast range join against
-    // the aggregate-reduced sketch frame)
-    val cum = li.groupBy(col("l_returnflag"), col("price"))
+    // exact arm: cumulative counts over DISTINCT prices. A
+    // Window.partitionBy(l_returnflag) would put each flag's ENTIRE
+    // distinct-price set (grows with SF) in one task — |partitions| is
+    // bounded by the column's 3-value domain, not by
+    // shuffle.partitions. Instead: range-exchange running sums over
+    // the global (flag, price) order (Ranks machinery — parallelism =
+    // shuffle.partitions, no partition holds more than its range
+    // slice), then per-flag cumulative = global cumulative vs a
+    // flag-offset-shifted target. Flag offsets are prefix sums of the
+    // per-flag totals already carried by the memoized sketch frame —
+    // a |flags|-row bounded driver collect, same contract as the GK
+    // rank probe.
+    val counts = li.groupBy(col("l_returnflag"), col("price"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("price"))))
-    val exact = cum.as("c").join(broadcast(approx).as("a"),
+    val ranked = Ranks.runningTotals(counts,
+      Seq(col("l_returnflag"), col("price")), Seq(col("cnt")), Seq("gcum")).df
+    val flagN = approx.select(col("l_returnflag"), col("n_rows")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val flagOffsets: Map[String, Long] =
+      flagN.map(_._1).zip(flagN.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val exact = ranked.as("c").join(broadcast(approx).as("a"),
         col("c.l_returnflag") === col("a.l_returnflag") &&
-          col("c.cum") >= col("a.target"))
+          col("c.gcum") >= col("a.target") +
+            element_at(typedLit(flagOffsets), col("a.l_returnflag")))
       .groupBy(col("a.l_returnflag").as("l_returnflag"), col("a.p").as("p"))
       .agg(min(col("c.price")).as("exact_value"))
     val err = col("n_rows").cast("double") / acc + lit(1.0)
@@ -341,21 +357,42 @@ object Analytics {
       sketches: Map[String, org.apache.spark.util.sketch.CountMinSketch],
       emitEstimate: Boolean = false): DataFrame = {
     import s.implicits._
+    // Two-stage exact top-k (cp3 pattern): a single window partitioned
+    // by event_type alone would sort each type's ENTIRE distinct-user
+    // set in one task (|partitions| = the type domain, not
+    // shuffle.partitions). Shard-local top-k first (≤ 16·k survivors
+    // per type), then the global top-k over those — identical output,
+    // 16× parallelism on the heavy path.
+    val order = Seq(col("exact_n").desc, col("user_id").asc)
+    val local = Window.partitionBy(col("event_type"), col("shard"))
+      .orderBy(order: _*)
+    val global = Window.partitionBy(col("event_type")).orderBy(order: _*)
     val topk = ev.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("exact_n"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"))
-          .orderBy(col("exact_n").desc, col("user_id").asc)))
+      .withColumn("shard", pmod(col("user_id"), lit(16)))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= k)
+      .select(col("event_type"), col("user_id"), col("exact_n"), col("rk"))
     val probed = topk.collect() // bounded: types × k rows
       .map { r =>
         val t = r.getString(0)
         val exact = r.getLong(2)
-        val est = sketches(t).estimateCount(r.getLong(1))
-        val bound =
-          exact + math.ceil(3 * eps * sketches(t).totalCount()).toLong + 1
-        (t, r.getLong(1), exact, r.getInt(3),
-          est >= exact && est <= bound, est)
+        // A type missing from the sketch map (e.g. a streaming path that
+        // dropped a type entirely — the regression this gate exists to
+        // catch) must surface as within_bounds=false, not a driver
+        // NoSuchElementException.
+        sketches.get(t) match {
+          case Some(sk) =>
+            val est = sk.estimateCount(r.getLong(1))
+            val bound =
+              exact + math.ceil(3 * eps * sk.totalCount()).toLong + 1
+            (t, r.getLong(1), exact, r.getInt(3),
+              est >= exact && est <= bound, est)
+          case None =>
+            (t, r.getLong(1), exact, r.getInt(3), false, -1L)
+        }
       }.toSeq
       .toDF("event_type", "user_id", "exact_n", "rk", "within_bounds", "cms_n")
     (if (emitEstimate) probed

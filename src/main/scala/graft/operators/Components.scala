@@ -20,9 +20,13 @@ import org.apache.spark.storage.StorageLevel
   * 2014). Fixpoint = every vertex holds the smallest reachable id.
   *
   * Two contracts that make the loop safe at scale:
-  *   - `localCheckpoint` per round truncates the logical plan — a
+  *   - a checkpoint per round truncates the logical plan — a
   *     persisted-but-not-checkpointed loop grows its lineage (and plan
-  *     strings, and closure serialization) with every iteration;
+  *     strings, and closure serialization) with every iteration.
+  *     Default is `localCheckpoint` (executor-local, unreliable under
+  *     executor loss — fine for single-JVM harnesses); pass
+  *     `checkpointDir = Some(dfsPath)` for reliable DFS-backed
+  *     checkpoints on clusters ([[graft.spark.Checkpoints]]);
   *   - the previous round's labels are unpersisted as soon as the next
   *     round materializes, so executor storage stays O(|V|).
   *
@@ -34,8 +38,9 @@ object Components {
   /** @param edges DataFrame with `src`, `dst` columns (undirected;
     *              one row per edge, either orientation).
     * @return (id, component) — component = min reachable vertex id. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame =
-    connectedComponentsWithStats(edges, maxIter)._1
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithStats(edges, maxIter, checkpointDir)._1
 
   /** As [[connectedComponents]], also reporting ROUNDS-TO-CONVERGENCE
     * (the loop exits when a round changes no label, so the value is
@@ -48,13 +53,16 @@ object Components {
     * (Kiveris et al., SoCC 2014), which contracts components in
     * O(log n) rounds independent of diameter. */
   def connectedComponentsWithStats(edges: DataFrame,
-                                   maxIter: Int = 30): (DataFrame, Int) = {
+                                   maxIter: Int = 30,
+                                   checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame =
+      graft.spark.Checkpoints.cut(df, checkpointDir)
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = cut(und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     val labelType = labels.schema("label").dataType
     var changed = 1L
     var it = 0
@@ -87,13 +95,12 @@ object Components {
         .longAccumulator("graft.ccChanged")
       val narrow = org.apache.spark.sql.types.StructType(
         Seq(jumped.schema("id"), jumped.schema("label")))
-      val next = jumped.mapPartitions { rows =>
+      val next = cut(jumped.mapPartitions { rows =>
         rows.map { r =>
           if (r.get(1) != r.get(2)) acc.add(1L)
           org.apache.spark.sql.Row(r.get(0), r.get(2))
         }
-      }(org.apache.spark.sql.Encoders.row(narrow))
-        .localCheckpoint(true)
+      }(org.apache.spark.sql.Encoders.row(narrow)))
       changed = acc.value
       labels.unpersist(blocking = false)
       labels = next
@@ -132,7 +139,11 @@ object Components {
     * @return ((id, component) rows for every non-isolated vertex,
     *         alternation rounds executed) */
   def connectedComponentsAlternating(edges: DataFrame,
-                                     maxIter: Int = 50): (DataFrame, Int) = {
+                                     maxIter: Int = 50,
+                                     checkpointDir: Option[String] = None)
+      : (DataFrame, Int) = {
+    def cut(df: DataFrame): DataFrame =
+      graft.spark.Checkpoints.cut(df, checkpointDir)
     val spark = edges.sparkSession
     import org.apache.spark.sql.functions.{greatest, least, xxhash64, sum, count => fcount}
     def canon(df: DataFrame): DataFrame =
@@ -167,12 +178,12 @@ object Components {
           lit(0).cast("decimal(38,0)"))).head
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
-    var e = canon(edges.select(col("src").cast("long").as("u"),
-      col("dst").cast("long").as("v"))).localCheckpoint(true)
+    var e = cut(canon(edges.select(col("src").cast("long").as("u"),
+      col("dst").cast("long").as("v"))))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = canon(smallStar(largeStar(e))).localCheckpoint(true)
+      val next = cut(canon(smallStar(largeStar(e))))
       it += 1
       if (signature(next) == signature(e))
         converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty

@@ -258,6 +258,17 @@ object GeoQueries {
   def sp3RelationCounts(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.relationCounts(partBoxes(s, dir), supplierBoxes(s, dir))
 
+  /** sp3 at thetaGranularity = max (reference ThetaOption.MAX,
+    * `model/TileGranularities.scala:29-31`): identical oracle to sp3 —
+    * the verified pair set (verifications = deduped MBR-intersecting
+    * pairs) and every relation count are θ-invariant; only tile
+    * replication changes. Gates the non-AVG θ statistics end to end
+    * through the driver's hash (round-9 verdict item 4);
+    * ConfigRunnerSpec covers min/avg2/none by result equality. */
+  def sp18ThetaMax(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.relationCounts(partBoxes(s, dir), supplierBoxes(s, dir),
+      granularity = "max")
+
   /** Per-pair DE-9IM booleans for every verified pair. */
   def sp4De9imPairs(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.de9im(partBoxes(s, dir), supplierBoxes(s, dir))
@@ -449,7 +460,8 @@ object GeoQueries {
     "sp10_segmented_im"  -> (sp10SegmentedIm _),
     "sp11_finegrained_im" -> (sp11FineGrainedIm _),
     "sp12_balanced_im" -> (sp12BalancedIm _),
-    "sp13_typed_giant" -> (sp13TypedGiant _)
+    "sp13_typed_giant" -> (sp13TypedGiant _),
+    "sp18_theta_max" -> (sp18ThetaMax _)
   )
 
   // Rectangle topology in SQL:
@@ -473,7 +485,7 @@ object GeoQueries {
   private val sqlOverlaps =
     s"($sqlStrictOverlap) AND NOT ($sqlContains) AND NOT ($sqlWithin)"
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "sp15_knn_join" ->
       """WITH src AS (
            SELECT c_custkey AS src_id,
@@ -693,4 +705,9 @@ object GeoQueries {
            CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS equals
          FROM mixed_pairs"""
   )
+
+  /** sp18 shares sp3's oracle verbatim: the relation-count output is
+    * θ-invariant, so the SAME SQL gates both tiling statistics. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("sp18_theta_max" -> oraclesBase("sp3_relation_counts"))
 }

@@ -58,9 +58,11 @@ import org.apache.spark.sql.functions._
   * would grow the plan geometrically. `localCheckpoint` pins those
   * frames to executor-local storage, which Spark documents as
   * unreliable under executor loss/decommission — acceptable for this
-  * repo's gate/bench/scale harnesses (single JVM); a fault-tolerant
-  * cluster deployment should swap in reliable `checkpoint` (same
-  * semantics, DFS-backed).
+  * repo's gate/bench/scale harnesses (single JVM). For fault-tolerant
+  * cluster deployments pass `checkpointDir = Some(dfsPath)`: every
+  * per-round cut then goes through reliable DFS-backed `checkpoint`
+  * (same semantics, survives executor loss) via
+  * [[graft.spark.Checkpoints]].
   *
   * Inputs carry integer-derived coordinates in this repo's gates, so
   * distance² arithmetic is exact in doubles and the oracle hashes
@@ -71,8 +73,11 @@ import org.apache.spark.sql.functions._
   */
 object KnnJoin {
 
-  def knnJoin(src: DataFrame, tgt: DataFrame, k: Int): DataFrame = {
+  def knnJoin(src: DataFrame, tgt: DataFrame, k: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, "k must be positive")
+    def cut(df: DataFrame): DataFrame =
+      graft.spark.Checkpoints.cut(df, checkpointDir)
     // One dim-side stats job sizes the grid AND derives its domain
     // (same one-job contract as θ's stats collect). Cells/axis ~
     // sqrt(n/4k) keeps E[3x3 candidates] ≈ 36k regardless of n.
@@ -122,7 +127,7 @@ object KnnJoin {
         .withColumn("n_cand",
           count(lit(1)).over(Window.partitionBy(col("src_id"))))
       // narrow top-k frame materialized ONCE per round (see scaladoc)
-      val topk = ranked.filter(col("rank") <= k).localCheckpoint()
+      val topk = cut(ranked.filter(col("rank") <= k))
       // certificate: saw >= k candidates AND the kth distance fits
       // inside r cell widths (strict) — then nothing outside the
       // (2r+1)x(2r+1) block can be closer than the kth candidate
@@ -135,8 +140,8 @@ object KnnJoin {
         .select(col("src_id"), col("tgt_id"), col("rank"), col("d2"))
       done = covers
       if (!done) {
-        remaining = remaining.join(certified, Seq("src_id"), "left_anti")
-          .localCheckpoint()
+        remaining = cut(
+          remaining.join(certified, Seq("src_id"), "left_anti"))
         if (remaining.isEmpty) done = true else r *= 2
       }
     }

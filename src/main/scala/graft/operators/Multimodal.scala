@@ -9,44 +9,65 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as typed `mapPartitions` over batches of
   * rows (the Scala analogue of `mapInPandas` batch UDFs).
   *
-  * The decode step itself is a STUB — this container ships no
-  * image/audio codecs — implemented as a deterministic byte-statistics
-  * extractor so the real parts (schema, batching, partitioning, output
-  * contract) are exercised and oracle-checkable end to end. Swapping
-  * in a real codec changes only the body of [[decodeBatch]].
+  * Since round 10 the decode step is a REAL image codec: the payload
+  * column carries a valid 24-bit uncompressed BMP container and
+  * [[decodeBatch]] (mm1) / the mm2 / mm3 pixel consumers run the same
+  * [[parseBmp]] byte decode the mm5 file-source gate uses — magic,
+  * pixel-offset indirection, stride arithmetic, bottom-up flip — so
+  * every mm feature is computed over DECODED PIXELS, not raw payload
+  * bytes. Only where the container bytes COME FROM stays synthetic
+  * (no media files ship in the testdata); FixtureMediaSpec pins the
+  * decode against committed on-disk files. Compressed formats
+  * (PNG/JPEG) would slot into [[parseBmp]]'s position unchanged —
+  * this container ships no inflater, so the uncompressed container is
+  * the honest real-codec choice.
   */
 object Multimodal {
 
-  /** A media row: payload + metadata as a typed column bundle. */
+  /** A media row: an ENCODED container payload (a valid 24-bit BMP
+    * since round 10) + typed metadata. */
   case class MediaRow(doc_id: Long, payload: Array[Byte],
                       width: Int, height: Int, channels: Int)
 
-  /** Extracted features per media item. */
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
-                           max_byte: Int, min_byte: Int)
+  /** Extracted features per media item, computed over DECODED pixels.
+    * `moment` = Σ i·lum(i) over image-order pixel indices — order-
+    * sensitive, so a decoder that mangles the stride walk or the
+    * bottom-up flip changes the value even though mean/max/min are
+    * permutation-invariant. All-integer except the exact mean (an
+    * integer sum divided by a small count). */
+  case class MediaFeatures(doc_id: Long, n_px: Int, mean_lum: Double,
+                           max_lum: Int, min_lum: Int, moment: Long)
 
-  /** Synthesize deterministic 16-byte "images" from the documents
-    * table (md5 of the text), with a fixed 4x4x1 metadata struct —
-    * the stand-in for reading real image bytes + EXIF-ish metadata. */
+  /** Deterministic 4×4 grayscale images from the documents table:
+    * md5(text) as the pixel grid, ENCODED as a real BMP container
+    * ([[bmpBytes]] — the same writer the committed fixtures pin).
+    * Stand-in only for WHERE the bytes come from; the payload on the
+    * wire is a decodable image file. */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     documents(s, dir).select(
-      col("doc_id"),
-      unhex(md5(col("text"))).as("payload"),
-      lit(4).as("width"), lit(4).as("height"), lit(1).as("channels"))
-      .as[MediaRow]
+      col("doc_id"), unhex(md5(col("text"))).as("raw"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) => MediaRow(id, bmpBytes(raw), 4, 4, 1) }
   }
 
-  /** The batch "decode": per partition, iterate rows and extract
-    * features from the payload bytes. Real codecs plug in here. */
+  /** The batch decode: per partition, run the REAL container decode
+    * ([[parseBmp]]) on each payload and extract features from the
+    * decoded pixels. Undecodable payloads are dropped, never thrown. */
   def decodeBatch(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-    rows.map { r =>
-      val b = r.payload.map(_ & 0xFF)
-      MediaFeatures(r.doc_id, b.length,
-        b.sum.toDouble / b.length, b.max, b.min)
+    rows.flatMap { r =>
+      parseBmp(r.payload).map { case (_, _, lum) =>
+        var i = 0; var sum = 0L; var mo = 0L; var mx = 0; var mn = 255
+        while (i < lum.length) {
+          val v = lum(i); sum += v; mo += i.toLong * v
+          if (v > mx) mx = v; if (v < mn) mn = v; i += 1
+        }
+        MediaFeatures(r.doc_id, lum.length, sum.toDouble / lum.length,
+          mx, mn, mo)
+      }
     }
 
-  /** mm1: feature extraction over the media payloads. */
+  /** mm1: feature extraction over decoded media pixels. */
   def mm1MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
@@ -55,18 +76,21 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** mm2: frame sampling — take every k-th byte of the payload (the
-    * stand-in for fixed-rate video frame / audio sample extraction)
-    * and emit one row per sampled frame with its offset. The explode
-    * shape (one media row → many frame rows) is the real contract a
-    * decoder plugs into. */
+  /** mm2: frame sampling — decode, then take every k-th pixel of the
+    * image-order grid (the stand-in for fixed-rate video frame / audio
+    * sample extraction) and emit one row per sampled frame with its
+    * offset. The explode shape (one media row → many frame rows) is
+    * the real contract a decoder plugs into — and since round 10 the
+    * sampled values really do come out of the container decode. */
   def mm2FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 4
     mediaTable(s, dir)
       .flatMap { r =>
-        r.payload.indices.collect {
-          case i if i % k == 0 => (r.doc_id, i, r.payload(i) & 0xFF)
+        parseBmp(r.payload).toSeq.flatMap { case (_, _, lum) =>
+          lum.indices.collect {
+            case i if i % k == 0 => (r.doc_id, i, lum(i))
+          }
         }
       }
       .toDF("doc_id", "frame_offset", "frame_value")
@@ -78,20 +102,23 @@ object Multimodal {
   case class ResizedPixel(doc_id: Long, out_w: Int, out_h: Int,
                           px_index: Int, value: Int)
 
-  /** mm3: nearest-neighbour resize — the index arithmetic
-    * (out(i,j) = in(i*h/oh, j*w/ow)) and the per-partition batch shape
-    * are the real resize contract; a codec-backed implementation
-    * changes only how the source pixel grid is obtained. 4x4 -> 2x2
-    * here, i.e. source pixels (0,0),(0,2),(2,0),(2,2). */
+  /** mm3: nearest-neighbour resize over the DECODED pixel grid —
+    * decode the container, then out(i,j) = in(i*h/oh, j*w/ow). The
+    * per-partition batch shape and index arithmetic are the resize
+    * contract; the source grid comes out of [[parseBmp]], so a decode
+    * regression (stride, flip) shifts which pixels are sampled and
+    * fails the oracle. 4x4 -> 2x2 here: source pixels
+    * (0,0),(0,2),(2,0),(2,2). */
   def mm3Resize(s: SparkSession, dir: String, ow: Int = 2, oh: Int = 2): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .flatMap { r =>
-        for (i <- 0 until oh; j <- 0 until ow) yield {
-          val si = i * r.height / oh
-          val sj = j * r.width / ow
-          ResizedPixel(r.doc_id, ow, oh, i * ow + j,
-            r.payload(si * r.width + sj) & 0xFF)
+        parseBmp(r.payload).toSeq.flatMap { case (w, h, lum) =>
+          for (i <- 0 until oh; j <- 0 until ow) yield {
+            val si = i * h / oh
+            val sj = j * w / ow
+            ResizedPixel(r.doc_id, ow, oh, i * ow + j, lum(si * w + sj))
+          }
         }
       }
       .toDF()
@@ -391,16 +418,21 @@ object Multimodal {
              x -> CAST(x AS DOUBLE) * x)) AS DOUBLE) / len(s)) * 10000) AS BIGINT)
              AS rms_e4
          FROM smp ORDER BY doc_id""",
-    // Decode the same md5 payload byte-by-byte in SQL.
+    // A correct BMP round-trip recovers the md5 bytes in image order
+    // (grayscale B=G=R → lum = byte), so the oracle recomputes every
+    // feature from the raw bytes; `moment` is order-sensitive and
+    // pins the stride/flip handling, not just the pixel multiset.
     "mm1_media_features" ->
       """WITH bytes AS (
            SELECT doc_id,
              [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
               FOR i IN range(1, 17)] AS b
            FROM documents)
-         SELECT doc_id, len(b) AS n_bytes,
-           CAST(list_sum(b) AS DOUBLE) / len(b) AS mean_byte,
-           list_max(b) AS max_byte, list_min(b) AS min_byte
+         SELECT doc_id, len(b) AS n_px,
+           CAST(list_sum(b) AS DOUBLE) / len(b) AS mean_lum,
+           list_max(b) AS max_lum, list_min(b) AS min_lum,
+           CAST(list_sum([ (i - 1) * b[i] FOR i IN range(1, 17) ])
+             AS BIGINT) AS moment
          FROM bytes ORDER BY doc_id"""
   )
 }

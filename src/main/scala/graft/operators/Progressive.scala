@@ -182,9 +182,10 @@ object Progressive {
   }
 
   def progressiveVerify(source0: DataFrame, target0: DataFrame, weight: String,
-                        budget: Int, relation: String = "intersects"): DataFrame = {
+                        budget: Int, relation: String = "intersects",
+                        granularity: String = "avg"): DataFrame = {
     val (source, target) = provision(source0, target0, Set(weight))
-    val theta = SpatialJoin.computeTheta(source)
+    val theta = SpatialJoin.computeTheta(source, granularity)
     val ordering = Seq(col(weight).desc, col("s_id").asc, col("t_id").asc)
     // Rank NARROW rows (ids + weight, ~24 B) — the geometry blobs never
     // enter the rank exchange; they are joined back for the budget
@@ -219,9 +220,9 @@ object Progressive {
   /** TopKPairs: keep the k best candidates of every target entity
     * (reference `TopKPairs.scala:25-76`, window form). */
   def topKPerTarget(source0: DataFrame, target0: DataFrame, weight: String,
-                    k: Int): DataFrame = {
+                    k: Int, granularity: String = "avg"): DataFrame = {
     val (source, target) = provision(source0, target0, Set(weight))
-    val theta = SpatialJoin.computeTheta(source)
+    val theta = SpatialJoin.computeTheta(source, granularity)
     val w = Window.partitionBy(col("t_id"))
       .orderBy(col(weight).desc, col("s_id").asc)
     addWeights(SpatialJoin.candidatePairsNarrow(source, target, theta),
@@ -235,9 +236,9 @@ object Progressive {
     * its source and its target (reference `ReciprocalTopK.scala:26-69`):
     * two ranking windows, conjunctive filter. */
   def reciprocalTopK(source0: DataFrame, target0: DataFrame, weight: String,
-                     k: Int): DataFrame = {
+                     k: Int, granularity: String = "avg"): DataFrame = {
     val (source, target) = provision(source0, target0, Set(weight))
-    val theta = SpatialJoin.computeTheta(source)
+    val theta = SpatialJoin.computeTheta(source, granularity)
     val byTarget = Window.partitionBy(col("t_id"))
       .orderBy(col(weight).desc, col("s_id").asc)
     val bySource = Window.partitionBy(col("s_id"))

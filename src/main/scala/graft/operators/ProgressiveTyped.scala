@@ -96,7 +96,8 @@ object ProgressiveTyped {
   def dynamicProgressive(source: DataFrame, target: DataFrame, weight: String,
                          budget: Int, relation: String,
                          scheme: String = "SIMPLE",
-                         secondary: String = ""): Dataset[VerifiedPair] = {
+                         secondary: String = "",
+                         granularity: String = "avg"): Dataset[VerifiedPair] = {
     val schemeU = scheme.toUpperCase
     require(Set("SIMPLE", "COMPOSITE", "HYBRID")(schemeU),
       s"unknown scheme: $scheme")
@@ -105,7 +106,7 @@ object ProgressiveTyped {
     val weights = if (secondary.isEmpty) Seq(weight) else Seq(weight, secondary)
     val wanted = weights.toSet
     val (src, tgt) = Progressive.provision(source, target, wanted)
-    val theta = SpatialJoin.computeTheta(src)
+    val theta = SpatialJoin.computeTheta(src, granularity)
     val spark = src.sparkSession
     import spark.implicits._
     val ws = (weights.take(3) ++ Seq.fill(3 - math.min(3, weights.length))(""))
@@ -239,12 +240,13 @@ object ProgressiveTyped {
                     weight: String = "w_js",
                     relation: String, batchSize: Int = 100,
                     precisionLevel: Double = 0.1,
-                    maxViolations: Int = 3): Dataset[VerifiedPair] = {
+                    maxViolations: Int = 3,
+                    granularity: String = "avg"): Dataset[VerifiedPair] = {
     val rest = Seq("w_cf", "w_mbro").filterNot(_ == weight)
     val weights = weight +: rest
     val wanted = weights.toSet
     val (src, tgt) = Progressive.provision(source, target, wanted)
-    val theta = SpatialJoin.computeTheta(src)
+    val theta = SpatialJoin.computeTheta(src, granularity)
     val spark = src.sparkSession
     import spark.implicits._
     // pad to three weight columns — NarrowCand requires w/w2/w3, and a

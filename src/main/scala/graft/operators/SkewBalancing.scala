@@ -48,8 +48,9 @@ object SkewBalancing {
 
   /** DE-9IM with cost-balanced verification placement. */
   def balancedDe9im(source: DataFrame, target: DataFrame,
-                    zThreshold: Double = 3.0): DataFrame = {
-    val theta = SpatialJoin.computeTheta(source)
+                    zThreshold: Double = 3.0,
+                    granularity: String = "avg"): DataFrame = {
+    val theta = SpatialJoin.computeTheta(source, granularity)
     val cands = SpatialJoin.candidatePairs(source, target, theta)
     val skewedIds = skewSplit(source, target, theta, zThreshold)
 

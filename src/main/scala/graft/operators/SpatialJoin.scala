@@ -69,18 +69,46 @@ object SpatialJoin {
         col("env.maxx").as("maxx") +: col("env.maxy").as("maxy") +:
         extra.map { case (n, _) => col(n) }: _*)
 
-  /** θ = average SOURCE envelope extent per axis (zero-extent inputs —
-    * points / axis-parallel lines — fall back to 1.0, mirroring the
-    * reference's guard for degenerate extents,
-    * `model/TileGranularities.scala:24-27`). One Spark job, tiny result
-    * collected to the driver and baked into the plan as literals. */
-  def computeTheta(source: DataFrame): Theta = {
-    val row = source.agg(
-      avg(when(col("maxx") > col("minx"), col("maxx") - col("minx"))).as("tx"),
-      avg(when(col("maxy") > col("miny"), col("maxy") - col("miny"))).as("ty"))
-      .head()
-    val tx = if (row.isNullAt(0)) 1.0 else math.max(row.getDouble(0), 1e-9)
-    val ty = if (row.isNullAt(1)) 1.0 else math.max(row.getDouble(1), 1e-9)
+  /** θ = SOURCE envelope extent statistic per axis (zero-extent
+    * inputs — points / axis-parallel lines — fall back to 1.0,
+    * mirroring the reference's guard for degenerate extents,
+    * `model/TileGranularities.scala:24-27`). One Spark job, tiny
+    * result collected to the driver and baked into the plan as
+    * literals.
+    *
+    * `granularity` selects the reference's tile-granularity statistic
+    * (`model/TileGranularities.scala:22-45`,
+    * `utils/configuration/Constants.scala:39-48`):
+    *  - `avg` (default, the reference's recommended setting): mean of
+    *    the non-degenerate extents;
+    *  - `avg2`: half the avg — tiles twice as fine;
+    *  - `min`: smallest non-zero extent (the reference filters zero
+    *    extents here for exactly the perpendicular-geometry reason);
+    *  - `max`: largest extent;
+    *  - `none`: no dynamic tiling — θ = (1, 1).
+    * The verified pair set is θ-invariant (tiling only changes
+    * candidate replication; reference-point dedup removes duplicates),
+    * so granularity is a performance dial, never a semantics dial —
+    * ConfigRunnerSpec asserts result equality across all five. */
+  def computeTheta(source: DataFrame): Theta = computeTheta(source, "avg")
+
+  def computeTheta(source: DataFrame, granularity: String): Theta = {
+    val ex = col("maxx") - col("minx")
+    val ey = col("maxy") - col("miny")
+    val (ax, ay) = granularity.toLowerCase match {
+      case "avg" | "avg2" =>
+        (avg(when(ex > 0, ex)), avg(when(ey > 0, ey)))
+      case "min" =>
+        (min(when(ex > 0, ex)), min(when(ey > 0, ey)))
+      case "max" => (max(ex), max(ey))
+      case "none" => return Theta(1.0, 1.0)
+      case other => throw new IllegalArgumentException(
+        s"unknown thetaGranularity '$other' (avg | avg2 | min | max | none)")
+    }
+    val row = source.agg(ax.as("tx"), ay.as("ty")).head()
+    val half = if (granularity.equalsIgnoreCase("avg2")) 0.5 else 1.0
+    val tx = if (row.isNullAt(0)) 1.0 else math.max(half * row.getDouble(0), 1e-9)
+    val ty = if (row.isNullAt(1)) 1.0 else math.max(half * row.getDouble(1), 1e-9)
     Theta(tx, ty)
   }
 
@@ -199,6 +227,10 @@ object SpatialJoin {
   def de9im(source: DataFrame, target: DataFrame): DataFrame =
     de9im(source, target, computeTheta(source))
 
+  def de9im(source: DataFrame, target: DataFrame,
+            granularity: String): DataFrame =
+    de9im(source, target, computeTheta(source, granularity))
+
   /** DE-9IM with adaptive verification: analytic IM for rectangles,
     * exact segmented IM for large polygon pairs (interaction-
     * neighbourhood cost), plain relate otherwise. Results identical to
@@ -222,8 +254,9 @@ object SpatialJoin {
 
   /** Single-relation spatial join (DS-JedAI `SpatialJoinExp`): emit
     * qualifying (s_id, t_id) pairs only. */
-  def relate(source: DataFrame, target: DataFrame, relation: String): DataFrame = {
-    val theta = computeTheta(source)
+  def relate(source: DataFrame, target: DataFrame, relation: String,
+             granularity: String = "avg"): DataFrame = {
+    val theta = computeTheta(source, granularity)
     candidatePairs(source, target, theta)
       .filter(st_predicate(col("s_geom"), col("t_geom"), relation))
       .select(col("s_id"), col("t_id"))
@@ -235,8 +268,9 @@ object SpatialJoin {
     * verifications than the MBR path; every non-disjoint pair is
     * preserved (sub-envelopes cover the geometry). */
   def de9imFineGrained(source: DataFrame, target: DataFrame,
-                       maxEnvs: Int = 16): DataFrame = {
-    val theta = computeTheta(source)
+                       maxEnvs: Int = 16,
+                       granularity: String = "avg"): DataFrame = {
+    val theta = computeTheta(source, granularity)
     val s = source.withColumn("envs",
       barrier(st_fine_envelopes(col("geom"), theta.x, maxEnvs)))
     val t = target.withColumn("envs",
@@ -274,8 +308,9 @@ object SpatialJoin {
     * the same corpus (warm bench runs, multi-query sessions) would
     * otherwise re-segment both sides every time. */
   def relateSegmented(source: DataFrame, target: DataFrame,
-                      corpusKey: String = ""): DataFrame = {
-    val theta = computeTheta(source)
+                      corpusKey: String = "",
+                      granularity: String = "avg"): DataFrame = {
+    val theta = computeTheta(source, granularity)
     def planFp(df: DataFrame): String = {
       val canon = df.queryExecution.analyzed.canonicalized.toString +
         "#" + df.semanticHash()
@@ -298,8 +333,9 @@ object SpatialJoin {
   /** Count candidate pairs without verifying (reference J9). A count
     * needs no geometry, so this goes through the narrow pair frame —
     * no WKB join-backs in the plan. */
-  def countVerifications(source: DataFrame, target: DataFrame): Long = {
-    val theta = computeTheta(source)
+  def countVerifications(source: DataFrame, target: DataFrame,
+                         granularity: String = "avg"): Long = {
+    val theta = computeTheta(source, granularity)
     candidatePairsNarrow(source, target, theta).count()
   }
 
@@ -374,8 +410,9 @@ object SpatialJoin {
     * reference's approximateIntersection composition — a band/as-of
     * join in relational terms. */
   def temporalRelate(source: DataFrame, target: DataFrame, relation: String,
-                     maxDays: Int = 2): DataFrame = {
-    val theta = computeTheta(source)
+                     maxDays: Int = 2,
+                     granularity: String = "avg"): DataFrame = {
+    val theta = computeTheta(source, granularity)
     candidatePairs(source, target, theta)
       .filter(abs(datediff(col("s_ts"), col("t_ts"))) < maxDays)
       .filter(st_predicate(col("s_geom"), col("t_geom"), relation))
@@ -387,8 +424,9 @@ object SpatialJoin {
     * (DS-JedAI `DistributedInterlinking.scala:84-118` `accumulate`).
     * Partial aggregation is map-side via Catalyst — the treeReduce of
     * the reference comes free. */
-  def relationCounts(source: DataFrame, target: DataFrame): DataFrame = {
-    val ims = de9im(source, target)
+  def relationCounts(source: DataFrame, target: DataFrame,
+                     granularity: String = "avg"): DataFrame = {
+    val ims = de9im(source, target, granularity)
     def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(c)
     ims.agg(
       count(lit(1)).as("verifications"),

@@ -755,18 +755,37 @@ object TextOps {
     * source in arrival order until its token allowance is spent (how
     * per-domain sampling weights become an actual corpus slice).
     * Running token sum per source, keep rows while cumulative ≤
-    * budget. A prefix sum is order-dependent, so unlike cp3 it cannot
-    * shard-decompose; the scale posture is to run it AFTER cp3's cap
-    * (the composition every recipe uses), which bounds any one
-    * source's window input to `cap` rows. */
+    * budget.
+    *
+    * 100 TB shape: a prefix sum is order-dependent so it cannot
+    * shard-decompose like cp3's top-k, but it CAN range-decompose —
+    * Ranks' range-exchange running sums over the global
+    * (source, doc_id) order give every partition a contiguous slice
+    * (parallelism = shuffle.partitions, never the source domain), and
+    * the per-source cumulative is the global cumulative minus the
+    * previous sources' totals. Those totals come from a
+    * |sources|-row aggregate over the already-shuffled ranked frame
+    * (per-source end = max global cumulative; sources are low-NDV by
+    * contract — the same bounded-driver-collect class as the PGR
+    * probe). The expensive tokenize scan runs once: both consumers
+    * reuse the range shuffle's files. */
   def cp4TokenBudget(s: SparkSession, dir: String, budget: Int = 600): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, dir)
+    val toks = documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).as("n_tokens"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val ranked = Ranks.runningTotals(toks,
+      Seq(col("source"), col("doc_id")), Seq(col("n_tokens")), Seq("gcum")).df
+    val ends = ranked.groupBy(col("source")).agg(max(col("gcum")).as("end"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // end = global cumulative through the source's LAST row, so the
+    // per-source offset is simply the previous source's end.
+    val offsets: Map[String, Long] =
+      ends.map(_._1).zip(0L +: ends.map(_._2).dropRight(1)).toMap
+    ranked
+      .withColumn("cum_tokens",
+        col("gcum") - element_at(typedLit(offsets), col("source")))
       .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("doc_id"))
   }
 
@@ -995,9 +1014,13 @@ object TextOps {
       .crossJoin(broadcast(nbTotal))
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("c_ab"),
-        round(log((col("c_ab").cast("double") / col("nbt")) /
+        // + 0.0 canonicalizes signed zero: a tiny negative PMI rounds to
+        // -0.0 in one engine and +0.0 in the other, and the gate hashes
+        // raw float bits. IEEE maps -0.0 + 0.0 -> +0.0, all other values
+        // unchanged. The oracle SQL appends the same + 0.0.
+        (round(log((col("c_ab").cast("double") / col("nbt")) /
           ((col("ca").cast("double") / col("nu")) *
-            (col("cb").cast("double") / col("nu")))), 4).as("pmi"))
+            (col("cb").cast("double") / col("nu")))), 4) + lit(0.0)).as("pmi"))
       .orderBy(col("w1"), col("w2"))
   }
 
@@ -1193,7 +1216,7 @@ object TextOps {
          SELECT b.w1, b.w2, b.c_ab,
            round(ln((CAST(b.c_ab AS DOUBLE) / nbt.nbt) /
              ((CAST(a.c_w AS DOUBLE) / nu.nu) *
-              (CAST(c.c_w AS DOUBLE) / nu.nu))), 4) AS pmi
+              (CAST(c.c_w AS DOUBLE) / nu.nu))), 4) + 0.0 AS pmi
          FROM nb b
          JOIN uni a ON a.w = b.w1
          JOIN uni c ON c.w = b.w2

@@ -37,6 +37,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc(Seq((7L, 7L), (9L, 9L))) === Map(7L -> 7L, 9L -> 9L))
   }
 
+  test("reliable checkpointDir path (DFS-backed checkpoint) produces the " +
+       "identical labelling and writes checkpoint data") {
+    import spark.implicits._
+    val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 22L), (40L, 41L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    val viaReliable = Components.connectedComponents(
+        edges.toDF("src", "dst"), checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable === cc(edges))
+    // the reliable path actually materialized RDD checkpoints on disk;
+    // getCheckpointDir returns a file: URI of <root>/<uuid> (and a
+    // suite running earlier in this shared context may have
+    // established a different root — first dir wins, by contract)
+    val rootStr = spark.sparkContext.getCheckpointDir.getOrElse(dir)
+    val root =
+      if (rootStr.startsWith("file:"))
+        new java.io.File(new java.net.URI(rootStr))
+      else new java.io.File(rootStr)
+    def rddFiles(f: java.io.File): Boolean =
+      f.isDirectory && (f.getName.startsWith("rdd-") ||
+        Option(f.listFiles()).exists(_.exists(rddFiles)))
+    assert(rddFiles(root),
+      s"no rdd checkpoint directories under the reliable root $rootStr")
+  }
+
   test("two chains and a clique resolve to their minima") {
     val edges = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 22L), (22L, 20L),
       (40L, 41L))

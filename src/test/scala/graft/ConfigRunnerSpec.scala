@@ -213,6 +213,13 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(regionPairs === batch,
       "KDBTREE region join must equal the θ-tile pair set")
     assert(new java.io.File(export).exists, "exportPath not honored")
+    // QUADTREE (the reference's other grid type): same equality contract
+    val quadPairs = ConfigRunner.run(spark, yamlConf(
+      """  partitions: 6
+        |  gridType: "QUADTREE"""".stripMargin)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(quadPairs === batch,
+      "QUADTREE region join must equal the θ-tile pair set")
     // datePattern with the template's own example value
     // (yyyy-MM-dd'T'HH:mm:ss) parses through the temporal path
     val srcT = dir.resolve("srcT.csv")
@@ -291,6 +298,19 @@ class ConfigRunnerSpec extends AnyFunSuite {
     assert(pqPairs === batch,
       "parquet WKB source with index-addressed columns must equal the CSV run")
 
+    // thetaGranularity: all five reference statistics are HONORED and
+    // θ-invariant — the verified pair set is identical under every
+    // tiling statistic (dedup removes the replication differences);
+    // sp18_theta_max additionally hash-gates the max path vs DuckDB
+    for (g <- Seq("min", "max", "avg2", "none")) {
+      val gPairs = ConfigRunner.run(spark, yamlConf(
+        s"""  progressiveAlgorithm: GIANT
+           |  thetaGranularity: "$g"""".stripMargin)).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(gPairs === batch,
+        s"thetaGranularity=$g must produce the identical pair set")
+    }
+
     // 3. explicit rejections with messages, never silent drops
     def rejects(extra: String, rel: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
@@ -299,8 +319,8 @@ class ConfigRunnerSpec extends AnyFunSuite {
       assert(e.getMessage.contains(needle),
         s"rejection message '${e.getMessage}' lacks '$needle'")
     }
-    rejects("  thetaGranularity: \"min\"", "intersects", "thetaGranularity")
-    rejects("  gridType: \"QUADTREE\"", "intersects", "KDBTREE")
+    rejects("  thetaGranularity: \"median\"", "intersects", "thetaGranularity")
+    rejects("  gridType: \"RTREE\"", "intersects", "KDBTREE")
     rejects("  gridType: \"KDBTREE\"", "DE9IM", "tile path")
     rejects("  progressiveAlgorithm: NO_SUCH_ALG", "intersects",
       "unknown algorithm")

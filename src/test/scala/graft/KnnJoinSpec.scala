@@ -52,6 +52,21 @@ class KnnJoinSpec extends AnyFunSuite {
       assert(run(src, tgt, k) == brute(src, tgt, k), s"mismatch at k=$k")
   }
 
+  test("reliable checkpointDir path equals brute force (DFS-backed " +
+       "round checkpoints)") {
+    val src = pts(0 until 120, i => (i * 17 % 300).toDouble,
+      i => (i * 23 % 300).toDouble, "src_id")
+    val tgt = pts(0 until 90, i => (i * 37 % 300).toDouble,
+      i => (i * 41 % 300).toDouble, "tgt_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_ckpt").toString
+    val got = graft.operators.KnnJoin
+      .knnJoin(src, tgt, 3, checkpointDir = Some(dir))
+      .select("src_id", "tgt_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute(src, tgt, 3))
+  }
+
   test("clustered targets (certificate failures -> residual) equal brute force") {
     // all targets inside one 20x20 corner patch, sources spread across
     // the full extent: most sources' kth neighbor is FAR beyond one

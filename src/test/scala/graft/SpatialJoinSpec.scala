@@ -262,6 +262,31 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(th.x === 1.0 && th.y === 1.0)
   }
 
+  test("computeTheta granularity statistics match the reference's " +
+       "TileGranularities semantics (min filters zero extents)") {
+    // two boxes (extents 2×4 and 6×8) and one point (zero extent)
+    val rows = Seq(
+      ("a", "POLYGON((0 0, 2 0, 2 4, 0 4, 0 0))"),
+      ("b", "POLYGON((10 10, 16 10, 16 18, 10 18, 10 10))"),
+      ("p", "POINT(5 5)"))
+    val df = entitiesDf(rows)
+    val avg = SpatialJoin.computeTheta(df, "avg")
+    assert(avg.x === 4.0 && avg.y === 6.0) // mean of non-degenerate
+    val avg2 = SpatialJoin.computeTheta(df, "avg2")
+    assert(avg2.x === 2.0 && avg2.y === 3.0)
+    val mn = SpatialJoin.computeTheta(df, "min")
+    assert(mn.x === 2.0 && mn.y === 4.0) // zero extents filtered
+    val mx = SpatialJoin.computeTheta(df, "max")
+    assert(mx.x === 6.0 && mx.y === 8.0)
+    val none = SpatialJoin.computeTheta(df, "none")
+    assert(none.x === 1.0 && none.y === 1.0)
+    intercept[IllegalArgumentException] {
+      SpatialJoin.computeTheta(df, "median")
+    }
+    // default overload unchanged
+    assert(SpatialJoin.computeTheta(df) === avg)
+  }
+
   test("countVerifications equals the MBR-intersecting pair count and " +
        "plans no geometry join-backs") {
     val expected = bruteForce().size.toLong

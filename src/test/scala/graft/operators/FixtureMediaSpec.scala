@@ -60,6 +60,19 @@ class FixtureMediaSpec extends AnyFunSuite {
     assert(lum.toSeq === (0 until 16))
   }
 
+  test("mm1's batch decode over the COMMITTED fixture image yields the " +
+       "exact pixel features (byte-pinned real-codec contract)") {
+    val disk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixtureDir, "doc_0000000000.bmp"))
+    val feats = Multimodal.decodeBatch(Iterator(
+      Multimodal.MediaRow(7L, disk, 4, 4, 1))).toSeq
+    // payload 0..15 in image order: moment = Σ i·i = 15·16·31/6 = 1240
+    assert(feats === Seq(Multimodal.MediaFeatures(7L, 16, 7.5, 15, 0, 1240L)))
+    // an undecodable payload is dropped, not thrown
+    assert(Multimodal.decodeBatch(Iterator(
+      Multimodal.MediaRow(8L, Array[Byte](1, 2, 3), 0, 0, 0))).isEmpty)
+  }
+
   test("the media-lake gate path produces files the fixtures' shape") {
     val dir = "/root/testdata/sf0.001"
     val lake = new java.io.File(Multimodal.ensureMediaDir(spark, dir))

@@ -9,6 +9,7 @@ compare values.
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -40,6 +41,33 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("Int64")
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+def float_bits(s: pd.Series) -> np.ndarray:
+    """Raw float64 bit patterns (so -0.0 != +0.0; NaN == NaN when the
+    payload bits agree — both engines emit the canonical quiet NaN)."""
+    return s.to_numpy(dtype="float64", na_value=np.nan).view("uint64")
+
+def bit_diff_cols(g: pd.DataFrame, e: pd.DataFrame):
+    """Columns that would fail the driver's bitwise hash. Floats compare
+    by bit pattern; everything else by exact equality (NaN/NaT-aware via
+    Series.equals — dtypes are already normalized by norm())."""
+    bad = []
+    for c in g.columns:
+        if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c]):
+            if not np.array_equal(float_bits(g[c]), float_bits(e[c])):
+                bad.append(c)
+        elif not g[c].equals(e[c]):
+            bad.append(c)
+    return bad
+
+def first_diff_row(a: pd.Series, b: pd.Series) -> int:
+    if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+        neq = float_bits(a) != float_bits(b)
+    else:
+        neq = ~((a.values == b.values) | (pd.isna(a).values & pd.isna(b).values))
+        neq = np.asarray([bool(x) if x is not pd.NA else True for x in neq])
+    idx = np.nonzero(neq)[0]
+    return int(idx[0]) if len(idx) else 0
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -78,17 +106,22 @@ def main(outdir, sfdir):
             print(f"  [FAIL-rows] {name}: spark={len(g)} duck={len(e)}")
             n_fail += 1
         else:
-            try:
-                # exact for ints/strings/timestamps; tight tolerance for floats
-                pd.testing.assert_frame_equal(g, e, check_dtype=False,
-                                              check_exact=False, rtol=1e-9, atol=1e-12)
+            # Driver-equivalent compare: the driver hashes raw column
+            # bytes, so float columns must match BIT-FOR-BIT (-0.0 != +0.0,
+            # last-ulp drift fails). rtol-based compares are strictly
+            # weaker and once let a signed-zero red row ship (r9 ta12).
+            bad_vals = bit_diff_cols(g, e)
+            if bad_vals:
+                print(f"  [FAIL-vals] {name}: bit-mismatch in {bad_vals}")
+                for c in bad_vals[:3]:
+                    i = first_diff_row(g[c], e[c])
+                    print(f"        {c} row {i}: spark={g[c].iloc[i]!r} "
+                          f"duck={e[c].iloc[i]!r} "
+                          f"(key={g.iloc[i].to_dict()})")
+                n_fail += 1
+            else:
                 print(f"  [pass] {name}: rows={len(g)}")
                 n_pass += 1
-            except AssertionError as ex:
-                print(f"  [FAIL-vals] {name}: {str(ex).splitlines()[0]}")
-                for line in str(ex).splitlines()[:6]:
-                    print("       ", line)
-                n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
