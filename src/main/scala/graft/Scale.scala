@@ -205,15 +205,30 @@ object Scale {
         graft.streaming.EventStream.dailyRollupFileStats(spark, dataDir)
       // Same harnesses on the RocksDB state store — the provider a
       // 100 TB deployment runs (state spills beyond the executor heap;
-      // the default HDFS-backed store is entirely on-heap). Both
-      // curves are recorded: rows must match the in-memory run
-      // exactly, wall time shows the provider overhead at gate state
-      // sizes.
+      // the default HDFS-backed store is entirely on-heap), with the
+      // tuning preset (EventStream.RocksDbTuning: changelog
+      // checkpointing, 64 MB block cache, no compression, 64 MB write
+      // buffer, row tracking off, sparse snapshots) applied by the
+      // harness. Rows must match the in-memory run exactly; state_rows
+      // reads 0 under the tuned preset (trackTotalNumberOfRows=false —
+      // the documented cost of skipping the per-put existence lookup;
+      // the in-memory twin of the same query carries the state curve).
+      // The mem/rocks PAIR is interleaved min-of-2: host noise on this
+      // box has swung single runs of the identical harness by 1.8×,
+      // which once made the provider ratio read as 2.1× (r9).
       val rocks = Some(graft.streaming.EventStream.RocksDbProvider)
-      val (st1rSec, st1rRows, st1rState) =
+      val (st1rSec0, st1rRows, st1rState) =
         graft.streaming.EventStream.sessionizeFileStats(spark, dataDir, rocks)
-      val (ij1rSec, ij1rRows, ij1rState) =
+      val (ij1rSec0, ij1rRows, ij1rState) =
         graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir, rocks)
+      val st1Sec2 = math.min(st1Sec,
+        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir)._1)
+      val ij1Sec2 = math.min(ij1Sec,
+        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)._1)
+      val st1rSec = math.min(st1rSec0,
+        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir, rocks)._1)
+      val ij1rSec = math.min(ij1rSec0,
+        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir, rocks)._1)
       // the hash-gated MemoryStream replay harnesses carry bounded
       // driver collects — run them to 10× (1M rows), never silently
       val events = Tables.events(spark, dataDir).count()
@@ -251,8 +266,8 @@ object Scale {
       val rjson = results.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")
       val cjson = corpus.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val streamJson =
-        f""""st1_file":{"sec":$st1Sec%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
-        f""""st2_file":{"sec":$ij1Sec%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
+        f""""st1_file":{"sec":$st1Sec2%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
+        f""""st2_file":{"sec":$ij1Sec2%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
         f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State},""" +
         f""""st8_file":{"sec":$dr1Sec%.3f,"rows":$dr1Rows,"state_rows":$dr1State},""" +
         f""""st1_file_rocksdb":{"sec":$st1rSec%.3f,"rows":$st1rRows,"state_rows":$st1rState},""" +

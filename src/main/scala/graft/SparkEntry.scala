@@ -45,7 +45,9 @@ object SparkEntry {
         "st7_stream_enrich" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.enrichGate(s, dir)),
         "st8_stream_daily_rollup" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.dailyRollupGate(s, dir)))
+          graft.streaming.EventStream.dailyRollupGate(s, dir)),
+        "st9_stream_outer_join" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.intervalJoinOuterGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,6 +96,26 @@ object SparkEntry {
                FROM h GROUP BY 1, 2)
              SELECT d.event_type, d.day, d.n_user_hours, d.n_events
              FROM d, wm WHERE d.day + INTERVAL 1 DAY <= wm.w
+             ORDER BY 1, 2""",
+        // st9: LEFT OUTER stream-stream interval join. The sentinel
+        // flush in the gate pushes the watermark past every real
+        // error's matchable window, so unmatched rows all emit and the
+        // oracle is the PLAIN batch left join — no finalization
+        // cutoff. Nullable columns coalesced on both sides (dtype-
+        // strict comparator; NULL BIGINTs degrade to float64 in the
+        // DuckDB dataframe).
+        "st9_stream_outer_join" ->
+          """WITH e AS (SELECT event_id AS err_id, user_id,
+                 epoch_us(ts) AS err_us
+               FROM events WHERE event_type = 'error'),
+             c AS (SELECT event_id AS click_id, user_id,
+                 epoch_us(ts) AS click_us
+               FROM events WHERE event_type = 'click')
+             SELECT e.err_id,
+               coalesce(c.click_id, -1) AS click_id,
+               coalesce(c.click_us - e.err_us, 0) AS gap_us
+             FROM e LEFT JOIN c ON e.user_id = c.user_id
+               AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000
              ORDER BY 1, 2""",
         // the stream-static enrichment join vs its batch twin
         "st7_stream_enrich" ->

@@ -269,6 +269,92 @@ object EventStream {
         (unix_micros(col("click_ts")) - unix_micros(col("err_ts"))).as("gap_us"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the alerting shape:
+    * every error row must surface even when no click correlates with
+    * it. Batch LEFT JOIN gets the unmatched rows for free; streaming
+    * must EARN them: Spark holds each left row in join state until the
+    * watermark proves no future right-side match can arrive
+    * (err_ts + halfWindow < watermark), and only then emits the
+    * null-padded row — so outer results are eviction-driven and the
+    * state bound is the same O(rate × window) as the inner join.
+    * Nullable payload columns are coalesced (click_id → -1, gap → 0)
+    * because the gate comparator is dtype-strict and NULL-bearing
+    * BIGINTs degrade to float64 on the DuckDB side. */
+  def intervalJoinOuter(errors: DataFrame, clicks: DataFrame,
+                        halfWindowMinutes: Int = 30,
+                        lateness: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("ts", lateness)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("ts").as("err_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $halfWindowMinutes MINUTES") &&
+        col("click_ts") <= col("err_ts") + expr(s"INTERVAL $halfWindowMinutes MINUTES"),
+      "leftOuter")
+      .select(col("err_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("click_ts")) - unix_micros(col("err_ts")),
+          lit(0L)).as("gap_us"))
+  }
+
+  /** st9 driver gate: [[intervalJoinOuter]] replayed like the st2
+    * gate, plus TWO far-future sentinel deliveries (a lone error+click
+    * pair for an impossible user) that push BOTH sides' watermarks
+    * past every real error's matchable window — the first advances the
+    * watermark at its batch's END, the second triggers the batch in
+    * which the evicted unmatched rows actually emit. Every real error
+    * therefore appears exactly once (matched rows eagerly, unmatched
+    * null-padded on eviction), and the oracle is the plain batch LEFT
+    * JOIN with no finalization cutoff. Sentinel rows filter out by
+    * their negative ids. */
+  def intervalJoinOuterGate(spark: SparkSession, dir: String,
+                            stats: Option[ReplayStats] = None): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect()
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val memE = MemoryStream[(Long, Long, Long)]
+    val memC = MemoryStream[(Long, Long, Long)]
+    def toEvents(m: MemoryStream[(Long, Long, Long)]): DataFrame =
+      m.toDF().toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val name = s"st9_gate_${gateRuns.incrementAndGet()}"
+    val q = intervalJoinOuter(toEvents(memE), toEvents(memC))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        val (es, cs) = batch.partition(_._4 == "error")
+        memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        memC.addData(cs.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // sentinel flushes: ts > maxReal + lateness + window ensures the
+      // post-batch watermark clears every real err_ts + window
+      val maxUs = rows.iterator.map(_._3).max
+      val day = 24L * 3600L * 1000000L
+      for (i <- 1 to 2) {
+        memE.addData((-i.toLong, -999L, maxUs + i * day))
+        memC.addData((-i.toLong, -999L, maxUs + i * day))
+        q.processAllAvailable()
+      }
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name)
+      .filter(col("err_id") >= 0)
+      .orderBy(col("err_id"), col("click_id"))
+  }
+
   /** Driver-gate harness for the stream-stream join: replay the batch
     * events table through TWO MemoryStreams (errors / clicks) in four
     * globally ts-ordered chunks — watermarks on both sides advance
@@ -529,6 +615,42 @@ object EventStream {
   val RocksDbProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Tuning applied whenever the RocksDB provider is selected (the
+    * round-9 scale curves read the UNTUNED provider at 2.1× the
+    * in-memory time on st2 at 100× — later re-measured as ~1.35×
+    * total / ~1.5× addBatch under interleaved min-of-2; the 2.1× was
+    * half provider cost, half host noise. SCALING.md's round-10
+    * section records the tuned deltas and the profile):
+    *  - changelog checkpointing: commit uploads the batch's CHANGELOG
+    *    instead of re-snapshotting full SST files every micro-batch;
+    *    profiled commit file-sync was 27.7 s of task-time over a 58 s
+    *    st2 run at 100× — the single largest provider line item;
+    *  - minDeltasForSnapshot 100: with ~33 commits per run the default
+    *    (10) still pays ~3 async full-snapshot uploads per store;
+    *  - block cache 64 MB (default 8): the interval join probes the
+    *    other side's state on every input row — at 150k+ state rows
+    *    the working set no longer fits 8 MB;
+    *  - no compression + 64 MB write buffer: state lives in the
+    *    memtable for gate-sized runs; lz4 block compression only costs
+    *    CPU on flush/read paths;
+    *  - trackTotalNumberOfRows=false: skips the per-put existence
+    *    lookup (profiled 12.6 M gets for 9.6 M puts). Documented cost:
+    *    the numRowsTotal metric reads 0 — scale artifacts carry the
+    *    state curve on the in-memory twin of the same query. */
+  val RocksDbTuning: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "64",
+    "spark.sql.streaming.stateStore.rocksdb.compression" -> "no_compression",
+    "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "64",
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100",
+    // state-task parallelism: the provider's per-op JNI cost is the
+    // residual bottleneck and parallelizes across state partitions,
+    // where the on-heap map gains nothing from extra partitions (its
+    // ops are ~free; more partitions only add commit overhead)
+    "spark.sql.shuffle.partitions" -> "16")
+
   /** Shared runner for the file-source scale harnesses: build the
     * streaming frame against the given child session, drain it into a
     * parquet sink, and return (seconds, emitted rows, peak state rows
@@ -538,8 +660,11 @@ object EventStream {
     * spill-capable curve. */
   private def runFileSinkStats(sess: SparkSession, prefix: String,
       stateProvider: Option[String])(build: => DataFrame): (Double, Long, Long) = {
-    stateProvider.foreach(p =>
-      sess.conf.set("spark.sql.streaming.stateStore.providerClass", p))
+    stateProvider.foreach { p =>
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      if (p == RocksDbProvider)
+        RocksDbTuning.foreach { case (k, v) => sess.conf.set(k, v) }
+    }
     val out = java.nio.file.Files.createTempDirectory(prefix).toString
     val listener = new MaxStateListener
     sess.streams.addListener(listener)

@@ -208,6 +208,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "corpus yields no pairs — test is vacuous")
   }
 
+  test("LEFT OUTER stream-stream interval join (st9): matched pairs equal " +
+       "the inner join, unmatched errors emit null-padded on eviction") {
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStream.intervalJoinOuterGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inner = graft.operators.EventOps.tj2IntervalJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allErrors = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    // matched rows are exactly the inner join's pairs
+    assert(got.filter(_._2 >= 0) == inner)
+    // unmatched rows: every error with no pair, exactly once, null-padded
+    val unmatched = got.filter(_._2 == -1L)
+    assert(unmatched.map(_._1) == allErrors -- inner.map(_._1))
+    assert(unmatched.forall(_._3 == 0L))
+    assert(unmatched.nonEmpty,
+      "corpus leaves no unmatched errors — outer test is vacuous")
+    // every error surfaced
+    assert(got.map(_._1) == allErrors)
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")
@@ -248,8 +270,14 @@ class EventStreamSpec extends AnyFunSuite {
       Some(EventStream.RocksDbProvider))
     assert(rSec > 0 && rRows == rows,
       s"RocksDB run emitted $rRows sessions vs in-memory $rows")
-    assert(rState > 0 && rState <= users,
-      s"RocksDB sessionizer state $rState must be bounded by $users")
+    // the tuned preset (RocksDbTuning) sets trackTotalNumberOfRows=false
+    // — skipping the per-put existence lookup is a documented trade
+    // that zeroes the numRowsTotal metric; the in-memory twin above
+    // carries the state curve. Accept a real count too in case a
+    // future Spark restores it for free.
+    assert(rState == 0 || rState <= users,
+      s"RocksDB sessionizer state metric $rState must be 0 (tracking " +
+        s"off) or bounded by $users")
   }
 
   test("the dedupe gate's duplicate placement never routes a second " +
