@@ -150,7 +150,17 @@ object Scale {
                     // shuffle-ledger claim measured as one curve —
                     // and PMI collocations (two aggregates + broadcast
                     // joins; the curve should track token volume)
-                    "cp7_full_curation", "ta12_pmi_bigrams"))
+                    "cp7_full_curation", "ta12_pmi_bigrams",
+                    // round-10: bigram-LM scoring (two model aggs +
+                    // two key joins over the bigram stream — tracks
+                    // token volume), repeated-span detection (span
+                    // explode + key-grouped dup table + semi-join;
+                    // the substring-dedup family's scale shape), and
+                    // the 3-iteration Lloyd loop (per-iteration
+                    // broadcast assign + cell-key recompute; cost ~
+                    // n × sqrt(n) cosines per iteration)
+                    "ta13_bigram_lm", "dd19_span_dedup",
+                    "ann14_kmeans_lloyd", "cp8_cluster_balance"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
@@ -201,6 +211,10 @@ object Scale {
         graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)
       val (sk1Sec, sk1Rows, sk1State) =
         graft.streaming.EventStream.sketchFileStats(spark, dataDir)
+      // st10: the NATIVE session_window operator next to the custom
+      // sessionizer's curve — same input, Spark's own session state
+      val (sw1Sec, sw1Rows, sw1State) =
+        graft.streaming.EventStream.sessionWindowFileStats(spark, dataDir)
       val (dr1Sec, dr1Rows, dr1State) =
         graft.streaming.EventStream.dailyRollupFileStats(spark, dataDir)
       // Same harnesses on the RocksDB state store — the provider a
@@ -269,6 +283,7 @@ object Scale {
         f""""st1_file":{"sec":$st1Sec2%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
         f""""st2_file":{"sec":$ij1Sec2%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
         f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State},""" +
+        f""""st10_file":{"sec":$sw1Sec%.3f,"rows":$sw1Rows,"state_rows":$sw1State},""" +
         f""""st8_file":{"sec":$dr1Sec%.3f,"rows":$dr1Rows,"state_rows":$dr1State},""" +
         f""""st1_file_rocksdb":{"sec":$st1rSec%.3f,"rows":$st1rRows,"state_rows":$st1rState},""" +
         f""""st2_file_rocksdb":{"sec":$ij1rSec%.3f,"rows":$ij1rRows,"state_rows":$ij1rState}""" +

@@ -47,7 +47,13 @@ object SparkEntry {
         "st8_stream_daily_rollup" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.dailyRollupGate(s, dir)),
         "st9_stream_outer_join" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.intervalJoinOuterGate(s, dir)))
+          graft.streaming.EventStream.intervalJoinOuterGate(s, dir)),
+        // the NATIVE session_window operator, same oracle as st1 — the
+        // built-in and custom sessionizers share merge semantics down
+        // to the inclusive gap boundary (spec-pinned), so they are
+        // hash-verified equal
+        "st10_session_window" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.sessionWindowGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,6 +63,9 @@ object SparkEntry {
       EventOps.oracles ++
       Map(
         "st1_stream_sessionize" -> Analytics.oracles("q14_sessionize"),
+        // native session_window ≡ custom sessionizer (identical
+        // inclusive-boundary merge semantics, spec-pinned)
+        "st10_session_window" -> Analytics.oracles("q14_sessionize"),
         "st2_stream_interval_join" -> EventOps.oracles("tj2_interval_join"),
         // q6 restricted to the streamed columns (the streaming agg has
         // no countDistinct: approximate distinct is the streaming-state

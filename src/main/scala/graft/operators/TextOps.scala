@@ -1045,7 +1045,101 @@ object TextOps {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** ta13: bigram-LM document scoring — the CCNet-style "how typical
+    * of the corpus is this document" quality signal: train a bigram
+    * language model ON the corpus itself (two aggregates: bigram
+    * counts and left-unigram context counts), then score each doc by
+    * the mean log conditional probability of its own bigrams,
+    * log P(w2|w1) = log(c(w1,w2) / c(w1,·)). Low scores = documents
+    * whose word transitions the corpus has rarely seen (gibberish,
+    * boilerplate tables, foreign fragments) — the standard perplexity
+    * filter with the corpus standing in for the external LM.
+    *
+    * Scale shape: the per-doc bigram stream never collects — both
+    * model tables are key-partitioned aggregates orders smaller than
+    * the corpus, and the two probability joins run on the bigram /
+    * unigram keys (AQE broadcasts them at gate scale; at 100 TB they
+    * run as shuffle joins on the same keys the aggregates already
+    * produced). Per-bigram log is the ta12 pattern (integer counts in,
+    * round 4 + signed-zero canonicalization out: a doc whose every
+    * bigram is its left-context's only continuation scores exactly
+    * 0.0); the per-doc mean is the one order-dependent float aggregate
+    * (rounded 2, q1's contract). */
+  def ta13BigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val docBi = graft.spark.DfCache.memo(s, s"$dir#ta13bi") {
+      documents(s, dir)
+        .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val nb = docBi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val la = docBi.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+    docBi
+      .join(nb, Seq("w1", "w2"))
+      .join(la, Seq("w1"))
+      .select(col("doc_id"),
+        (round(log(col("c_ab").cast("double") / col("c_a")), 4) + lit(0.0))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(col("lp")), 2) + lit(0.0)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd19: repeated-span detection — the exact-substring dedup family
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at token-n-gram granularity: a span (8 consecutive
+    * tokens) that appears verbatim in MORE THAN ONE document is
+    * memorization fuel, invisible to document-level dedup (dd1–dd6
+    * keep both docs when only a paragraph is shared). Emits per
+    * affected document the span count, how many of its spans are
+    * cross-document duplicates, and the duplicated fraction — the
+    * direct input to a span-excision or doc-drop policy.
+    *
+    * Scale shape: positions explode to one row per token (the same
+    * cost every shingle op here pays), then ALL work is key-grouped —
+    * span → distinct-doc count (two-level partial agg), spans ⋈ dup
+    * spans on the span key, doc_id rollup. Never all-pairs, no
+    * windows. The gate joins on the span STRING so the DuckDB oracle
+    * is exact; a production deployment joins on xxhash64(span)
+    * (64-bit keys, collision-negligible) to keep shuffle rows narrow.
+    * The span base is DfCache'd: both the dup table and the rollup
+    * consume it, and column pruning would otherwise defeat
+    * ReuseExchange and re-tokenize the corpus per arm. */
+  def dd19SpanDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val spans = graft.spark.DfCache.memo(s, s"$dir#dd19spans#$n") {
+      documents(s, dir)
+        .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("span"))
+    }
+    val dup = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span"))
+    spans.join(dup, Seq("span"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      .join(spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (round(col("n_dup_spans").cast("double") / col("n_spans"), 4) +
+          lit(0.0)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta13_bigram_lm" -> ((s: SparkSession, dir: String) =>
+      ta13BigramLmScore(s, dir)),
+    "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
+      dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
     "cp5_corpus_shard" -> ((s: SparkSession, dir: String) => cp5CorpusShard(s, dir)),
     "cp3_domain_cap" -> ((s: SparkSession, dir: String) => cp3DomainCap(s, dir)),
@@ -1156,6 +1250,44 @@ object TextOps {
                     JOIN sh sb ON sb.doc_id = id_b)"""
 
   val oracles: Map[String, String] = Map(
+    // parallel unnests zip in DuckDB, so the bigram stream is two
+    // shifted slices — the exact twin of Spark's zip_with(slice, slice)
+    "ta13_bigram_lm" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         bif AS (
+           SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+           FROM words WHERE len(w) >= 2),
+         nb AS (SELECT w1, w2, count(*) AS c_ab FROM bif GROUP BY 1, 2),
+         la AS (SELECT w1, count(*) AS c_a FROM bif GROUP BY 1),
+         lp AS (
+           SELECT doc_id,
+             round(ln(CAST(c_ab AS DOUBLE) / c_a), 4) + 0.0 AS lp
+           FROM bif JOIN nb USING (w1, w2) JOIN la USING (w1))
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 2) + 0.0 AS lm_score
+         FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    "dd19_span_dedup" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         spans AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+             i -> array_to_string(w[i:i+7], ' '))) AS span
+           FROM words WHERE len(w) >= 8),
+         dup AS (
+           SELECT span FROM spans GROUP BY span
+           HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (
+           SELECT doc_id, count(*) AS n_dup_spans
+           FROM spans WHERE span IN (SELECT span FROM dup)
+           GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+         SELECT doc_id, n_spans, n_dup_spans,
+           round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) + 0.0 AS dup_ratio
+         FROM hits JOIN tot USING (doc_id)
+         ORDER BY doc_id""",
     "cp5_corpus_shard" ->
       """WITH t AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,

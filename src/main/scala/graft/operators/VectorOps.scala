@@ -120,6 +120,19 @@ object VectorOps {
     * under `key`. `ncOf` maps corpus size to codebook cardinality —
     * ann5/ann8 use ceil(sqrt(n)); ann3 half that — so cell counts GROW
     * with the corpus at every gate entry. */
+  /** One Lloyd mean-recompute over an assignment frame (cell, v):
+    * per-dim means rounded to 9 (so both engines' last-ulp summation
+    * drift collapses to the same value), reassembled into the centroid
+    * vector. Cells that lost every member drop out — standard Lloyd. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => round(p("m"), 9)).as("c_v"))
+
   private def ivfCodebook(s: SparkSession, dir: String, key: String,
                           ncOf: Long => Int): DataFrame =
     graft.spark.DfCache.memo(s, s"$dir#$key") {
@@ -129,14 +142,76 @@ object VectorOps {
       val step = math.max(1L, n / nc)
       val seeds = emb.filter(col("vec_id") % step === 0)
         .select(col("vec_id").as("cell"), col("v").as("c_v"))
-      ivfAssign(emb, seeds)
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("cell"), transform(col("pairs"), p => round(p("m"), 9)).as("c_v"))
+      recenter(ivfAssign(emb, seeds))
     }
+
+  /** ann14: full multi-iteration distributed Lloyd k-means — the
+    * training loop the one-step IVF codebooks (ann3/ann5) truncate.
+    * Each iteration is the canonical two-step: argmin assignment
+    * against the BROADCAST centroid table (k = ceil(sqrt n) rows, so
+    * the per-iteration shuffle is only the recompute's partial agg on
+    * the cell key — the corpus itself is never re-shuffled), then
+    * per-dim mean recompute. Rounding the means to 9 decimals each
+    * iteration makes the whole trajectory deterministic across
+    * engines — iteration i+1's assignment sees bit-identical centroids
+    * in Spark and DuckDB — so a 3-iteration run has an exact unrolled
+    * SQL oracle. Emits the final codebook row-per-dim with cluster
+    * sizes; signed-zero canonicalized (+ 0.0) because near-orthogonal
+    * dims can average to ±0.0. The k-means loop is the standard scale
+    * shape for embedding-space data curation (cluster-balanced
+    * sampling, SemDeDup cells, IVF training). */
+  /** The ann14 codebook after `iters` full Lloyd iterations,
+    * session-memoized — shared by the ann14 gate and the cp8
+    * cluster-balanced selection. */
+  private def kmeansCodebook(s: SparkSession, dir: String,
+                             iters: Int): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ann14cv#$iters") {
+      val emb = embVectors(s, dir)
+      val n = emb.count()
+      val nc = math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val step = math.max(1L, n / nc)
+      var cents = emb.filter(col("vec_id") % step === 0)
+        .select(col("vec_id").as("cell"), col("v").as("c_v"))
+      for (_ <- 1 to iters)
+        cents = recenter(ivfAssign(emb, cents))
+      cents
+    }
+
+  def ann14KmeansLloyd(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val emb = embVectors(s, dir)
+    val cents = kmeansCodebook(s, dir, iters)
+    val sizes = ivfAssign(emb, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    cents.join(sizes, Seq("cell"))
+      .select(col("cell"), col("n_members"), posexplode(col("c_v")))
+      .select(col("cell"), col("n_members"), col("pos").as("dim"),
+        (col("col") + lit(0.0)).as("c_m"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  /** cp8: cluster-balanced selection — the embedding-space analogue of
+    * cp3's per-domain cap: cap every LEARNED cluster (the ann14
+    * codebook's cells) at `cap` vectors, chosen in deterministic
+    * md5(vec_id) order — an i.i.d.-ish per-cluster quota. Where cp3/cp6
+    * balance on a metadata column (source, lang), this balances on
+    * structure the model discovered in embedding space, the standard
+    * move when a corpus has no trustworthy domain labels (or the labels
+    * hide skew the embeddings expose). The per-cell window is
+    * scale-correct — cell count grows as sqrt(n) with the corpus, so
+    * per-task input is ~n/sqrt(n) and parallelism GROWS at 100 TB
+    * (unlike a metadata column's fixed domain, the q18 funnel class);
+    * assignment is the same broadcast argmin every IVF path uses. */
+  def cp8ClusterBalance(s: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val emb = embVectors(s, dir)
+    val cents = kmeansCodebook(s, dir, iters = 3)
+    ivfAssign(emb, cents)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("vec_id"), col("cell"), col("rk"))
+      .orderBy(col("cell"), col("rk"))
+  }
 
   /** The ann5 IVF codebook: ceil(sqrt(n)) cells (shared by ann5 and
     * the ann8 composition). */
@@ -647,6 +722,10 @@ object VectorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann14_kmeans_lloyd" -> ((s: SparkSession, dir: String) =>
+      ann14KmeansLloyd(s, dir)),
+    "cp8_cluster_balance" -> ((s: SparkSession, dir: String) =>
+      cp8ClusterBalance(s, dir)),
     "dd14_semantic_dedup" -> ((s: SparkSession, dir: String) =>
       dd14SemanticDedup(s, dir)),
     "ann7_pq_topk" -> ((s: SparkSession, dir: String) => ann7PqTopK(s, dir)),
@@ -806,7 +885,79 @@ object VectorOps {
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
            FROM adc)"""
 
+  /** One unrolled Lloyd iteration as a DuckDB CTE block: argmin
+    * assignment against `prev`'s centroids (cosine rounded 9, cell
+    * tie-break — the ivfAssign twin) then per-dim mean recompute
+    * rounded 9 (the recenter twin), ending at `cv$i`. */
+  private def lloydIterCtes(i: Int, prev: String): String =
+    s"""asgn$i AS (
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, $prev c),
+         mem$i AS (SELECT vec_id, v, cell FROM asgn$i WHERE crk = 1),
+         cent$i AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM mem$i)
+           GROUP BY 1, 2),
+         cv$i AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent$i GROUP BY cell)"""
+
+  /** The full ann14 Lloyd chain as a CTE prefix: seeds → three
+    * unrolled iterations → final assignment (`asgnF`, argmin at
+    * crk = 1 against `cv3`). Shared by ann14 and cp8. */
+  private val lloydChainCtes: String =
+    s"""emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         cv0 AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         ${lloydIterCtes(1, "cv0")},
+         ${lloydIterCtes(2, "cv1")},
+         ${lloydIterCtes(3, "cv2")},
+         asgnF AS (
+           SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cv3 c)"""
+
   val oracles: Map[String, String] = Map(
+    "ann14_kmeans_lloyd" ->
+      s"""WITH $lloydChainCtes,
+         sizes AS (
+           SELECT cell, count(*) AS n_members FROM asgnF
+           WHERE crk = 1 GROUP BY cell),
+         outp AS (
+           SELECT c.cell, s.n_members,
+             generate_subscripts(c.c_v, 1) - 1 AS dim,
+             unnest(c.c_v) + 0.0 AS c_m
+           FROM cv3 c JOIN sizes s USING (cell))
+         SELECT cell, n_members, dim, c_m FROM outp
+         ORDER BY cell, dim""",
+    "cp8_cluster_balance" ->
+      s"""WITH $lloydChainCtes,
+         cells AS (SELECT vec_id, cell FROM asgnF WHERE crk = 1),
+         sel AS (
+           SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+           FROM cells)
+         SELECT vec_id, cell, rk FROM sel WHERE rk <= 20
+         ORDER BY cell, rk""",
     // dd14 reuses ann5's deterministic codebook CTE chain (seeds →
     // one Lloyd step → argmin cells), then self-joins within cells.
     "dd14_semantic_dedup" ->

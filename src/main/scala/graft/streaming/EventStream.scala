@@ -355,6 +355,77 @@ object EventStream {
       .orderBy(col("err_id"), col("click_id"))
   }
 
+  /** st10: per-user sessions via Spark's NATIVE `session_window`
+    * aggregation — the built-in operator the custom
+    * flatMapGroupsWithState sessionizer ([[sessionize]], st1) is
+    * usually reached for too early. The engine merges overlapping
+    * [ts, ts+gap) windows per group in the state store and, in append
+    * mode, emits a session only once the watermark passes its end —
+    * no user state-machine code, and the state layout (session-window
+    * store with its own provider format) is Spark's own. The merge
+    * boundary is INCLUSIVE — two events exactly `gap` apart land in
+    * one session (probed; EventStreamSpec pins it with an exact-gap
+    * pair and a gap+1µs pair) — identical to [[sessionize]]'s
+    * `<= gap` rule and batch q14's `> gap` starts-new, so both gates
+    * share the q14 oracle with no boundary caveat. Use this form
+    * unless session semantics need custom merge logic; state is
+    * O(open sessions), same as st1. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+                       lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n_events"))
+
+  /** st10 driver gate: [[sessionWindowAgg]] replayed exactly like the
+    * st1 gate (four ts-ordered chunks, far-future sentinel user flushes
+    * every open session past the watermark), aggregated to the q14
+    * shape (user_id, n_sessions, n_events) — so the NATIVE session
+    * operator is hash-checked against the same batch oracle as the
+    * custom one, and st1 ≡ st10 becomes a driver-verified fact
+    * rather than a doc claim. */
+  def sessionWindowGate(spark: SparkSession, dir: String,
+                        stats: Option[ReplayStats] = None): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val name = s"st10_gate_${gateRuns.incrementAndGet()}"
+    val q = sessionWindowAgg(mem.toDF().toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // two sentinel deliveries: the first advances the watermark at
+      // its batch's END past every real session's end, the second
+      // triggers the batch that emits the finalized windows
+      val maxUs = rows.iterator.map(_._3).max
+      val day = 24L * 3600L * 1000000L
+      for (i <- 1 to 2) {
+        mem.addData((-1L, -i.toLong, maxUs + i * day))
+        q.processAllAvailable()
+      }
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Driver-gate harness for the stream-stream join: replay the batch
     * events table through TWO MemoryStreams (errors / clicks) in four
     * globally ts-ordered chunks — watermarks on both sides advance
@@ -708,6 +779,19 @@ object EventStream {
     val sess = gateSession(spark)
     runFileSinkStats(sess, "graft_sess_scale", stateProvider) {
       sessionize(readEvents(sess, dir, maxFilesPerTrigger = Some(1))).toDF()
+    }
+  }
+
+  /** Scale harness twin for st10 (native session_window, append-mode
+    * parquet sink): finalized sessions flush as the watermark passes;
+    * the trailing ~lateness of open sessions correctly stays in state —
+    * the state row count is Spark's own session-store layout, directly
+    * comparable to the custom sessionizer's O(active users) curve. */
+  def sessionWindowFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
+    val sess = gateSession(spark)
+    runFileSinkStats(sess, "graft_swin_scale", stateProvider) {
+      sessionWindowAgg(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
     }
   }
 

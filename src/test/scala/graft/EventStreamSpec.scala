@@ -230,6 +230,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.map(_._1) == allErrors)
   }
 
+  test("native session_window gate (st10) equals the custom sessionizer " +
+       "gate (st1) row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val native = EventStream.sessionWindowGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val custom = EventStream.sessionizeGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(native.nonEmpty && native == custom)
+  }
+
+  test("session_window merge boundary is inclusive: exactly-gap-apart " +
+       "events share a session, gap+1us splits — matching sessionize") {
+    import spark.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val day = 86400L * 1000000L
+    // batch session_window is the same operator semantics minus the
+    // watermark machinery — probe the boundary there
+    def sessions(offsetUs: Long): Long =
+      Seq((1L, day), (1L, day + offsetUs)).toDF("user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .count().count()
+    assert(sessions(gapUs) == 1L, "exact-gap pair must merge (inclusive)")
+    assert(sessions(gapUs + 1L) == 2L, "gap+1us pair must split")
+  }
+
   test("streaming hourly aggregation matches the batch query") {
     val dir = "/root/testdata/sf0.001"
     val q = EventStream.runToMemory(spark, dir, "hourly_test")

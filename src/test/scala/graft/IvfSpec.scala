@@ -68,4 +68,51 @@ class IvfSpec extends AnyFunSuite {
     assert(kCells <= math.ceil(math.sqrt(n.toDouble)).toInt + 1)
     cells.collect() // materialize to ensure the pipeline executes
   }
+
+  test("ann14 multi-iteration Lloyd: complete codebook rows, member " +
+       "counts partition the corpus, trajectory is deterministic") {
+    val n = Tables.embeddings(spark, dir).count()
+    val dims = Tables.embeddings(spark, dir)
+      .select(size(col("embedding"))).head.getInt(0)
+    val out = VectorOps.ann14KmeansLloyd(spark, dir).collect()
+    val cells = out.map(_.getLong(0)).distinct
+    // stride rounding can seed one extra cell (the ann5 test's +1 slack)
+    assert(cells.length >= 2 &&
+      cells.length <= math.ceil(math.sqrt(n.toDouble)).toInt + 1,
+      s"${cells.length} cells for n=$n")
+    // every surviving cell carries all dims exactly once
+    val byCell = out.groupBy(_.getLong(0))
+    byCell.foreach { case (c, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toList == (0 until dims).toList,
+        s"cell $c: incomplete dim coverage")
+      assert(rows.map(_.getLong(1)).distinct.length == 1)
+    }
+    // the final assignment partitions the corpus: sizes sum to n
+    assert(byCell.values.map(_.head.getLong(1)).sum == n)
+    // same seeds + rounded means every iteration => bit-identical rerun
+    val again = VectorOps.ann14KmeansLloyd(spark, dir).collect()
+    assert(out.map(_.toSeq).toList == again.map(_.toSeq).toList)
+  }
+
+  test("cp8 cluster-balanced selection: every cell capped, full cells " +
+       "capped exactly, ranks dense from 1") {
+    val cap = 20
+    val sel = VectorOps.cp8ClusterBalance(spark, dir, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sel.nonEmpty)
+    // per-cell: ranks are 1..m with m <= cap
+    sel.groupBy(_._2).foreach { case (cell, rows) =>
+      val ranks = rows.map(_._3).sorted.toList
+      assert(ranks == (1 to ranks.length).toList, s"cell $cell ranks $ranks")
+      assert(ranks.length <= cap)
+    }
+    // cells the codebook sized above the cap are selected at EXACTLY cap
+    val sizes = VectorOps.ann14KmeansLloyd(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.head.getLong(1) }
+    val selSizes = sel.groupBy(_._2).map { case (c, rs) => c -> rs.length }
+    sizes.foreach { case (c, n) =>
+      assert(selSizes.getOrElse(c, 0) == math.min(n, cap.toLong).toInt,
+        s"cell $c: ${selSizes.getOrElse(c, 0)} selected of $n members")
+    }
+  }
 }

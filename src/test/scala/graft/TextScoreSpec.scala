@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ta13 bigram-LM scoring and dd19 repeated-span detection: micro-corpus
+  * tests with hand-computed expectations (written to a temp documents
+  * parquet so the ops run their real read path), plus structural
+  * invariants at sf0.001. Engine-divergence exactness is the driver
+  * gate's job; these pin the SEMANTICS. */
+class TextScoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Write a tiny documents.parquet under a temp dir and return the dir. */
+  private def microCorpus(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_textscore").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ta13 bigram-LM: hand-computed log-prob means on a micro corpus") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // corpus bigrams: doc1 = ab, ba, ab; doc2 = ab, bc
+    // counts: c(a,b)=3 c(b,a)=1 c(b,c)=1; left contexts: c(a,.)=3 c(b,.)=2
+    // doc1 lps: ln(3/3)=0, ln(1/2), ln(3/3)=0  -> mean = ln(1/2)/3
+    // doc2 lps: ln(3/3)=0, ln(1/2)             -> mean = ln(1/2)/2
+    val dir = microCorpus(Seq(1L -> "a b a b", 2L -> "a b c"))
+    val got = graft.operators.TextOps.ta13BigramLmScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got.map(t => (t._1, t._2)) == List((1L, 3L), (2L, 2L)))
+    val l2 = math.log(0.5)
+    assert(math.abs(got(0)._3 - l2 / 3) < 0.006) // round(...,2) slack
+    assert(math.abs(got(1)._3 - l2 / 2) < 0.006)
+  }
+
+  test("ta13 invariants at sf0.001: one row per >=2-token doc, " +
+       "n_bigrams == n_tokens - 1, scores are non-positive") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.operators.TextOps.ta13BigramLmScore(spark, dir)
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
+      .filter(col("n_tokens") >= 2)
+    val joined = scored.join(toks, Seq("doc_id"), "full").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(!r.isNullAt(1) && !r.isNullAt(3),
+        s"doc ${r.get(0)}: gate and >=2-token corpus must cover the same docs")
+      assert(r.getLong(1) == r.getInt(3) - 1,
+        s"doc ${r.get(0)}: n_bigrams ${r.getLong(1)} != n_tokens-1 ${r.getInt(3) - 1}")
+      assert(r.getDouble(2) <= 0.0, s"doc ${r.get(0)}: positive log-prob")
+    }
+  }
+
+  test("dd19 span dedup: a span shared by two docs is flagged in both, " +
+       "unique-span docs are absent") {
+    val shared = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val dir = microCorpus(Seq(
+      1L -> s"$shared x",      // spans: [shared], [t2..x]
+      2L -> s"z $shared",      // spans: [z..t7], [shared]
+      3L -> "p q r s t u v w", // one unique span
+      4L -> "too short"))      // < 8 tokens: no spans at all
+    val got = graft.operators.TextOps.dd19SpanDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toList == List((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("dd19 invariants at sf0.001: dup spans bounded by spans, ratios in " +
+       "(0,1], and the flagged-doc set matches an independent formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextOps.dd19SpanDedup(spark, dir).collect()
+    assert(got.nonEmpty, "corpus has no cross-doc duplicated spans — vacuous")
+    got.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // independent formulation: distinct (doc, span) pairs where the span's
+    // distinct-doc count >= 2 — via a window instead of the agg+semi-join
+    import org.apache.spark.sql.expressions.Window
+    val spans = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 7),
+        i => concat_ws(" ", slice(col("w"), i, lit(8))))).as("span"))
+    val flagged = spans
+      .withColumn("nd", size(collect_set(col("doc_id"))
+        .over(Window.partitionBy(col("span")))))
+      .filter(col("nd") >= 2)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == flagged)
+  }
+}
