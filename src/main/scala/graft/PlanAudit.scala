@@ -232,12 +232,25 @@ object PlanAudit {
     * filter caps `w`'s input at shards × k rows per key. */
   private def hasShardedLocalStage(w: WindowExec): Boolean = {
     val mine = windowPartitionNames(w)
-    w.children.flatMap(walk).exists {
+    // the exemption needs BOTH halves of the decomposition: the
+    // superset-key local window AND a Filter strictly between the two
+    // stages (the rank cap that bounds the global stage's input at
+    // shards × k rows per key) — a superset-key window alone, with the
+    // global window running over the full un-filtered row set, is
+    // exactly the funnel this rule exists to flag
+    def search(p: SparkPlan, filterSeen: Boolean): Boolean = p match {
+      // unwrap AQE wrappers (children = Nil on a QueryStageExec) the
+      // same way walk() does, or the search dies at a stage boundary
+      case a: AdaptiveSparkPlanExec => search(a.executedPlan, filterSeen)
+      case q: QueryStageExec => search(q.plan, filterSeen)
+      case f: FilterExec => f.children.exists(search(_, true))
       case inner: WindowExec =>
         val theirs = windowPartitionNames(inner)
-        mine.subsetOf(theirs) && theirs.size > mine.size
-      case _ => false
+        (filterSeen && mine.subsetOf(theirs) && theirs.size > mine.size) ||
+          inner.children.exists(search(_, filterSeen))
+      case other => other.children.exists(search(_, filterSeen))
     }
+    w.children.exists(search(_, filterSeen = false))
   }
 
   /** Audit one executed DataFrame (the plan must be finalized by an

@@ -151,16 +151,18 @@ object Scale {
                     // and PMI collocations (two aggregates + broadcast
                     // joins; the curve should track token volume)
                     "cp7_full_curation", "ta12_pmi_bigrams",
-                    // round-10: bigram-LM scoring (two model aggs +
-                    // two key joins over the bigram stream — tracks
-                    // token volume), repeated-span detection (span
-                    // explode + key-grouped dup table + semi-join;
-                    // the substring-dedup family's scale shape), and
-                    // the 3-iteration Lloyd loop (per-iteration
-                    // broadcast assign + cell-key recompute; cost ~
-                    // n × sqrt(n) cosines per iteration)
-                    "ta13_bigram_lm", "dd19_span_dedup",
-                    "ann14_kmeans_lloyd", "cp8_cluster_balance"))
+                    // round-10: the 3-iteration Lloyd loop and its
+                    // cluster-cap consumer (per-iteration broadcast
+                    // assign + cell-key recompute; ~n × sqrt(n) narrow
+                    // candidate rows per iteration) run BEFORE the two
+                    // large text caches below exist; bigram-LM scoring
+                    // (two model aggs + two key joins over the bigram
+                    // stream — tracks token volume) and repeated-span
+                    // detection (span explode + key-grouped dup table
+                    // + semi-join; the substring-dedup family's scale
+                    // shape) memoize corpus-token-sized frames
+                    "ann14_kmeans_lloyd", "cp8_cluster_balance",
+                    "ta13_bigram_lm", "dd19_span_dedup"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for

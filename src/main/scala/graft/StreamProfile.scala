@@ -26,6 +26,10 @@ object StreamProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
+    // recentProgress is a ring buffer (default 100 entries); with
+    // maxFilesPerTrigger=1 a >100-part-file corpus would silently
+    // truncate the duration/metric sums this tool exists to produce
+    sess.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     if (mode == "rocks") {
       sess.conf.set("spark.sql.streaming.stateStore.providerClass",
         graft.streaming.EventStream.RocksDbProvider)

@@ -319,9 +319,10 @@ object Analytics {
     val ranked = Ranks.runningTotals(counts,
       Seq(col("l_returnflag"), col("price")), Seq(col("cnt")), Seq("gcum")).df
     val flagN = approx.select(col("l_returnflag"), col("n_rows")).distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val flagOffsets: Map[String, Long] =
-      flagN.map(_._1).zip(flagN.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // prefix sums in the range exchange's OWN key order (UTF-8 binary —
+    // Scala's UTF-16 sortBy disagrees beyond the BMP), via Ranks
+    val (flagOffsets, _) = Ranks.groupOffsetsFromTotals(flagN)
     val exact = ranked.as("c").join(broadcast(approx).as("a"),
         col("c.l_returnflag") === col("a.l_returnflag") &&
           col("c.gcum") >= col("a.target") +

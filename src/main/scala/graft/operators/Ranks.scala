@@ -37,6 +37,48 @@ object Ranks {
     * total row count when obtained via [[withGlobalRank]]. */
   final case class RunningTotals(df: DataFrame, totals: Seq[Long])
 
+  /** Per-group offsets for [[runningTotals]] consumers that subtract a
+    * group baseline from the global running sum: each group's offset is
+    * the PREVIOUS group's end in EXACTLY the order the range exchange
+    * sorted the string key — UTF-8 binary, NULLs first. Scala's default
+    * String ordering is UTF-16 code-unit order, which disagrees with
+    * Spark's UTF8String binary order for supplementary-plane characters
+    * (surrogates sort before U+E000..U+FFFF in UTF-16, after in UTF-8),
+    * so a plain `sortBy(_._1)` would assign offsets to the wrong
+    * groups. Returns (non-null-key offsets, offset of the NULL group) —
+    * a Scala Map cannot carry the null key a nullable column produces.
+    * `ends` = per-group max of the running sum, any order. */
+  def groupOffsets(ends: Seq[(String, Long)]): (Map[String, Long], Long) = {
+    val sorted = sortedLikeRangeExchange(ends)
+    toOffsets(sorted.map(_._1).zip(0L +: sorted.map(_._2).dropRight(1)))
+  }
+
+  /** Like [[groupOffsets]] but from per-group TOTALS: offset(g) = sum
+    * of the totals of every group strictly before g in the exchange's
+    * key order. */
+  def groupOffsetsFromTotals(totals: Seq[(String, Long)])
+      : (Map[String, Long], Long) = {
+    val sorted = sortedLikeRangeExchange(totals)
+    toOffsets(sorted.map(_._1)
+      .zip(sorted.scanLeft(0L)(_ + _._2).dropRight(1)))
+  }
+
+  private def sortedLikeRangeExchange(
+      kv: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    kv.sortWith { (a, b) =>
+      if (a._1 == null) b._1 != null
+      else if (b._1 == null) false
+      else java.util.Arrays.compareUnsigned(
+        a._1.getBytes(utf8), b._1.getBytes(utf8)) < 0
+    }
+  }
+
+  private def toOffsets(
+      offs: Seq[(String, Long)]): (Map[String, Long], Long) =
+    (offs.collect { case (k, v) if k != null => k -> v }.toMap,
+      offs.collectFirst { case (null, v) => v }.getOrElse(0L))
+
   /** Add exact 1-based global `rankCol` in the given total order. */
   def withGlobalRank(df: DataFrame, ordering: Seq[Column],
                      rankCol: String = "rank"): DataFrame =

@@ -100,7 +100,11 @@ object SpatialJoin {
         (avg(when(ex > 0, ex)), avg(when(ey > 0, ey)))
       case "min" =>
         (min(when(ex > 0, ex)), min(when(ey > 0, ey)))
-      case "max" => (max(ex), max(ey))
+      // max must keep the same zero-extent guard as the others: over a
+      // point-only axis max(ex) is 0.0 (not NULL), and an unguarded
+      // 0.0 would clamp to the 1e-9 floor — exploding every MBR into
+      // ~extent/1e-9 tiles instead of falling back to θ = 1.0
+      case "max" => (max(when(ex > 0, ex)), max(when(ey > 0, ey)))
       case "none" => return Theta(1.0, 1.0)
       case other => throw new IllegalArgumentException(
         s"unknown thetaGranularity '$other' (avg | avg2 | min | max | none)")

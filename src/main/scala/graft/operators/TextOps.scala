@@ -776,14 +776,17 @@ object TextOps {
     val ranked = Ranks.runningTotals(toks,
       Seq(col("source"), col("doc_id")), Seq(col("n_tokens")), Seq("gcum")).df
     val ends = ranked.groupBy(col("source")).agg(max(col("gcum")).as("end"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     // end = global cumulative through the source's LAST row, so the
-    // per-source offset is simply the previous source's end.
-    val offsets: Map[String, Long] =
-      ends.map(_._1).zip(0L +: ends.map(_._2).dropRight(1)).toMap
+    // per-source offset is the previous source's end — "previous" in
+    // the range exchange's own key order (UTF-8 binary, nulls first),
+    // which Ranks.groupOffsets reproduces; a NULL source gets its own
+    // offset since a Map cannot hold the null key.
+    val (offsets, nullOffset) = Ranks.groupOffsets(ends)
     ranked
       .withColumn("cum_tokens",
-        col("gcum") - element_at(typedLit(offsets), col("source")))
+        col("gcum") - when(col("source").isNull, lit(nullOffset))
+          .otherwise(element_at(typedLit(offsets), col("source"))))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("doc_id"))

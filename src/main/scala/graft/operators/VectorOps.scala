@@ -106,13 +106,24 @@ object VectorOps {
     embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
-  /** Argmin cell assignment against a broadcast centroid table. */
+  /** Argmin cell assignment against a broadcast centroid table.
+    *
+    * The argmin's sort/window input is NARROW — (vec_id, csim, cell),
+    * ~24 B/row — with the winning row's vector joined back afterwards
+    * (the SpatialJoin narrow-rows doctrine): the n × k candidate rows
+    * are the one data-proportional intermediate in every IVF path, and
+    * carrying the 64-dim vector through them made the 100× k-means
+    * sort ~50 GB (OOM under cache pressure) where the narrow form is
+    * ~2 GB. The rejoin touches only n rows on the vec_id key. */
   private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("v"), col("c_v")), 9))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("c_v")), 9).as("csim"), col("cell"))
       .withColumn("crk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell").asc)))
       .filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell"))
+      .join(emb, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("cell"))
 
   /** IVF codebook at a caller-chosen cell count: deterministic seeds

@@ -301,9 +301,11 @@ class EventStreamSpec extends AnyFunSuite {
     // that zeroes the numRowsTotal metric; the in-memory twin above
     // carries the state curve. Accept a real count too in case a
     // future Spark restores it for free.
-    assert(rState == 0 || rState <= users,
+    // rState == -1 (listener saw no progress event) must stay red —
+    // the relaxed 0-allowance is ONLY for trackTotalNumberOfRows=false
+    assert(rState == 0 || (rState > 0 && rState <= users),
       s"RocksDB sessionizer state metric $rState must be 0 (tracking " +
-        s"off) or bounded by $users")
+        s"off) or in (0, $users]")
   }
 
   test("the dedupe gate's duplicate placement never routes a second " +

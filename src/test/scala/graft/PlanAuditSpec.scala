@@ -66,4 +66,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.partitionOnlyConjuncts(
       partOnly, Set.empty) == Seq.empty)
   }
+
+  test("rule 7: a superset-key local window does NOT excuse a low-NDV " +
+       "window unless a rank filter sits between the stages") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (0 until 400)
+      .map(i => (s"src${i % 3}", i.toLong, (i * 7 % 100).toLong))
+      .toDF("source", "doc_id", "n")
+    val local = Window.partitionBy(col("source"), col("doc_id") % 8)
+      .orderBy(col("n").desc)
+    val global = Window.partitionBy(col("source")).orderBy(col("n").desc)
+    // filterless funnel: the local stage exists but its rank never caps
+    // the global stage's input — the exact shape rule 7 must flag
+    val funnel = df.withColumn("lrk", row_number().over(local))
+      .withColumn("grk", row_number().over(global))
+    funnel.collect()
+    assert(PlanAudit.auditPlan("filterless_funnel", funnel)
+      .exists(_.contains("low-NDV")),
+      "un-capped low-NDV window must be flagged despite the local stage")
+    // the genuine decomposition (rank cap between stages) passes
+    val capped = df.withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 5)
+      .withColumn("grk", row_number().over(global))
+    capped.collect()
+    assert(!PlanAudit.auditPlan("capped_decomposition", capped)
+      .exists(_.contains("low-NDV")),
+      "shard-local -> filter -> global decomposition must pass")
+  }
 }

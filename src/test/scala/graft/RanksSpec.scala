@@ -85,6 +85,27 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("groupOffsets orders keys like the range exchange: UTF-8 binary " +
+       "(not UTF-16), NULL first") {
+    // U+E000 (private use, 3 UTF-8 bytes starting 0xEE) vs U+10000
+    // (supplementary, surrogate pair in UTF-16, 4 UTF-8 bytes 0xF0…):
+    // UTF-16 code-unit order puts the surrogate (0xD800) BEFORE 0xE000;
+    // UTF-8 binary order puts 0xEE before 0xF0 — opposite orders
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    assert(bmp.compareTo(supp) > 0, "sanity: UTF-16 order disagrees")
+    val (offs, nullOff) = Ranks.groupOffsets(
+      Seq((supp, 30L), (bmp, 10L), (null, 3L)))
+    // Spark range order: NULL (end 3), bmp (end 10), supp (end 30)
+    assert(nullOff == 0L)
+    assert(offs(bmp) == 3L, s"bmp offset ${offs(bmp)}")
+    assert(offs(supp) == 10L, s"supp offset ${offs(supp)}")
+    // totals variant: same order, prefix sums
+    val (offs2, nullOff2) = Ranks.groupOffsetsFromTotals(
+      Seq((supp, 20L), (bmp, 7L), (null, 3L)))
+    assert(nullOff2 == 0L && offs2(bmp) == 3L && offs2(supp) == 10L)
+  }
+
   test("empty input yields empty output and zero totals") {
     import spark.implicits._
     val df = Seq.empty[(String, Double)].toDF("id", "w")

@@ -260,6 +260,13 @@ class SpatialJoinSpec extends AnyFunSuite {
     val pts = (0 until 10).map(i => (s"p$i", s"POINT($i $i)"))
     val th = SpatialJoin.computeTheta(entitiesDf(pts))
     assert(th.x === 1.0 && th.y === 1.0)
+    // EVERY statistic must keep the fallback: max(extent) over a
+    // point-only axis is 0.0 (not NULL) — unguarded it would clamp to
+    // the 1e-9 floor and explode each MBR into ~extent/1e-9 tiles
+    for (g <- Seq("avg", "avg2", "min", "max")) {
+      val t = SpatialJoin.computeTheta(entitiesDf(pts), g)
+      assert(t.x === 1.0 && t.y === 1.0, s"granularity $g: $t")
+    }
   }
 
   test("computeTheta granularity statistics match the reference's " +
