@@ -164,6 +164,22 @@ object Scale {
                     "ann14_kmeans_lloyd", "cp8_cluster_balance",
                     "ta13_bigram_lm", "dd19_span_dedup"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+      // round-10: 3-iteration PageRank over the N× interaction graph
+      // (disjoint shifted copies of the sf-base customer–supplier
+      // edges — the scaled dirs carry no TPC-H tables). Per-iteration
+      // cost is edge-linear: rank join against the persisted
+      // src-partitioned edge frame + dst-key partial agg; the curve
+      // should track edge volume, the graph build is untimed.
+      results("gr1_pagerank") = timed(2) {
+        val ge = graft.spark.DfCache.memo(spark, s"scale#grEdges#$baseDir#$n") {
+          ScaleCorpus.scaledEdges(spark,
+            graft.operators.GraphOps.interactionEdges(spark, baseDir), n)
+        }
+        val gn = ge.select(col("src").as("id")).distinct()
+        val gc = gn.count()
+        graft.operators.GraphOps.pagerank(ge,
+          gn.select(col("id"), lit(1.0 / gc.toDouble).as("w"))).count()
+      }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
       // BOTH engines (pointer jumping and the alternating-star form)

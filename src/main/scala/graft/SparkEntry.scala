@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, EventOps, GeoQueries, Multimodal, ProgressiveQueries, TextOps, VectorOps}
+import graft.operators.{Analytics, EventOps, GeoQueries, GraphOps, Multimodal, ProgressiveQueries, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ GeoQueries.queries ++ ProgressiveQueries.queries ++
       TextOps.queries ++ VectorOps.queries ++ Multimodal.queries ++
-      EventOps.queries ++
+      EventOps.queries ++ GraphOps.queries ++
       Map(
         "st1_stream_sessionize" -> ((s: SparkSession, dir: String) =>
           graft.streaming.EventStream.sessionizeGate(s, dir)),
@@ -60,7 +60,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ GeoQueries.oracles ++ ProgressiveQueries.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ Multimodal.oracles ++
-      EventOps.oracles ++
+      EventOps.oracles ++ GraphOps.oracles ++
       Map(
         "st1_stream_sessionize" -> Analytics.oracles("q14_sessionize"),
         // native session_window ≡ custom sessionizer (identical

@@ -143,6 +143,23 @@ object ScaleCorpus {
       .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
   }
 
+  /** N× symmetric edge frame (src, dst): copy k shifts BOTH endpoints
+    * by k·step with step forced EVEN, so id-parity node namespacing
+    * (customer = even, supplier = odd) survives scaling. Copies are
+    * disjoint — iterative propagation cost grows with edge volume while
+    * each copy's trajectory stays structurally identical to the base
+    * graph's. */
+  def scaledEdges(spark: SparkSession, edges: DataFrame, n: Int): DataFrame =
+    if (n == 1) edges
+    else {
+      val mx = edges.agg(max(greatest(col("src"), col("dst")))).head.getLong(0)
+      val step = (mx / 2 + 1) * 2
+      val ks = broadcast(spark.range(0, n).select(col("id").as("k")))
+      edges.crossJoin(ks).select(
+        (col("src") + col("k") * step).as("src"),
+        (col("dst") + col("k") * step).as("dst"))
+    }
+
   /** N× events table: copy k shifts event_id and user_id by k·step
     * (so the ACTIVE-USER population grows N× — the sessionizer's
     * state-size driver) while ts is carried unchanged (same 30-day

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  import spark.implicits._
+
+  /** Symmetric edge frame from undirected pairs. */
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  private def uniform(edges: org.apache.spark.sql.DataFrame) = {
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val n = nodes.count()
+    nodes.select(col("id"), lit(1.0 / n.toDouble).as("w"))
+  }
+
+  test("path graph a-b-c: one iteration matches the hand computation") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L)))
+    val r = GraphOps.pagerank(edges, uniform(edges), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // deg: 1→1, 2→2, 3→1; r0 = 1/3 each
+    // r1(1) = .15/3 + .85·(1/3)/2 = 0.191666667 (round 9)
+    // r1(2) = .15/3 + .85·(1/3 + 1/3)  = 0.616666667
+    assert(r(1L) === 0.191666667)
+    assert(r(2L) === 0.616666667)
+    assert(r(3L) === 0.191666667)
+  }
+
+  test("mass conservation: rank sum stays 1 within rounding after 3 " +
+       "iterations on an irregular graph") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (5L, 1L), (6L, 2L), (7L, 7L)))
+    val total = GraphOps.pagerank(edges, uniform(edges), iters = 3)
+      .agg(sum(col("pr"))).head().getDouble(0)
+    // 7 nodes round at 5e-10 each → worst-case drift 3.5e-9/iteration
+    assert(math.abs(total - 1.0) < 1e-7)
+  }
+
+  test("star graph: the hub outranks every leaf") {
+    val edges = sym((2L to 9L).map(i => (1L, i)))
+    val r = GraphOps.pagerank(edges, uniform(edges))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert((2L to 9L).forall(i => r(1L) > r(i)))
+    // leaves are symmetric → identical ranks
+    assert((3L to 9L).forall(i => r(i) === r(2L)))
+  }
+
+  test("personalized restart: a component disconnected from the seeds " +
+       "keeps exactly 0.0 through every iteration") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    val seeds = Seq(1L).toDF("id").select(col("id"), lit(1.0).as("w"))
+    val r = GraphOps.pagerank(edges, seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(10L) === 0.0 && r(11L) === 0.0)
+    // seed-side mass stays 1 (the disconnected component holds none)
+    assert(math.abs(r(1L) + r(2L) + r(3L) - 1.0) < 1e-7)
+    // restart pulls the stationary mass toward the seed
+    assert(r(1L) > r(3L))
+  }
+
+  test("gr1 gate: bipartite invariants on the interaction graph") {
+    val out = GraphOps.gr1Pagerank(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // kinds follow the id namespacing
+    assert(rows.forall(r =>
+      (r.getLong(0) % 2 == 0) == (r.getString(1) == "customer")))
+    val mass = rows.map(_.getDouble(3)).sum
+    assert(math.abs(mass - 1.0) < 1e-5)
+    // every node of a symmetric graph has degree >= 1
+    assert(rows.forall(_.getLong(2) >= 1L))
+  }
+
+  test("gr2 gate: seed suppliers hold more mass per node than customers") {
+    val out = GraphOps.gr2PersonalizedPagerank(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-5)
+    // every rank is non-negative and the top-ranked node is a seed-side
+    // supplier (restart mass dominates after 3 damped hops)
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    val top = rows.maxBy(_.getDouble(2))
+    assert(top.getString(1) == "supplier")
+  }
+}

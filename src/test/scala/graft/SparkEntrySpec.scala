@@ -25,7 +25,7 @@ class SparkEntrySpec extends AnyFunSuite {
       graft.operators.Analytics.queries, graft.operators.GeoQueries.queries,
       graft.operators.ProgressiveQueries.queries, graft.operators.TextOps.queries,
       graft.operators.VectorOps.queries, graft.operators.Multimodal.queries,
-      graft.operators.EventOps.queries,
+      graft.operators.EventOps.queries, graft.operators.GraphOps.queries,
       // the streaming gates register directly in SparkEntry (st1/st2)
       SparkEntry.queries.view.filterKeys(_.startsWith("st")).toMap)
     val names = all.flatMap(_.keys)
