@@ -260,6 +260,37 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ann15: IVF search over the LEARNED codebook — ann5's sampled-probe
+    * search served from the fully-trained ann14 Lloyd centroids
+    * (3 iterations) instead of the one-step codebook. This is the
+    * production composition (train the codebook once, serve every
+    * probe from it) and the quality rung above ann5: better-centered
+    * cells concentrate true neighbors into fewer probed cells, so the
+    * same nprobe recalls more. Cell count, probe width and ranking
+    * arithmetic are ann5's; the codebook — and thus the oracle's CTE
+    * prefix — is ann14's, so two proven chains compose with no new
+    * math. Scale shape is unchanged: broadcast codebook argmin,
+    * cell-key candidate join, never all-pairs. */
+  def ann15IvfLearned(s: SparkSession, dir: String, k: Int = 3,
+                      nprobe: Int = 4): DataFrame = {
+    val emb = embVectors(s, dir)
+    val trained = kmeansCodebook(s, dir, 3)
+    val assigned = graft.spark.DfCache.memo(s, s"$dir#ann15assigned") {
+      ivfAssign(emb, trained)
+    }
+    val probed = ivfProbe(emb, trained, nprobe)
+    probed
+      .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("n_v")), "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
     * exceeds a data-calibrated threshold (this synthetic corpus tops
     * out near 0.51, so 0.45 marks its "near-duplicate" tail; rounded
@@ -749,6 +780,8 @@ object VectorOps {
     "ann3_ivf_topk" -> (ann3IvfTopK _),
     "ann4_hyperplane_lsh" -> (ann4HyperplaneLsh _),
     "ann5_ivf_scaled" -> ((s: SparkSession, dir: String) => ann5IvfScaled(s, dir)),
+    "ann15_ivf_learned" -> ((s: SparkSession, dir: String) =>
+      ann15IvfLearned(s, dir)),
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
@@ -1394,6 +1427,35 @@ object VectorOps {
                   sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
                c.cell ASC) AS crk
            FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
+         probed AS (SELECT q_id, q_v, cell FROM probe WHERE crk <= 4),
+         sims AS (
+           SELECT p.q_id, m.vec_id AS n_id,
+             round(list_dot_product(p.q_v, m.v) /
+               (sqrt(list_dot_product(p.q_v, p.q_v)) *
+                sqrt(list_dot_product(m.v, m.v))), 9) AS sim
+           FROM probed p JOIN cells m
+             ON p.cell = m.cell AND m.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)
+         SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+         ORDER BY q_id, rank""",
+    // ann5's probe/rank tail served from ann14's trained codebook —
+    // the two proven CTE chains composed verbatim.
+    "ann15_ivf_learned" ->
+      s"""WITH $lloydChainCtes,
+         cells AS (
+           SELECT a.vec_id, e.v, a.cell
+           FROM asgnF a JOIN emb e USING (vec_id) WHERE a.crk = 1),
+         probe AS (
+           SELECT e.vec_id AS q_id, e.v AS q_v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cv3 c WHERE e.vec_id % 50 = 0),
          probed AS (SELECT q_id, q_v, cell FROM probe WHERE crk <= 4),
          sims AS (
            SELECT p.q_id, m.vec_id AS n_id,
