@@ -104,6 +104,40 @@ object GraphOps {
     ranks
   }
 
+  /** Weighted [[pagerank]]: the edge frame carries an integer weight
+    * `w` (symmetric: both directions of an undirected edge hold the
+    * same value) and each node's rank flows out PROPORTIONALLY to edge
+    * weight — r/Σw per weight unit instead of r/degree.
+    *
+    * Determinism: weights and their per-src sums are integers (exact
+    * in both engines); the per-edge contribution is the two-op chain
+    * (pr · w) / wsum, mirrored verbatim in the oracle SQL so both
+    * engines execute the identical IEEE sequence. Everything else —
+    * partitioning, per-iteration rounding, restart arithmetic — is
+    * [[pagerank]]'s. */
+  def pagerankWeighted(edges: DataFrame, restart: DataFrame,
+                       iters: Int = 3): DataFrame = {
+    val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val ewd = edges.join(wsum, "src").persist()
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val rst = nodes.join(restart, Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
+      .persist()
+    var ranks = rst.select(col("id"), col("w").as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = ewd
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"),
+          ((col("pr") * ewd("w")) / col("wsum")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = rst.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(RestartMass * col("w") +
+            Damping * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+    }
+    ranks
+  }
+
   private def kindCol(id: Column): Column =
     when(id % 2 === 0, lit("customer")).otherwise(lit("supplier"))
 
@@ -122,6 +156,44 @@ object GraphOps {
       .join(deg.withColumnRenamed("src", "id"), "id")
       .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
         col("outdeg").as("degree"), col("pr").as("pagerank"))
+      .orderBy(col("node_id"))
+  }
+
+  /** Weighted symmetric interaction edges: weight = DISTINCT order
+    * count linking the customer and supplier — interaction
+    * multiplicity, the natural edge strength a curation pipeline
+    * derives from co-occurrence counts. Same namespacing and
+    * partitioning as [[interactionEdges]]. */
+  def weightedInteractionEdges(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#grWEdges") {
+      val o = graft.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = graft.Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cw = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("a"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("b"),
+          col("o_orderkey"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+      cw.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(cw.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .repartition(col("src"))
+    }
+
+  /** gr3: weighted PageRank — rank flows proportionally to interaction
+    * multiplicity (order count), so a supplier a customer ordered from
+    * ten times pulls ten units of that customer's rank per unit a
+    * one-order supplier pulls. The weighted twin of gr1 on the same
+    * node set. */
+  def gr3WeightedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = weightedInteractionEdges(s, dir)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val n = nodes.count()
+    val uniform = nodes.select(col("id"), lit(1.0 / n.toDouble).as("w"))
+    pagerankWeighted(edges, uniform)
+      .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
+        col("pr").as("wrank"))
       .orderBy(col("node_id"))
   }
 
@@ -151,7 +223,8 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> (gr1Pagerank _),
-    "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _)
+    "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _),
+    "gr3_weighted_pagerank" -> (gr3WeightedPagerank _)
   )
 
   // Shared CTE prefix: the namespaced symmetric edge list, degrees,
@@ -182,6 +255,19 @@ object GraphOps {
   private val kindSql =
     "CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END"
 
+  /** One unrolled WEIGHTED round ending at `it$i` — the twin of one
+    * [[pagerankWeighted]] loop body: contribution (pr · w) / wsum,
+    * identical op order to the Spark column expression. */
+  private def iterCteW(i: Int, prev: String): String =
+    s"""it$i AS (
+          SELECT r.id, round(CAST(0.15 AS DOUBLE) * r.w +
+              CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0.0 AS DOUBLE)), 9) AS pr
+          FROM rst r LEFT JOIN (
+            SELECT e.dst AS id, sum((p.pr * e.w) / d.wsum) AS s
+            FROM edges e JOIN $prev p ON p.id = e.src
+                         JOIN wsum d ON d.src = e.src
+            GROUP BY e.dst) c ON c.id = r.id)"""
+
   val oracles: Map[String, String] = Map(
     "gr1_pagerank" ->
       s"""WITH $graphCtes,
@@ -195,6 +281,25 @@ object GraphOps {
                 d.outdeg AS degree, it3.pr AS pagerank
          FROM it3 JOIN deg d ON d.src = it3.id
          ORDER BY node_id""",
+    "gr3_weighted_pagerank" ->
+      s"""WITH cw AS (
+           SELECT CAST(o_custkey AS BIGINT) * 2 AS a,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS b,
+                  count(DISTINCT o_orderkey) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         edges AS (SELECT a AS src, b AS dst, w FROM cw
+                   UNION ALL SELECT b, a, w FROM cw),
+         wsum AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         rst AS (SELECT id, CAST(1.0 AS DOUBLE) / n AS w FROM nodes, np),
+         it0 AS (SELECT id, w AS pr FROM rst),
+         ${iterCteW(1, "it0")},
+         ${iterCteW(2, "it1")},
+         ${iterCteW(3, "it2")}
+         SELECT id AS node_id, $kindSql AS kind, pr AS wrank
+         FROM it3 ORDER BY node_id""",
     "gr2_personalized_pagerank" ->
       s"""WITH $graphCtes,
          seeds AS (

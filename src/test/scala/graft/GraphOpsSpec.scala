@@ -69,6 +69,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r(1L) > r(3L))
   }
 
+  test("unit weights reduce the weighted form to exactly the unweighted " +
+       "ranks (pr·1/Σ1 ≡ pr/deg, bit-for-bit)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val edges = sym(pairs)
+    val w1 = edges.withColumn("w", lit(1L))
+    val u = GraphOps.pagerank(edges, uniform(edges))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val w = GraphOps.pagerankWeighted(w1, uniform(edges))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(u === w)
+  }
+
+  test("weighted path a-3-b-1-c: one iteration matches the hand " +
+       "computation and skews mass toward the heavy edge") {
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val plain = edges.select(col("src"), col("dst"))
+    val r = GraphOps.pagerankWeighted(edges, uniform(plain), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // wsum: 1→3, 2→4, 3→1; r0 = 1/3
+    // r1(1) = .15/3 + .85·(1/3)·(3/4) = 0.2625
+    // r1(2) = .15/3 + .85·((1/3)·3/3 + (1/3)·1/1) = 0.616666667
+    // r1(3) = .15/3 + .85·(1/3)·(1/4) = 0.120833333
+    assert(r(1L) === 0.2625)
+    assert(r(2L) === 0.616666667)
+    assert(r(3L) === 0.120833333)
+    assert(math.abs(r.values.sum - 1.0) < 1e-7)
+  }
+
   test("gr1 gate: bipartite invariants on the interaction graph") {
     val out = GraphOps.gr1Pagerank(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
