@@ -186,7 +186,14 @@ object EventStream {
     * caller's batch queries) can never race on shuffle.partitions. */
   private def gateSession(spark: SparkSession): SparkSession = {
     val sess = spark.newSession()
-    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions: the gate-scale sweet spot, measured at sf0.1
+    // via graft.GateTune (twice, interleaved): st9 9.2–10.7→7.5–7.6 s,
+    // st1/st2 −10–15 %, st10 ±noise vs 8; 16 partitions pays ~2× in
+    // per-micro-batch state-commit overhead (st2 15.7 s). Results are
+    // partition-count invariant (state is keyed, not positional) — this
+    // dial is pure harness cost. Env override for experiments only.
+    sess.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "4"))
     sess
   }
 
