@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** One-off harness experiment: per-gate cost of the MemoryStream replay
   * gates under a given gate-session state-partition count
-  * (`GRAFT_GATE_STATE_PARTITIONS`, default 8 — see
-  * [[graft.streaming.EventStream]]). Bench methodology: one discarded
-  * warm-up run, headline = min of two timed runs.
+  * (`GRAFT_GATE_STATE_PARTITIONS`, default 4 — see
+  * [[graft.streaming.EventStream]]; keep this default in sync with
+  * `defaultGateParts` there, the label below reports it). Bench
+  * methodology: one discarded warm-up run, headline = min of two
+  * timed runs.
   *
   * Usage: GRAFT_GATE_STATE_PARTITIONS=4 sbt "runMain graft.GateTune /root/testdata/sf0.1"
   */
@@ -27,7 +29,7 @@ object GateTune {
       "st2" -> (() => es.intervalJoinGate(spark, dir).count()),
       "st9" -> (() => es.intervalJoinOuterGate(spark, dir).count()),
       "st10" -> (() => es.sessionWindowGate(spark, dir).count()))
-    val parts = sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "8")
+    val parts = sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "4")
     gates.foreach { case (name, f) =>
       f() // discarded cache/JIT warm-up
       val ts = (1 to 2).map { _ =>

@@ -47,26 +47,14 @@ object GraphOps {
   private val RestartMass = lit(0.15)
   private val Damping     = lit(0.85)
 
-  /** Symmetric customer–supplier interaction edges with node ids
-    * namespaced into one key space (customer → key·2,
-    * supplier → key·2+1). Built once per (session, sfDir) and
-    * persisted pre-partitioned on `src` — the per-iteration
-    * contribution join reuses this partitioning so only the node-sized
-    * rank frame moves. */
+  /** Symmetric customer–supplier interaction edges (unweighted view of
+    * [[weightedInteractionEdges]] — see there for the build). */
   def interactionEdges(s: SparkSession, dir: String): DataFrame =
-    graft.spark.DfCache.memo(s, s"$dir#grEdges") {
-      val o = graft.Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-      val l = graft.Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey").cast("long") * 2).as("a"),
-          (col("l_suppkey").cast("long") * 2 + 1).as("b"))
-        .distinct()
-      cs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(cs.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src"))
-    }
+    // one cached build serves gr1/gr2/gr3: the weighted frame's key set
+    // IS the distinct pair set (groupBy keys ≡ distinct), so the
+    // unweighted edges are a projection of the same memoized frame
+    // (src-partitioning preserved by the column drop)
+    weightedInteractionEdges(s, dir).select(col("src"), col("dst"))
 
   /** `iters` rounds of damped propagation over a SYMMETRIC edge frame
     * (src, dst), starting from — and restarting to — the `restart`
@@ -80,49 +68,44 @@ object GraphOps {
     * The symmetric-graph precondition means every node has out-degree
     * ≥ 1, so no dangling-mass correction term is needed — total mass
     * stays 1 up to rounding (spec-asserted). */
-  def pagerank(edges: DataFrame, restart: DataFrame, iters: Int = 3): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg): the one data-proportional frame, persisted;
-    // deg derives from the same src partitioning, so this join is
-    // exchange-free on the edge side
-    val ewd = edges.join(deg, "src").persist()
-    val nodes = edges.select(col("src").as("id")).distinct()
-    val rst = nodes.join(restart, Seq("id"), "left")
-      .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
-      .persist()
-    var ranks = rst.select(col("id"), col("w").as("pr"))
-    for (_ <- 1 to iters) {
-      val contribs = ewd
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = rst.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          round(RestartMass * col("w") +
-            Damping * coalesce(col("s"), lit(0.0)), 9).as("pr"))
-    }
-    ranks
-  }
+  def pagerank(edges: DataFrame, restart: DataFrame, iters: Int = 3): DataFrame =
+    // exact reduction, not an approximation: wsum = Σ1 = outdeg (same
+    // BIGINT) and (pr · 1) / outdeg ≡ pr / outdeg bit-for-bit (×1 is
+    // an IEEE identity) — so the unweighted DuckDB oracles (pr/outdeg
+    // form) stay exact twins of this delegated path. GraphOpsSpec pins
+    // the equivalence against an independent pr/deg implementation.
+    pagerankWeighted(edges.withColumn("w", lit(1L)), restart, iters)
 
-  /** Weighted [[pagerank]]: the edge frame carries an integer weight
-    * `w` (symmetric: both directions of an undirected edge hold the
-    * same value) and each node's rank flows out PROPORTIONALLY to edge
-    * weight — r/Σw per weight unit instead of r/degree.
+  /** Weighted propagation core: the edge frame carries an integer
+    * weight `w` (symmetric: both directions of an undirected edge hold
+    * the same value) and each node's rank flows out PROPORTIONALLY to
+    * edge weight — r/Σw per weight unit instead of r/degree
+    * ([[pagerank]] is the unit-weight special case).
     *
     * Determinism: weights and their per-src sums are integers (exact
     * in both engines); the per-edge contribution is the two-op chain
     * (pr · w) / wsum, mirrored verbatim in the oracle SQL so both
-    * engines execute the identical IEEE sequence. Everything else —
-    * partitioning, per-iteration rounding, restart arithmetic — is
-    * [[pagerank]]'s. */
+    * engines execute the identical IEEE sequence.
+    *
+    * Lifecycle: the edge-sized working frame and the restart frame are
+    * persisted for the loop, the final node-sized rank frame has its
+    * lineage cut ([[graft.spark.Checkpoints.cut]] — localCheckpoint by
+    * default, DFS-backed via `checkpointDir` for cluster deployments),
+    * and both intermediates are unpersisted before returning — no
+    * cached frames outlive the call. */
   def pagerankWeighted(edges: DataFrame, restart: DataFrame,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3,
+                       checkpointDir: Option[String] = None): DataFrame = {
     val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    val ewd = edges.join(wsum, "src").persist()
+    // (src, dst, w, wsum): the one data-proportional frame, persisted;
+    // wsum derives from the same src partitioning, so this join is
+    // exchange-free on the edge side
+    val ewd = edges.join(wsum, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("id")).distinct()
     val rst = nodes.join(restart, Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = rst.select(col("id"), col("w").as("pr"))
     for (_ <- 1 to iters) {
       val contribs = ewd
@@ -135,7 +118,10 @@ object GraphOps {
           round(RestartMass * col("w") +
             Damping * coalesce(col("s"), lit(0.0)), 9).as("pr"))
     }
-    ranks
+    val out = graft.spark.Checkpoints.cut(ranks, checkpointDir)
+    ewd.unpersist(blocking = false)
+    rst.unpersist(blocking = false)
+    out
   }
 
   private def kindCol(id: Column): Column =
@@ -159,11 +145,15 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
-  /** Weighted symmetric interaction edges: weight = DISTINCT order
-    * count linking the customer and supplier — interaction
-    * multiplicity, the natural edge strength a curation pipeline
-    * derives from co-occurrence counts. Same namespacing and
-    * partitioning as [[interactionEdges]]. */
+  /** Weighted symmetric interaction edges — THE one memoized graph
+    * build (gr1/gr2 project the weight away via [[interactionEdges]]):
+    * weight = DISTINCT order count linking the customer and supplier,
+    * interaction multiplicity, the natural edge strength a curation
+    * pipeline derives from co-occurrence counts. Node ids namespaced
+    * into one key space (customer → key·2, supplier → key·2+1); built
+    * once per (session, sfDir), persisted pre-partitioned on `src` —
+    * the per-iteration contribution join reuses this partitioning so
+    * only the node-sized rank frame moves. */
   def weightedInteractionEdges(s: SparkSession, dir: String): DataFrame =
     graft.spark.DfCache.memo(s, s"$dir#grWEdges") {
       val o = graft.Tables.orders(s, dir)
@@ -210,9 +200,11 @@ object GraphOps {
       .filter(col("s_nationkey") < 5)
       .select((col("s_suppkey").cast("long") * 2 + 1).as("id"))
     // seeds must be graph members (suppliers with no lineitem rows
-    // would be dangling restart mass the edge frame never carries)
+    // would be dangling restart mass the edge frame never carries);
+    // node-sized semi-join over the memoized edge frame — cheap enough
+    // to evaluate twice (count + restart build), no persist to leak
     val seeds = edges.select(col("src").as("id")).distinct()
-      .join(seedKeys, Seq("id"), "left_semi").persist()
+      .join(seedKeys, Seq("id"), "left_semi")
     val k = seeds.count()
     val rst = seeds.select(col("id"), lit(1.0 / k.toDouble).as("w"))
     pagerank(edges, rst)

@@ -189,9 +189,8 @@ object VectorOps {
     }
 
   def ann14KmeansLloyd(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val emb = embVectors(s, dir)
     val cents = kmeansCodebook(s, dir, iters)
-    val sizes = ivfAssign(emb, cents)
+    val sizes = kmeansAssigned(s, dir, iters)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
     cents.join(sizes, Seq("cell"))
       .select(col("cell"), col("n_members"), posexplode(col("c_v")))
@@ -212,10 +211,18 @@ object VectorOps {
     * per-task input is ~n/sqrt(n) and parallelism GROWS at 100 TB
     * (unlike a metadata column's fixed domain, the q18 funnel class);
     * assignment is the same broadcast argmin every IVF path uses. */
+  /** Full corpus assignment against the `iters`-iteration Lloyd
+    * codebook, session-memoized — ONE broadcast-argmin pass (the
+    * n × √n-row candidate sort) serves ann14's cluster sizes, cp8's
+    * capped selection, and ann15's candidate cells. */
+  private def kmeansAssigned(s: SparkSession, dir: String,
+                             iters: Int = 3): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ann14asgn#$iters") {
+      ivfAssign(embVectors(s, dir), kmeansCodebook(s, dir, iters))
+    }
+
   def cp8ClusterBalance(s: SparkSession, dir: String, cap: Int = 20): DataFrame = {
-    val emb = embVectors(s, dir)
-    val cents = kmeansCodebook(s, dir, iters = 3)
-    ivfAssign(emb, cents)
+    kmeansAssigned(s, dir)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cell"))
           .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
@@ -242,15 +249,16 @@ object VectorOps {
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("q_v"), col("cell"))
 
-  def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
-                    nprobe: Int = 4): DataFrame = {
-    val emb = embVectors(s, dir)
-    val trained = ivfTrained(s, dir)
-    val assigned = ivfAssign(emb, trained)
-    val probed = ivfProbe(emb, trained, nprobe)
-    probed
-      .join(assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("n_v")),
-        "cell")
+  /** The IVF serve path shared by ann5 and ann15: probe the top-nprobe
+    * cells per query, join candidates on the cell key, exact-cosine
+    * rerank, top-k. One tail, two codebooks — a tie-break or rounding
+    * fix lands in both gates (and both oracles mirror this exact
+    * sequence). */
+  private def ivfSearch(emb: DataFrame, trained: DataFrame,
+                        assigned: DataFrame, k: Int, nprobe: Int): DataFrame =
+    ivfProbe(emb, trained, nprobe)
+      .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
+        col("v").as("n_v")), "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
       .withColumn("rank", row_number().over(
@@ -258,6 +266,12 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+
+  def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
+                    nprobe: Int = 4): DataFrame = {
+    val emb = embVectors(s, dir)
+    val trained = ivfTrained(s, dir)
+    ivfSearch(emb, trained, ivfAssign(emb, trained), k, nprobe)
   }
 
   /** ann15: IVF search over the LEARNED codebook — ann5's sampled-probe
@@ -272,24 +286,9 @@ object VectorOps {
     * math. Scale shape is unchanged: broadcast codebook argmin,
     * cell-key candidate join, never all-pairs. */
   def ann15IvfLearned(s: SparkSession, dir: String, k: Int = 3,
-                      nprobe: Int = 4): DataFrame = {
-    val emb = embVectors(s, dir)
-    val trained = kmeansCodebook(s, dir, 3)
-    val assigned = graft.spark.DfCache.memo(s, s"$dir#ann15assigned") {
-      ivfAssign(emb, trained)
-    }
-    val probed = ivfProbe(emb, trained, nprobe)
-    probed
-      .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
-        col("v").as("n_v")), "cell")
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_v"), col("n_v")), 9))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
-  }
+                      nprobe: Int = 4): DataFrame =
+    ivfSearch(embVectors(s, dir), kmeansCodebook(s, dir, 3),
+      kmeansAssigned(s, dir), k, nprobe)
 
   /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
     * exceeds a data-calibrated threshold (this synthetic corpus tops

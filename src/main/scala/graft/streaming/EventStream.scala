@@ -179,21 +179,28 @@ object EventStream {
       st.maxStateRows = math.max(st.maxStateRows, m)
     }
 
+  /** Default state partitions for the REPLAY gates (gate-scale state):
+    * 4 is the measured sweet spot at sf0.1 via graft.GateTune (twice,
+    * interleaved): st9 9.2–10.7 → 7.5–7.6 s, st1/st2 −10–15 %, st10
+    * ±noise vs 8; 16 pays ~2× in per-micro-batch state-commit overhead
+    * (st2 15.7 s). Env override for experiments only. */
+  private def defaultGateParts: String =
+    sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "4")
+
   /** A dedicated session for one streaming gate: the stateful stream
-    * pins its state partitioning from the session conf at query start,
-    * and 8 partitions is right for gate-sized state — isolating the
-    * override in a child session means concurrent gates (or the
-    * caller's batch queries) can never race on shuffle.partitions. */
-  private def gateSession(spark: SparkSession): SparkSession = {
+    * pins its state partitioning from the session conf at query start —
+    * isolating the override in a child session means concurrent gates
+    * (or the caller's batch queries) can never race on
+    * shuffle.partitions. Results are partition-count invariant (state
+    * is keyed, not positional) — this dial is pure harness cost. The
+    * 100×-capable file-source harnesses pass 8 explicitly (their
+    * historical value, so the Scale curves' conditions don't shift
+    * under a gate-scale tune; the RocksDB runs override to 16 via
+    * [[RocksDbTuning]] regardless). */
+  private def gateSession(spark: SparkSession,
+                          partitions: String = defaultGateParts): SparkSession = {
     val sess = spark.newSession()
-    // 4 state partitions: the gate-scale sweet spot, measured at sf0.1
-    // via graft.GateTune (twice, interleaved): st9 9.2–10.7→7.5–7.6 s,
-    // st1/st2 −10–15 %, st10 ±noise vs 8; 16 partitions pays ~2× in
-    // per-micro-batch state-commit overhead (st2 15.7 s). Results are
-    // partition-count invariant (state is keyed, not positional) — this
-    // dial is pure harness cost. Env override for experiments only.
-    sess.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "4"))
+    sess.conf.set("spark.sql.shuffle.partitions", partitions)
     sess
   }
 
@@ -783,7 +790,7 @@ object EventStream {
     * st1 replay gate.) */
   def sessionizeFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     runFileSinkStats(sess, "graft_sess_scale", stateProvider) {
       sessionize(readEvents(sess, dir, maxFilesPerTrigger = Some(1))).toDF()
     }
@@ -796,7 +803,7 @@ object EventStream {
     * comparable to the custom sessionizer's O(active users) curve. */
   def sessionWindowFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     runFileSinkStats(sess, "graft_swin_scale", stateProvider) {
       sessionWindowAgg(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
     }
@@ -813,7 +820,7 @@ object EventStream {
     * measured number. */
   def sketchFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     runFileSinkStats(sess, "graft_sketch_scale", stateProvider) {
       hourlyApproxDistinct(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
     }
@@ -825,7 +832,7 @@ object EventStream {
     * active days) — the pre-aggregation bound — never raw events. */
   def dailyRollupFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     runFileSinkStats(sess, "graft_rollup_scale", stateProvider) {
       dailyRollup(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
     }
@@ -837,7 +844,7 @@ object EventStream {
     * join buffer — O(rate × window), measured. */
   def intervalJoinFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     runFileSinkStats(sess, "graft_ij_scale", stateProvider) {
       val src = readEvents(sess, dir, maxFilesPerTrigger = Some(1))
       intervalJoin(

@@ -69,16 +69,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r(1L) > r(3L))
   }
 
-  test("unit weights reduce the weighted form to exactly the unweighted " +
-       "ranks (pr·1/Σ1 ≡ pr/deg, bit-for-bit)") {
+  test("delegated unit-weight path matches an INDEPENDENT pr/outdeg " +
+       "implementation bit-for-bit (the form the unweighted oracles use)") {
+    // pagerank delegates to pagerankWeighted with w=1; the gr1/gr2
+    // DuckDB oracles stay in pr/outdeg form — this test re-derives the
+    // claimed IEEE identity ((pr·1)/Σ1 ≡ pr/outdeg) with a separate
+    // in-test implementation, so oracle-form drift would fail HERE,
+    // not only at the driver's hash.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val edges = sym(pairs)
-    val w1 = edges.withColumn("w", lit(1L))
-    val u = GraphOps.pagerank(edges, uniform(edges))
+    val rst = uniform(edges)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = rst.select(col("id"), col("w").as("pr"))
+    for (_ <- 1 to 3) {
+      val contribs = edges.join(deg, "src")
+        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .select(col("dst").as("id"), (col("pr") / col("outdeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = rst.join(contribs, Seq("id"), "left")
+        .select(col("id"), round(lit(0.15) * col("w") +
+          lit(0.85) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+    }
+    val independent = ranks.collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val delegated = GraphOps.pagerank(edges, rst)
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    val w = GraphOps.pagerankWeighted(w1, uniform(edges))
-      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    assert(u === w)
+    assert(delegated === independent)
   }
 
   test("weighted path a-3-b-1-c: one iteration matches the hand " +
