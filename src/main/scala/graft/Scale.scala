@@ -162,6 +162,9 @@ object Scale {
                     // + semi-join; the substring-dedup family's scale
                     // shape) memoize corpus-token-sized frames
                     "ann14_kmeans_lloyd", "cp8_cluster_balance",
+                    // ann15 rides ann14's memoized codebook+assignment:
+                    // its marginal cost is the probe/rerank tail only
+                    "ann15_ivf_learned",
                     "ta13_bigram_lm", "dd19_span_dedup"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
