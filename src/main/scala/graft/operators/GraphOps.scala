@@ -213,10 +213,80 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** Per-node triangle counts over an undirected simple graph given as
+    * canonical pairs `(a, b)` with `a < b`, one row per edge. Returns
+    * every node of the graph with its degree and the number of
+    * triangles it participates in (0 for triangle-free nodes).
+    *
+    * Algorithm: degree orientation — each edge points from its
+    * (degree, id)-smaller endpoint to the larger, wedges form only at
+    * a node's out-neighbors, and a wedge (x, y) closes iff the
+    * oriented edge x→y exists. Every triangle is enumerated exactly
+    * once (orientation is acyclic and total).
+    *
+    * 100 TB shape: this is THE distributed triangle algorithm — plain
+    * equi-joins on node keys, and the wedge count is Σ outdeg(v)² ≤
+    * O(m^1.5) because orientation caps every out-degree at O(√m)
+    * (a hub of degree d points at most √(2m) edges outward; its d²
+    * wedge explosion never materializes). No all-pairs, no
+    * driver-side state; the wedge→closure step is one more equi-join
+    * on the (x, y) key. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val withDeg = pairs
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("lo"),
+      when(fwd, col("b")).otherwise(col("a")).as("hi"),
+      when(fwd, col("db")).otherwise(col("da")).as("hid"))
+    // wedges at the low endpoint, canonicalized in orientation order
+    // so each closing edge is probed in its stored direction
+    val e1 = oriented.select(col("lo").as("u"), col("hi").as("x"),
+      col("hid").as("xd"))
+    val e2 = oriented.select(col("lo").as("u"), col("hi").as("y"),
+      col("hid").as("yd"))
+    val wedges = e1.join(e2, "u")
+      .filter(col("xd") < col("yd") ||
+        (col("xd") === col("yd") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val tri = wedges.join(
+      oriented.select(col("lo").as("x"), col("hi").as("y")), Seq("x", "y"))
+    val inc = tri.select(col("u").as("id"))
+      .unionByName(tri.select(col("x").as("id")))
+      .unionByName(tri.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tc"))
+    deg.join(inc, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("tc"), lit(0L)).as("tri_cnt"))
+  }
+
+  /** gr4: triangle counting over the dd3 near-dup pair graph — the
+    * graph-structure read a dedup pipeline runs on its own output:
+    * an edge supported by triangles is a robust duplicate relation
+    * (its endpoints share a third mutual near-dup), an unsupported
+    * edge is where transitive clustering (dd9) risks chaining
+    * dissimilar documents. Per-node counts + degree, every node of
+    * the pair graph, deterministic integers. */
+  def gr4TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.spark.DfCache.memo(s, s"$dir#gr4pairs") {
+      TextOps.dd3JaccardPairs(s, dir)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+    }
+    triangleCounts(pairs)
+      .select(col("id").as("doc_id"), col("degree"), col("tri_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> (gr1Pagerank _),
     "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _),
-    "gr3_weighted_pagerank" -> (gr3WeightedPagerank _)
+    "gr3_weighted_pagerank" -> (gr3WeightedPagerank _),
+    "gr4_triangle_count" -> (gr4TriangleCount _)
   )
 
   // Shared CTE prefix: the namespaced symmetric edge list, degrees,
@@ -309,6 +379,25 @@ object GraphOps {
          ${iterCte(2, "it1")},
          ${iterCte(3, "it2")}
          SELECT id AS node_id, $kindSql AS kind, pr AS ppr
-         FROM it3 ORDER BY node_id"""
+         FROM it3 ORDER BY node_id""",
+    // triangle enumeration over the id-ordered canonical pairs —
+    // orientation-free (the triangle SET is independent of how the
+    // Spark side orients edges; per-node incidence counts match)
+    "gr4_triangle_count" ->
+      s"""WITH ${TextOps.dd3PairsCtes},
+         pr AS (SELECT id_a AS a, id_b AS b FROM p3),
+         und AS (SELECT a AS id FROM pr UNION ALL SELECT b FROM pr),
+         deg AS (SELECT id, count(*) AS degree FROM und GROUP BY id),
+         tri AS (
+           SELECT e1.a AS u, e1.b AS x, e2.b AS y
+           FROM pr e1 JOIN pr e2 ON e2.a = e1.b
+                      JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+         inc AS (SELECT u AS id FROM tri UNION ALL SELECT x FROM tri
+                 UNION ALL SELECT y FROM tri),
+         cnt AS (SELECT id, count(*) AS tc FROM inc GROUP BY id)
+         SELECT d.id AS doc_id, d.degree,
+                coalesce(c.tc, CAST(0 AS BIGINT)) AS tri_cnt
+         FROM deg d LEFT JOIN cnt c ON c.id = d.id
+         ORDER BY doc_id"""
   )
 }

@@ -1223,6 +1223,28 @@ object TextOps {
   private val hashExpr =
     s"CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P"
 
+  // dd3 verified near-dup pair CTEs (ends at `p3 (id_a, id_b,
+  // jaccard)`) — the oracle twin of [[dd3JaccardPairs]], shared with
+  // the gr4 triangle gate that runs graph analytics over the same
+  // pair graph.
+  private[graft] val dd3PairsCtes: String =
+    s"""$shinglesCte,
+       d3docs AS (
+         SELECT sh.doc_id,
+           list_min(list_transform(sh.sset,
+             word -> CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P)) AS block,
+           list_distinct(words.w) AS words
+         FROM sh JOIN words ON sh.doc_id = words.doc_id),
+       p3 AS (
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE)
+               AS jaccard
+           FROM d3docs a JOIN d3docs b
+             ON a.block = b.block AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.5)"""
+
   // MinHash signature + band CTEs (ends at `bands`) — shared by the
   // dd5 pair pipeline and the dd18 cross-corpus form.
   private val bandsCtes: String = {
@@ -1598,20 +1620,8 @@ object TextOps {
           ORDER BY 1, 2"""
     },
     "dd3_jaccard_pairs" ->
-      s"""WITH $shinglesCte,
-         docs AS (
-           SELECT sh.doc_id,
-             list_min(list_transform(sh.sset,
-               word -> CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P)) AS block,
-             list_distinct(words.w) AS words
-           FROM sh JOIN words ON sh.doc_id = words.doc_id)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
-           CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) AS jaccard
-         FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
-               CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) >= 0.5
-         ORDER BY 1, 2""",
+      s"""WITH $dd3PairsCtes
+         SELECT id_a, id_b, jaccard FROM p3 ORDER BY 1, 2""",
     "dd4_minhash_signatures" -> {
       val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
         s"min((h * $a + $b) % $P) AS mh$i"

@@ -139,4 +139,45 @@ class GraphOpsSpec extends AnyFunSuite {
     val top = rows.maxBy(_.getDouble(2))
     assert(top.getString(1) == "supplier")
   }
+
+  test("triangle counts: K4 + pendant + disjoint edge, hand-checked") {
+    // K4 on 1..4 (every node in C(3,2)=3 triangles), pendant 4-5,
+    // disjoint edge 6-7 (triangle-free nodes report 0)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val r = GraphOps.triangleCounts(pairs)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) === ((3L, 3L)) && r(2L) === ((3L, 3L)) &&
+      r(3L) === ((3L, 3L)))
+    assert(r(4L) === ((4L, 3L))) // K4 member + the pendant edge
+    assert(r(5L) === ((1L, 0L)))
+    assert(r(6L) === ((1L, 0L)) && r(7L) === ((1L, 0L)))
+  }
+
+  test("triangle counts: degree-oriented engine matches the naive " +
+       "id-ordered 3-join on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("a", "b")
+    pairs.persist()
+    val fast = GraphOps.triangleCounts(pairs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    // naive: enumerate (a<b<c) triangles by id order, count incidences
+    val e = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val tris = for {
+      (a, b) <- e.toSeq; c <- nodes.toSeq
+      if b < c && e.contains((b, c)) && e.contains((a, c))
+    } yield (a, b, c)
+    val cnt = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val naive = nodes.map(n =>
+      (n, deg(n), cnt.getOrElse(n, 0L)))
+    assert(fast === naive)
+    pairs.unpersist()
+  }
 }
