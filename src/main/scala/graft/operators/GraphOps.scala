@@ -282,11 +282,56 @@ object GraphOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Co-occurrence pairs from a bipartite link frame `(k, v)` (distinct
+    * rows): all value pairs sharing a key, weighted by how many keys
+    * they share, keeping pairs with `shared >= minShared`. The
+    * bipartite-projection step that turns raw co-occurrence (document
+    * × token, session × item, order × part) into a similarity graph
+    * the gr1–gr4 operators can then run on.
+    *
+    * 100 TB shape: pair generation is a self equi-join on the key —
+    * wedge volume is Σ deg(k)², so ONE hub key (a boilerplate token, a
+    * crawler session) quadratically dominates the job. `maxPerKey` is
+    * the standard guard: keys above the cap are dropped BEFORE the
+    * join (they carry no similarity signal — sharing a hub is not
+    * evidence), bounding wedges at |keys|·cap². The cap is part of the
+    * operator's contract, mirrored in the oracle, not a silent
+    * truncation. */
+  def cooccurrencePairs(links: DataFrame, minShared: Long,
+                        maxPerKey: Int): DataFrame = {
+    val keep = links.groupBy(col("k"))
+      .agg(count(lit(1)).as("kdeg"))
+      .filter(col("kdeg") <= maxPerKey)
+      .select(col("k"))
+    val kept = links.join(keep, "k")
+    kept.select(col("k"), col("v").as("va"))
+      .join(kept.select(col("k"), col("v").as("vb")), "k")
+      .filter(col("va") < col("vb"))
+      .groupBy(col("va"), col("vb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** gr5: part co-purchase graph — parts appearing in the same order,
+    * kept at ≥ 2 shared orders ("frequently bought together", the
+    * retail twin of token co-occurrence). Basket cap 64 is the
+    * explicit hub guard (observed max basket is 13 at sf0.01 — the cap
+    * exists for the pathological-key case, not this corpus). */
+  def gr5CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val links = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      .distinct()
+    cooccurrencePairs(links, minShared = 2L, maxPerKey = 64)
+      .select(col("va").as("part_a"), col("vb").as("part_b"), col("shared"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> (gr1Pagerank _),
     "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _),
     "gr3_weighted_pagerank" -> (gr3WeightedPagerank _),
-    "gr4_triangle_count" -> (gr4TriangleCount _)
+    "gr4_triangle_count" -> (gr4TriangleCount _),
+    "gr5_copurchase_pairs" -> (gr5CopurchasePairs _)
   )
 
   // Shared CTE prefix: the namespaced symmetric edge list, degrees,
@@ -398,6 +443,19 @@ object GraphOps {
          SELECT d.id AS doc_id, d.degree,
                 coalesce(c.tc, CAST(0 AS BIGINT)) AS tri_cnt
          FROM deg d LEFT JOIN cnt c ON c.id = d.id
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "gr5_copurchase_pairs" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),
+         keep AS (
+           SELECT k FROM (SELECT k, count(*) AS kdeg FROM op GROUP BY k)
+           WHERE kdeg <= 64),
+         opk AS (SELECT op.k, op.v FROM op JOIN keep ON keep.k = op.k),
+         pp AS (
+           SELECT a.v AS pa, b.v AS pb, count(*) AS shared
+           FROM opk a JOIN opk b ON a.k = b.k AND a.v < b.v
+           GROUP BY 1, 2)
+         SELECT pa AS part_a, pb AS part_b, shared
+         FROM pp WHERE shared >= 2 ORDER BY 1, 2"""
   )
 }

@@ -180,4 +180,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(fast === naive)
     pairs.unpersist()
   }
+
+  test("co-occurrence projection: shared counts hand-checked and the " +
+       "hub cap drops an over-degree key entirely") {
+    // key 10 links {1,2,3}; key 11 links {2,3}; key 12 (hub) links
+    // {1,2,3,4,5} — with maxPerKey=4 the hub contributes nothing
+    val links = (Seq(1L, 2L, 3L).map((10L, _)) ++
+      Seq(2L, 3L).map((11L, _)) ++
+      Seq(1L, 2L, 3L, 4L, 5L).map((12L, _))).toDF("k", "v")
+    val r = GraphOps.cooccurrencePairs(links, minShared = 1L, maxPerKey = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L))
+    // without the cap the hub's wedges appear
+    val all = GraphOps.cooccurrencePairs(links, minShared = 1L, maxPerKey = 100)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(all((4L, 5L)) === 1L && all((2L, 3L)) === 3L)
+    // minShared filters singleton evidence
+    val strong = GraphOps.cooccurrencePairs(links, minShared = 2L, maxPerKey = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(strong === Set((2L, 3L)))
+  }
 }
