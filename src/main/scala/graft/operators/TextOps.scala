@@ -434,13 +434,20 @@ object TextOps {
     * orders smaller than the corpus — joined back by term (both are
     * plain equi-joins); ranking is a doc-partitioned window. The
     * classic two-pass distributed TF-IDF, no driver state. */
-  def ta8TopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val counts = graft.spark.DfCache.memo(s, s"$dir#ta8counts") {
+  /** Per-document term counts with document length — (doc_id, word,
+    * len, c), one content-keyed groupBy over the token stream;
+    * session-memoized because it is the shared scan of the TF-IDF
+    * (ta8) and BM25 (ta14) retrieval family. */
+  private def termCounts(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ta8counts") {
       docTokens(s, dir)
         .select(col("doc_id"), size(col("w")).as("len"), explode(col("w")).as("word"))
         .groupBy(col("doc_id"), col("word"), col("len"))
         .agg(count(lit(1)).as("c"))
     }
+
+  def ta8TopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = termCounts(s, dir)
     val dfreq = counts.groupBy(col("word"))
       .agg(countDistinct(col("doc_id")).as("df"))
     counts.join(dfreq, "word")
@@ -1094,6 +1101,68 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ta14: BM25 retrieval — rank documents against a deterministic
+    * query set with the standard Okapi scoring (k1 = 1.2, b = 0.75):
+    * score(q, d) = Σ_t idf(t) · (tf·(k1+1)) / (tf + k1·(1−b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5) / (df + 0.5)). The keyword-retrieval
+    * complement of the embedding ANN family (ann1–ann15): hybrid
+    * pipelines run BOTH and fuse; this is the lexical arm over the
+    * inverted-index shape.
+    *
+    * Query set: the 15 rarest vocabulary terms (df ASC, word ASC),
+    * grouped 5-per-query into 3 queries — data-derived and engine-
+    * deterministic, a bounded 15-row driver collect (the PGR-probe
+    * class). On this corpus's near-stopword vocabulary most idf values
+    * are NEGATIVE (df > N/2) — valid BM25, and it exercises the
+    * signed-zero canonicalization on the rounded sum.
+    *
+    * Scale shape: the postings frame is [[termCounts]] (one
+    * content-keyed groupBy, shared with ta8); query terms broadcast
+    * onto it (an equi-join on word — cost is the matched postings,
+    * never the corpus); scoring is map-side arithmetic + one
+    * (qid, doc) partial agg; top-k is cp3's exact two-stage selection
+    * (shard-local then global), so a query matching a billion
+    * documents never funnels through one window partition. Determinism
+    * is the ta10 contract: the one rounded value is the ≤5-term
+    * order-dependent sum, ranking happens on the ROUNDED score with a
+    * doc_id tie-break, so both engines rank identical values. */
+  def ta14Bm25(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = termCounts(s, dir)
+    val docLens = counts.select(col("doc_id"), col("len")).distinct()
+    val agg0 = docLens.agg(count(lit(1)).as("n"), sum(col("len")).as("t")).head()
+    val nDocs = agg0.getLong(0)
+    val avgdl = agg0.getLong(1).toDouble / nDocs.toDouble
+    val dfreq = counts.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qterms = dfreq.orderBy(col("df").asc, col("word").asc).limit(15)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong / 5, r.getString(0)) }.toSeq
+    import s.implicits._
+    val qdf = qterms.toDF("qid", "word")
+    val idf = log(((lit(nDocs.toDouble) - col("df")) + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val tfn = (col("c") * lit(2.2)) /
+      (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") / lit(avgdl))))
+    val scored = counts
+      .join(broadcast(qdf.join(dfreq, "word")), "word")
+      .select(col("qid"), col("doc_id"), (idf * tfn).as("ts"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg((round(sum(col("ts")), 4) + lit(0.0)).as("score"))
+    val ranked = Seq(col("score").desc, col("doc_id").asc)
+    val local = Window.partitionBy(col("qid"), col("shard")).orderBy(ranked: _*)
+    val global = Window.partitionBy(col("qid")).orderBy(ranked: _*)
+    scored
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 16)
+      .withColumn("lrn", row_number().over(local))
+      .filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("score"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** dd19: repeated-span detection — the exact-substring dedup family
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better") at token-n-gram granularity: a span (8 consecutive
@@ -1139,6 +1208,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta14_bm25" -> ((s: SparkSession, dir: String) => ta14Bm25(s, dir)),
     "ta13_bigram_lm" -> ((s: SparkSession, dir: String) =>
       ta13BigramLmScore(s, dir)),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
@@ -1293,6 +1363,44 @@ object TextOps {
          SELECT doc_id, count(*) AS n_bigrams,
            round(avg(lp), 2) + 0.0 AS lm_score
          FROM lp GROUP BY doc_id ORDER BY doc_id""",
+    // BM25 twin: identical literal constants (2.2 = k1+1 and 0.25 =
+    // 1-b are written as literals, never derived), identical IEEE op
+    // order in idf/tf-norm, ranking on the ROUNDED canonicalized sum
+    "ta14_bm25" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         cnt AS (
+           SELECT doc_id, word, len, count(*) AS c FROM (
+             SELECT doc_id, unnest(w) AS word, len(w) AS len FROM words)
+           GROUP BY 1, 2, 3),
+         dfreq AS (SELECT word, count(DISTINCT doc_id) AS df
+                   FROM cnt GROUP BY word),
+         np AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM cnt),
+         dl AS (SELECT DISTINCT doc_id, len FROM cnt),
+         ad AS (SELECT CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS a
+                FROM dl),
+         qt AS (
+           SELECT (rn - 1) // 5 AS qid, word, df FROM (
+             SELECT word, df, row_number()
+               OVER (ORDER BY df ASC, word ASC) AS rn
+             FROM dfreq)
+           WHERE rn <= 15),
+         scored AS (
+           SELECT qt.qid, c.doc_id,
+             round(sum(
+               ln(((np.n - qt.df) + 0.5) / (qt.df + 0.5)) *
+               ((c.c * 2.2) /
+                (c.c + 1.2 * (0.25 + 0.75 * (c.len / ad.a))))), 4) + 0.0
+               AS score
+           FROM cnt c JOIN qt ON qt.word = c.word
+                CROSS JOIN np CROSS JOIN ad
+           GROUP BY 1, 2)
+         SELECT qid, doc_id, score, CAST(rank AS INT) AS rank FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scored)
+         WHERE rank <= 10 ORDER BY qid, rank""",
     "dd19_span_dedup" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

@@ -102,4 +102,37 @@ class TextScoreSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got.map(_.getLong(0)).toSet == flagged)
   }
+
+  test("ta14 BM25: hand-computed scores and ranking on a micro corpus") {
+    // vocab x/y/z all df=2, N=3, dl = 3/2/4, avgdl = 3 -> one query
+    // {x,y,z}; idf = ln(1.5/2.5) < 0 (the negative-idf regime)
+    //   doc1: x c=2 tfn=4.4/3.2, y c=1 tfn=2.2/2.2  -> 2.375·idf
+    //   doc2: x,z c=1 len=2 tfn=2.2/1.9 each        -> 2.31578..·idf
+    //   doc3: y c=3 tfn=6.6/4.5, z c=1 tfn=2.2/2.5  -> 2.34666..·idf
+    val dir = microCorpus(Seq(1L -> "x x y", 2L -> "x z", 3L -> "y y y z"))
+    val got = graft.operators.TextOps.ta14Bm25(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toList
+    assert(got == List(
+      (0L, 2L, -1.1830, 1), (0L, 3L, -1.1987, 2), (0L, 1L, -1.2132, 3)))
+  }
+
+  test("ta14 invariants at sf0.001: contiguous per-query ranks, scores " +
+       "non-increasing, ties broken by doc_id") {
+    val rows = graft.operators.TextOps.ta14Bm25(spark, "/root/testdata/sf0.001")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toList == (1 to rs.length).toList,
+        s"qid $qid: ranks not contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"qid $qid: rank order violates (score desc, doc_id asc)")
+        case _ =>
+      }
+    }
+  }
 }
