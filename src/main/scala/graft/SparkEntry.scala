@@ -53,7 +53,11 @@ object SparkEntry {
         // to the inclusive gap boundary (spec-pinned), so they are
         // hash-verified equal
         "st10_session_window" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.sessionWindowGate(s, dir)))
+          graft.streaming.EventStream.sessionWindowGate(s, dir)),
+        // streaming twin of the batch tj3 funnel — same oracle, so
+        // streaming/batch funnel equivalence is driver-verified
+        "st11_stream_funnel" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.funnelGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -126,6 +130,8 @@ object SparkEntry {
              FROM e LEFT JOIN c ON e.user_id = c.user_id
                AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000
              ORDER BY 1, 2""",
+        // streaming funnel == batch funnel (tj3's own oracle verbatim)
+        "st11_stream_funnel" -> EventOps.oracles("tj3_funnel"),
         // the stream-static enrichment join vs its batch twin
         "st7_stream_enrich" ->
           """SELECT c.c_nationkey AS nation, date_trunc('hour', e.ts) AS hour,

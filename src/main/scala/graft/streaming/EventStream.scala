@@ -15,6 +15,27 @@ case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp) {
 case class OpenSession(start: Long, last: Long, n: Long)
 case class UserSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+/** Typed rows / state of the streaming funnel (st11). The watermarked
+  * event-time column rides in the row (event-time timeout contract);
+  * `tr` is the funnel step rank: 0 view, 1 click, 2 purchase — also
+  * the tie order at equal timestamps (a view qualifies a simultaneous
+  * click; a qualified click matches a simultaneous purchase), the
+  * exact (us, side, eid) ordering of the batch tj3 window passes. */
+case class FunnelEvent(user_id: Long, event_id: Long, tr: Int,
+                       ts: java.sql.Timestamp) {
+  def us: Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+}
+case class FunnelBuffered(us: Long, tr: Int, eid: Long)
+/** Per-user funnel state: the two "most recent" registers of the batch
+  * window carries (last view; last QUALIFIED click with its view id)
+  * plus the not-yet-finalized event buffer (rows above the watermark).
+  * Register sentinels: eid = -1 means empty. */
+case class FunnelState(vUs: Long, vEid: Long, qcUs: Long, qcEid: Long,
+                       qcVid: Long, buf: List[FunnelBuffered])
+case class FunnelHit(purch_id: Long, user_id: Long, purch_us: Long,
+                     click_id: Long, view_id: Long)
+
 /** Structured-streaming surface over the `events` table shape —
   * beyond the reference (DS-JedAI is batch-only, SURVEY §2.10); a
   * modern engine needs the streaming path for continuous ingestion.
@@ -367,6 +388,128 @@ object EventStream {
     sess.table(name)
       .filter(col("err_id") >= 0)
       .orderBy(col("err_id"), col("click_id"))
+  }
+
+  /** st11: STREAMING ordered funnel — the incremental twin of the
+    * batch tj3 operator: completed view → click → purchase chains per
+    * user, each step at most `stepHours` after the previous, emitted
+    * exactly once in append mode.
+    *
+    * Mechanics: tj3's two chained window carries collapse into two
+    * per-user "most recent" registers (last view; last QUALIFIED
+    * click, carrying its view id) that are exact when events are
+    * consumed in (us, tr, eid) order. Cross-batch reordering breaks
+    * that order, so arrivals buffer in state until the watermark
+    * passes them; each trigger then drains the ≤-watermark prefix of
+    * the sorted buffer through the registers and emits hits for
+    * finalized purchases. Anything that could still change a
+    * finalized prefix would be below the watermark — dropped by the
+    * late-row filter, the standard streaming contract (the oracle
+    * needs NO finalization cutoff beyond the flush sentinel).
+    *
+    * State per user = 2 registers + the above-watermark buffer:
+    * O(rate × lateness) rows, the st2 class — never O(stream).
+    * Registers expire one funnel step past the watermark (no future
+    * row can reach back further), so idle users leave NO state. */
+  def funnel(events: DataFrame, stepHours: Long = 24L,
+             lateness: String = "2 hours"): Dataset[FunnelHit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepUs = stepHours * 3600L * 1000000L
+    def fn(user: Long, rows: Iterator[FunnelEvent],
+           state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      val wmUs = wmMs * 1000L
+      val prev = state.getOption.getOrElse(
+        FunnelState(Long.MinValue, -1L, Long.MinValue, -1L, -1L, Nil))
+      val buf = (prev.buf ++ rows.map(e => FunnelBuffered(e.us, e.tr, e.event_id)))
+        .sortBy(e => (e.us, e.tr, e.eid))
+      val (done, pending) = buf.partition(_.us <= wmUs)
+      var vUs = prev.vUs; var vEid = prev.vEid
+      var qcUs = prev.qcUs; var qcEid = prev.qcEid; var qcVid = prev.qcVid
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      done.foreach { e =>
+        e.tr match {
+          case 0 => vUs = e.us; vEid = e.eid
+          case 1 => if (vEid >= 0L && e.us - vUs <= stepUs) {
+            qcUs = e.us; qcEid = e.eid; qcVid = vEid
+          }
+          case _ => if (qcEid >= 0L && e.us - qcUs <= stepUs)
+            out += FunnelHit(e.eid, user, e.us, qcEid, qcVid)
+        }
+      }
+      // a register one full step behind the watermark can never
+      // qualify a future row (future us > wm ≥ reg.us + step)
+      if (vEid >= 0L && wmUs - vUs >= stepUs) { vUs = Long.MinValue; vEid = -1L }
+      if (qcEid >= 0L && wmUs - qcUs >= stepUs) {
+        qcUs = Long.MinValue; qcEid = -1L; qcVid = -1L
+      }
+      if (pending.nonEmpty || vEid >= 0L || qcEid >= 0L) {
+        state.update(FunnelState(vUs, vEid, qcUs, qcEid, qcVid, pending))
+        val next =
+          if (pending.nonEmpty) pending.head.us / 1000L + 1L
+          else math.max(vUs, qcUs) / 1000L + stepUs / 1000L
+        state.setTimeoutTimestamp(math.max(next, wmMs + 1L))
+      } else if (state.exists) state.remove()
+      out.iterator
+    }
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .otherwise(2).cast("int").as("tr"),
+        col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** st11 driver gate: [[funnel]] replayed in four ts-ordered chunks
+    * (st1 methodology — cross-batch register continuation and buffer
+    * finalization genuinely exercised), flushed by one far-future
+    * sentinel view whose watermark passes every real purchase. The
+    * oracle IS the batch tj3 SQL — streaming/batch funnel equivalence
+    * as a hash-gated fact. */
+  def funnelGate(spark: SparkSession, dir: String,
+                 stats: Option[ReplayStats] = None): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, String, Long)].collect()
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val name = s"st11_gate_${gateRuns.incrementAndGet()}"
+    val q = funnel(mem.toDF()
+        .toDF("user_id", "event_id", "event_type", "us")
+        .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        mem.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // watermark after the sentinel = flushUs - lateness, which must
+      // clear every real purchase ts: maxUs + 2h + 1m does
+      val flushUs = rows.iterator.map(_._4).max + (2L * 3600L + 60L) * 1000000L
+      mem.addData((-1L, -1L, "view", flushUs))
+      q.processAllAvailable()
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("purch_id"), col("user_id"), col("purch_us"),
+        col("click_id"), col("view_id"))
+      .orderBy(col("purch_id"))
   }
 
   /** st10: per-user sessions via Spark's NATIVE `session_window`

@@ -240,6 +240,81 @@ class EventStreamSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == custom)
   }
 
+  test("streaming funnel (st11) equals the batch tj3 funnel row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.funnelGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    val batch = graft.operators.EventOps.tj3Funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(stream.nonEmpty && stream == batch)
+  }
+
+  test("streaming funnel: a view arriving one batch LATE (within the " +
+       "watermark) still qualifies its click — buffer finalization") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h(hours: Long): Long = (hours + 24) * 3600L * 1000000L
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.funnel(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_late").start()
+    def hits(): Set[(Long, Long, Long, Long, Long)] =
+      spark.table("funnel_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    try {
+      // batch 1: click@2h and purchase@3h arrive FIRST (watermark
+      // advances to 3h - 2h lateness = 1h -> nothing finalizes)
+      mem.addData((1L, 21L, "click", h(2)), (1L, 31L, "purchase", h(3)))
+      q.processAllAvailable()
+      assert(hits() === Set.empty)
+      // batch 2: the view@1.5h arrives late but STRICTLY above the 1h
+      // watermark (rows at exactly the watermark are dropped by the
+      // late filter); once a watermark-pusher finalizes the prefix,
+      // the chain replays in EVENT-TIME order: view -> click -> purchase
+      mem.addData((1L, 11L, "view", h(1) + 1800L * 1000000L))
+      q.processAllAvailable()
+      mem.addData((-9L, -9L, "view", h(200)))
+      q.processAllAvailable()
+      assert(hits() === Set((31L, 1L, h(3), 21L, 11L)))
+    } finally q.stop()
+  }
+
+  test("streaming funnel: step window enforced — a 25h-later purchase " +
+       "does not complete, and a stale click register never matches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h(hours: Long): Long = (hours + 24) * 3600L * 1000000L
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF().toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.funnel(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_step").start()
+    try {
+      // user 1: view@0, click@1h, purchase@26h (26h-1h > 24h -> no hit)
+      // user 2: simultaneous view/click/purchase at 5h -> the tie chain
+      // completes (tr order: view before click before purchase)
+      mem.addData((1L, 1L, "view", h(0)), (1L, 2L, "click", h(1)),
+        (1L, 3L, "purchase", h(26)),
+        (2L, 4L, "view", h(5)), (2L, 5L, "click", h(5)),
+        (2L, 6L, "purchase", h(5)))
+      q.processAllAvailable()
+      mem.addData((-9L, -9L, "view", h(300)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_step").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set((6L, 2L, h(5), 5L, 4L)))
+    } finally q.stop()
+  }
+
   test("session_window merge boundary is inclusive: exactly-gap-apart " +
        "events share a session, gap+1us splits — matching sessionize") {
     import spark.implicits._
