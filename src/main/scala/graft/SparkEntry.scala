@@ -57,7 +57,11 @@ object SparkEntry {
         // streaming twin of the batch tj3 funnel — same oracle, so
         // streaming/batch funnel equivalence is driver-verified
         "st11_stream_funnel" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.funnelGate(s, dir)))
+          graft.streaming.EventStream.funnelGate(s, dir)),
+        // left-semi stream-stream join: the existence-check join shape
+        // (match-driven emission, no sentinel needed)
+        "st12_stream_semi_join" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.semiJoinGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -132,6 +136,20 @@ object SparkEntry {
              ORDER BY 1, 2""",
         // streaming funnel == batch funnel (tj3's own oracle verbatim)
         "st11_stream_funnel" -> EventOps.oracles("tj3_funnel"),
+        // st12: LEFT SEMI stream-stream interval join — match-driven
+        // emission (each matched error exactly once, no payload), so
+        // the oracle is the plain batch EXISTS form
+        "st12_stream_semi_join" ->
+          """WITH e AS (SELECT event_id AS err_id, user_id,
+                 epoch_us(ts) AS err_us
+               FROM events WHERE event_type = 'error'),
+             c AS (SELECT user_id, epoch_us(ts) AS click_us
+               FROM events WHERE event_type = 'click')
+             SELECT e.err_id, e.user_id
+             FROM e WHERE EXISTS (
+               SELECT 1 FROM c WHERE c.user_id = e.user_id
+                 AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000)
+             ORDER BY 1""",
         // the stream-static enrichment join vs its batch twin
         "st7_stream_enrich" ->
           """SELECT c.c_nationkey AS nation, date_trunc('hour', e.ts) AS hour,

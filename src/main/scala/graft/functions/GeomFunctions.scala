@@ -152,6 +152,25 @@ case class StArea(child: Expression) extends UnaryExpression with CodegenFallbac
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Area of the JTS set-theoretic intersection — the overlay MEASURE
+  * step (how much do they overlap) the boolean DE-9IM family cannot
+  * express. General polygon/line/point operands: lower-dimensional
+  * intersections (touch line/point) have area 0. On integer-coordinate
+  * operands the shoelace sum is exact double arithmetic (products and
+  * partial sums stay far below 2^53), which is what lets the sp19 gate
+  * hash-check this path against a closed-form SQL oracle. */
+case class StIntersectionArea(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = GeomCache.geometry(l.asInstanceOf[Array[Byte]])
+    val b = GeomCache.geometry(r.asInstanceOf[Array[Byte]])
+    a.intersection(b).getArea
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Full DE-9IM verification: one JTS `relate` per pair, all ten
   * topological booleans extracted from the single IntersectionMatrix
   * (mirrors DS-JedAI `model/IM.scala:6-39`). Emitting them all at once
@@ -442,6 +461,8 @@ object GeomFunctions {
   def st_envelope(geom: Column): Column = mk(StEnvelope(ex(geom)))
   def st_numpoints(geom: Column): Column = mk(StNumPoints(ex(geom)))
   def st_area(geom: Column): Column = mk(StArea(ex(geom)))
+  def st_intersection_area(l: Column, r: Column): Column =
+    mk(StIntersectionArea(ex(l), ex(r)))
   def st_im(l: Column, r: Column): Column = mk(StIm(ex(l), ex(r)))
   def st_im_adaptive(l: Column, r: Column, thetaX: Double, thetaY: Double,
                      minPoints: Int = 64, earlyExit: Boolean = false): Column =

@@ -269,6 +269,19 @@ object GeoQueries {
     SpatialJoin.relationCounts(partBoxes(s, dir), supplierBoxes(s, dir),
       granularity = "max")
 
+  /** sp19: overlay-area aggregation — per supplier box, how many part
+    * boxes intersect it and their TOTAL intersection area, via the θ-
+    * tile pipeline + one JTS set-intersection per verified pair
+    * ([[SpatialJoin.overlayArea]]). The corpus is integer rectangles,
+    * so the JTS shoelace area is exact double arithmetic and the
+    * closed-form SQL oracle (clamped per-axis overlap product) hashes
+    * bit-identically — the measure twin of the boolean sp4 join. */
+  def sp19OverlayArea(s: SparkSession, dir: String): DataFrame =
+    SpatialJoin.overlayArea(partBoxes(s, dir), supplierBoxes(s, dir),
+      integerAreas = true)
+      .select(col("t_id").as("supp_id"), col("n_pairs"), col("overlap_area"))
+      .orderBy(col("supp_id"))
+
   /** Per-pair DE-9IM booleans for every verified pair. */
   def sp4De9imPairs(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.de9im(partBoxes(s, dir), supplierBoxes(s, dir))
@@ -461,7 +474,8 @@ object GeoQueries {
     "sp11_finegrained_im" -> (sp11FineGrainedIm _),
     "sp12_balanced_im" -> (sp12BalancedIm _),
     "sp13_typed_giant" -> (sp13TypedGiant _),
-    "sp18_theta_max" -> (sp18ThetaMax _)
+    "sp18_theta_max" -> (sp18ThetaMax _),
+    "sp19_overlay_area" -> (sp19OverlayArea _)
   )
 
   // Rectangle topology in SQL:
@@ -579,6 +593,17 @@ object GeoQueries {
            AND abs(date_diff('day', DATE '1995-06-01' + CAST(t.id % 10 AS INT),
                              DATE '1995-06-01' + CAST(s.id % 10 AS INT))) < 2
          ORDER BY 1, 2""",
+    // sp19 twin: intersecting pairs (inclusive ranges), intersection
+    // area as the per-axis overlap product — integer arithmetic start
+    // to finish, summed as BIGINT (touch-only pairs contribute 0)
+    "sp19_overlay_area" ->
+      s"""$geomCtes
+         SELECT CAST(t.id AS VARCHAR) AS supp_id, count(*) AS n_pairs,
+           CAST(sum((least(s.xmax, t.xmax) - greatest(s.xmin, t.xmin)) *
+                    (least(s.ymax, t.ymax) - greatest(s.ymin, t.ymin)))
+             AS BIGINT) AS overlap_area
+         FROM sb s, tb t WHERE $sqlIntersects
+         GROUP BY 1 ORDER BY 1""",
     "sp4_de9im_pairs" ->
       s"""$geomCtes
          SELECT CAST(s.id AS VARCHAR) AS s_id, CAST(t.id AS VARCHAR) AS t_id,

@@ -326,12 +326,78 @@ object GraphOps {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** k-core of a SYMMETRIC simple edge frame `(src, dst)`: iteratively
+    * peel nodes of degree < k until every survivor has degree ≥ k
+    * within the surviving subgraph. Returns `(src, core_deg)` — the
+    * survivors with their in-core degree (empty when the graph has no
+    * k-core).
+    *
+    * 100 TB shape: each round is one node-sized degree aggregation and
+    * two anti-joins of the edge frame against the (typically tiny)
+    * peel set — never all-pairs, no driver-side adjacency. The peel
+    * set is counted per round (node-sized, bounded driver work, the
+    * [[Components]] convergence pattern) and each round's surviving
+    * edge frame has its lineage cut so plan depth stays O(1) per
+    * round; `checkpointDir` upgrades the cut to reliable DFS-backed
+    * checkpoints for cluster deployments. Rounds are capped: real
+    * degeneracy peeling converges in few rounds on power-law graphs
+    * (each pass removes every current sub-k node at once — this is
+    * the parallel/batched peel, not the sequential textbook one), and
+    * the cap turns a pathological chain graph into an explicit error
+    * instead of an unbounded job. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 8,
+            checkpointDir: Option[String] = None): DataFrame = {
+    var cur = edges.select(col("src"), col("dst"))
+    var rounds = 0
+    var done = false
+    var prev: Option[DataFrame] = None
+    while (!done && rounds < maxRounds) {
+      val bad = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (bad.count() == 0) done = true
+      else {
+        val next = graft.spark.Checkpoints.cut(
+          cur.join(bad, Seq("src"), "left_anti")
+            .join(bad.select(col("src").as("dst")), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst")),
+          checkpointDir)
+        prev.foreach(_.unpersist(blocking = false))
+        prev = None
+        cur = next
+        rounds += 1
+      }
+      bad.unpersist(blocking = false)
+    }
+    require(done, s"k-core peel did not converge within $maxRounds rounds " +
+      "(raise maxRounds; a batched peel converging this slowly usually " +
+      "means a long induced path of exactly-degree-k nodes)")
+    cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** gr6: k-core of the customer–supplier interaction graph — the
+    * standard "dense engagement core" extraction (repeat customers ×
+    * broadly-bought-from suppliers), and the graph-cleaning step a
+    * pipeline runs before community/centrality passes to drop
+    * low-signal tendrils. k = 30 peels multiple rounds at gate scale
+    * (removing one shell lowers neighbors' degrees below k in waves);
+    * the oracle unrolls the same number of batched-peel rounds as the
+    * operator's cap — rounds after the fixpoint are no-ops, so the
+    * unrolled form equals the converged result whenever the operator's
+    * own convergence `require` passes. */
+  def gr6Kcore(s: SparkSession, dir: String): DataFrame =
+    kcore(interactionEdges(s, dir), k = 30, maxRounds = 8)
+      .select(col("src").as("node_id"), kindCol(col("src")).as("kind"),
+        col("core_deg"))
+      .orderBy(col("node_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> (gr1Pagerank _),
     "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _),
     "gr3_weighted_pagerank" -> (gr3WeightedPagerank _),
     "gr4_triangle_count" -> (gr4TriangleCount _),
-    "gr5_copurchase_pairs" -> (gr5CopurchasePairs _)
+    "gr5_copurchase_pairs" -> (gr5CopurchasePairs _),
+    "gr6_kcore" -> (gr6Kcore _)
   )
 
   // Shared CTE prefix: the namespaced symmetric edge list, degrees,
@@ -375,7 +441,33 @@ object GraphOps {
                          JOIN wsum d ON d.src = e.src
             GROUP BY e.dst) c ON c.id = r.id)"""
 
+  /** One unrolled batched-peel round `e$prev → e$i`: survivors =
+    * nodes with degree ≥ k in `e$prev`; next edge set = both endpoints
+    * surviving. Twin of one [[kcore]] loop body. MATERIALIZED is
+    * load-bearing, not a hint: DuckDB inlines plain CTEs, and each
+    * round references its predecessor three times — an inlined
+    * expansion is 3^rounds copies of the base scan (observed as an
+    * fd-exhaustion error at 8 rounds), while materialized rounds
+    * evaluate once each, exactly like the operator's loop. */
+  private def peelCte(i: Int, prev: Int, k: Int): String =
+    s"""s$i AS MATERIALIZED (
+         SELECT src FROM e$prev GROUP BY src HAVING count(*) >= $k),
+       e$i AS MATERIALIZED (
+         SELECT e.src, e.dst FROM e$prev e
+         JOIN s$i a ON a.src = e.src JOIN s$i b ON b.src = e.dst)"""
+
   val oracles: Map[String, String] = Map(
+    // 8 unrolled peel rounds = the operator's round cap; rounds past
+    // the fixpoint are identity, so this equals the converged core
+    // whenever the operator's convergence require() passes
+    "gr6_kcore" ->
+      s"""WITH $graphCtes,
+         e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+         ${(1 to 8).map(i => peelCte(i, i - 1, 30)).mkString(",\n         ")}
+         SELECT src AS node_id,
+                CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+                count(*) AS core_deg
+         FROM e8 GROUP BY 1, 2 ORDER BY node_id""",
     "gr1_pagerank" ->
       s"""WITH $graphCtes,
          np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

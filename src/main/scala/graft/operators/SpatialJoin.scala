@@ -266,6 +266,37 @@ object SpatialJoin {
       .select(col("s_id"), col("t_id"))
   }
 
+  /** Overlay MEASURE aggregation: per target entity, the number of
+    * intersecting source entities and the TOTAL intersection area —
+    * "how much of each zone is covered", the quantitative question the
+    * boolean join family (relate/de9im) cannot answer. Runs the same
+    * θ-tile candidate pipeline, then one JTS set-intersection per
+    * verified pair ([[graft.functions.StIntersectionArea]]) feeding a
+    * plain partial-aggregated sum on the target key — per-pair work
+    * stays where the pair is, only (t_id, area) rows shuffle.
+    *
+    * `integerAreas = true` asserts the corpus contract that every
+    * per-pair area is an exact integer (integer-coordinate rectangle
+    * operands): areas then sum as longs, which makes the distributed
+    * aggregation order-free and therefore bit-exact against any
+    * engine — a double sum would be partition-order dependent. The
+    * general-geometry path (false) sums doubles and is exact only up
+    * to summation order. */
+  def overlayArea(source: DataFrame, target: DataFrame,
+                  granularity: String = "avg",
+                  integerAreas: Boolean = false): DataFrame = {
+    val theta = computeTheta(source, granularity)
+    val perPair = candidatePairs(source, target, theta)
+      .filter(st_predicate(col("s_geom"), col("t_geom"), "intersects"))
+      .select(col("t_id"),
+        st_intersection_area(col("s_geom"), col("t_geom")).as("area"))
+    val total =
+      if (integerAreas) sum(col("area").cast("long"))
+      else sum(col("area"))
+    perPair.groupBy(col("t_id"))
+      .agg(count(lit(1)).as("n_pairs"), total.as("overlap_area"))
+  }
+
   /** DE-9IM with the fine-grained-envelope candidate filter (reference
     * FINEGRAINED_ENVELOPES approximation): pairs additionally need at
     * least one intersecting sub-envelope pair. Strictly fewer

@@ -1207,10 +1207,58 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** dd20: DIRECTED containment near-dup detection — "document A's
+    * shingles are (mostly) inside document B's", the asymmetric
+    * relation Jaccard dedup (dd3/dd5) misses by construction: a short
+    * quote inside a long page has tiny Jaccard but containment ≈ 1,
+    * and containment is what sub-document / quotation / boilerplate-
+    * wrapper dedup needs.
+    *
+    * Candidates come from an inverted shingle index (explode → self
+    * equi-join on the shingle key) with the [[GraphOps.cooccurrencePairs]]
+    * hub guard: shingles present in more than `maxDf` documents are
+    * dropped BEFORE the join — they carry no containment signal and
+    * one such key would quadratically dominate the job (Σ df² wedge
+    * volume). Sizes are recomputed over the KEPT postings so the score
+    * stays a consistent "effective containment" of signal shingles —
+    * the cap is part of the operator contract, mirrored in the oracle,
+    * not a silent truncation. containment = shared/n_a is an
+    * int/int IEEE division — bit-exact cross-engine, no rounding
+    * needed.
+    *
+    * 100 TB shape: two content-keyed aggregations + one bounded
+    * self-join; nothing all-pairs, no driver state. */
+  def dd20Containment(s: SparkSession, dir: String,
+                      minContain: Double = 0.8, maxDf: Int = 256): DataFrame = {
+    val posts = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("sset")).as("g"))
+    val keep = posts.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    val kept = graft.spark.DfCache.memo(s, s"$dir#dd20kept#$maxDf") {
+      posts.join(keep, "g")
+    }
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val shared = kept.select(col("g"), col("doc_id").as("id_a"))
+      .join(kept.select(col("g"), col("doc_id").as("id_b")), "g")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContain)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta14_bm25" -> ((s: SparkSession, dir: String) => ta14Bm25(s, dir)),
     "ta13_bigram_lm" -> ((s: SparkSession, dir: String) =>
       ta13BigramLmScore(s, dir)),
+    "dd20_containment" -> ((s: SparkSession, dir: String) =>
+      dd20Containment(s, dir)),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1401,6 +1449,26 @@ object TextOps {
              PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY qid, rank""",
+    // dd20 twin: inverted shingle index with the same maxDf=256 hub
+    // cap; sizes over KEPT postings; containment is the identical
+    // int/int double division
+    "dd20_containment" ->
+      s"""WITH $shinglesCte,
+         posts AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+         keep AS (
+           SELECT g FROM (SELECT g, count(*) AS df FROM posts GROUP BY g)
+           WHERE df <= 256),
+         kept AS (SELECT p.doc_id, p.g FROM posts p JOIN keep USING (g)),
+         sz AS (SELECT doc_id, count(*) AS n_a FROM kept GROUP BY doc_id),
+         sh2 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, shared,
+           CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+         FROM sh2 JOIN sz ON sz.doc_id = id_a
+         WHERE CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
+         ORDER BY id_a, id_b""",
     "dd19_span_dedup" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

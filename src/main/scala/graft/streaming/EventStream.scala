@@ -390,6 +390,77 @@ object EventStream {
       .orderBy(col("err_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT SEMI interval join — "did at least one click
+    * correlate with this error?", continuously, emitting each error at
+    * most once with NO click payload. The third streaming join shape
+    * next to inner (st2) and left-outer (st9): semi is the
+    * existence-check form pipelines use for alert routing and
+    * contamination flagging, where the match payload is irrelevant and
+    * inner-join output would duplicate the left row per matching right
+    * row.
+    *
+    * Mechanics: a buffered left row emits AS SOON AS the first match
+    * arrives (or immediately, when a buffered right row already
+    * matches) and is marked to never re-emit; unmatched rows silently
+    * age out once the watermark proves no future right-side row can
+    * land in their window. Matched output is therefore
+    * arrival-driven — the replay gate needs no sentinel flush — and
+    * state stays O(rate × window) on both sides, the st2 bound. */
+  def semiJoin(errors: DataFrame, clicks: DataFrame,
+               halfWindowMinutes: Int = 30,
+               lateness: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("ts", lateness)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("ts").as("err_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $halfWindowMinutes MINUTES") &&
+        col("click_ts") <= col("err_ts") + expr(s"INTERVAL $halfWindowMinutes MINUTES"),
+      "left_semi")
+      .select(col("err_id"), col("e_user").as("user_id"))
+  }
+
+  /** st12 driver gate: [[semiJoin]] replayed like st2 (four ts-ordered
+    * chunks, both sides split per chunk). Semi output is match-driven,
+    * so after the last chunk drains every matched error has emitted —
+    * no watermark sentinel required; the oracle is the batch EXISTS
+    * semi join over the raw table. */
+  def semiJoinGate(spark: SparkSession, dir: String,
+                   stats: Option[ReplayStats] = None): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)].collect()
+    val sess = gateSession(spark)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val memE = MemoryStream[(Long, Long, Long)]
+    val memC = MemoryStream[(Long, Long, Long)]
+    def toEvents(m: MemoryStream[(Long, Long, Long)]): DataFrame =
+      m.toDF().toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val name = s"st12_gate_${gateRuns.incrementAndGet()}"
+    val q = semiJoin(toEvents(memE), toEvents(memC))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 3) / 4)
+      rows.grouped(chunk).foreach { batch =>
+        val (es, cs) = batch.partition(_._4 == "error")
+        memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        memC.addData(cs.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name).orderBy(col("err_id"))
+  }
+
   /** st11: STREAMING ordered funnel — the incremental twin of the
     * batch tj3 operator: completed view → click → purchase chains per
     * user, each step at most `stepHours` after the previous, emitted

@@ -350,6 +350,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st12 left-semi stream-stream join == the batch semi join, each " +
+       "matched error exactly once") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = EventStream.semiJoinGate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("ets"))
+    val c = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val batch = e.join(c,
+        e("user_id") === c("user_id") &&
+          abs(unix_micros(col("cts")) - unix_micros(col("ets"))) <=
+            lit(1800L) * 1000000L, "left_semi")
+      .select(col("err_id"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length, "a semi join must never dup")
+    assert(got.sorted.toSeq === batch.sorted.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("file-source scale harnesses emit rows and report bounded state") {
     val dir = "/root/testdata/sf0.001"
     val (sec, rows, state) = EventStream.sessionizeFileStats(spark, dir)

@@ -200,4 +200,54 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(strong === Set((2L, 3L)))
   }
+
+  test("k-core: clique survives with in-core degrees, an attached chain " +
+       "peels away over multiple rounds") {
+    // 5-clique (degrees 4) + chain 5-6-7-8 hanging off node 5: chain
+    // nodes have degree <= 3, so the 4-core is exactly the clique —
+    // but the peel takes multiple rounds (8 goes first, then 7, ...)
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val edges = sym(clique ++ chain)
+    val core = GraphOps.kcore(edges, k = 4, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === (1L to 5L).map(_ -> 4L).toMap)
+  }
+
+  test("k-core: a graph with no k-core converges to the empty frame") {
+    val path = sym((1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq)
+    assert(GraphOps.kcore(path, k = 2, maxRounds = 8).count() === 0L)
+  }
+
+  test("k-core: the round cap trips loudly on a slow peel instead of " +
+       "running unbounded") {
+    // 10-node path, k=2: each batched round only removes the two
+    // current endpoints -> needs 5 rounds; cap at 2 must throw
+    val path = sym((1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq)
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.kcore(path, k = 2, maxRounds = 2).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("gr6 gate at sf0.001: result equals a driver-side sequential peel " +
+       "of the collected graph") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.interactionEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: recompute the 30-core by batched peeling
+    // over an in-memory adjacency map
+    var adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val bad = adj.collect { case (n, nb) if nb.size < 30 => n }.toSet
+      changed = bad.nonEmpty
+      if (changed)
+        adj = adj.collect { case (n, nb) if !bad(n) => n -> (nb -- bad) }
+    }
+    val expect = adj.map { case (n, nb) => n -> nb.size.toLong }
+    val got = GraphOps.gr6Kcore(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
 }

@@ -294,6 +294,32 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(SpatialJoin.computeTheta(df) === avg)
   }
 
+  test("overlayArea matches brute-force JTS set-intersection areas on " +
+       "arbitrary geometries") {
+    val rd = new WKTReader()
+    val ss = source.map { case (id, w) => (id, rd.read(w)) }
+    val tt = target.map { case (id, w) => (id, rd.read(w)) }
+    val expected = (for {
+      (_, sg) <- ss
+      (tid, tg) <- tt
+      if sg.intersects(tg)
+    } yield tid -> sg.intersection(tg).getArea)
+      .groupBy(_._1)
+      .map { case (tid, xs) => tid -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    val got = SpatialJoin
+      .overlayArea(entitiesDf(source), entitiesDf(target))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (tid, (n, a)) =>
+      assert(n === expected(tid)._1, s"pair count differs for $tid")
+      assert(math.abs(a - expected(tid)._2) <=
+        1e-9 * math.max(1.0, expected(tid)._2.abs),
+        s"area differs for $tid: $a vs ${expected(tid)._2}")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("countVerifications equals the MBR-intersecting pair count and " +
        "plans no geometry join-backs") {
     val expected = bruteForce().size.toLong

@@ -103,6 +103,45 @@ class TextScoreSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSet == flagged)
   }
 
+  test("dd20 containment: a quoted substring is contained in its source " +
+       "(directed), near-identical docs flag BOTH directions") {
+    // doc2's 6 tokens = a contiguous slice of doc1's 12 -> all 4 of
+    // doc2's shingles appear among doc1's 10: containment(2->1) = 1.0,
+    // containment(1->2) = 0.4 (below 0.8, direction absent).
+    // doc3/doc4 differ in ONE trailing token of 12: 10 shared shingles
+    // of 10/10 each... doc4 ends differently so its last 2 shingles
+    // change: 8 shared of 10 -> 0.8, both directions emitted.
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val quote = (4 to 9).map(i => s"w$i").mkString(" ")
+    val v3 = (1 to 12).map(i => s"v$i").mkString(" ")
+    val v4 = ((1 to 10).map(i => s"v$i") ++ Seq("x", "v12")).mkString(" ")
+    val dir = microCorpus(Seq(1L -> base, 2L -> quote, 3L -> v3, 4L -> v4))
+    val got = graft.operators.TextOps.dd20Containment(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set((2L, 1L), (3L, 4L), (4L, 3L)))
+    assert(got((2L, 1L)) === ((4L, 1.0)))
+    assert(got((3L, 4L)) === ((8L, 0.8)))
+    assert(got((4L, 3L)) === ((8L, 0.8)))
+  }
+
+  test("dd20 hub cap: shingles above maxDf carry no containment signal") {
+    // three docs share one boilerplate sentence; with maxDf=2 its
+    // shingles are dropped, so no pair reaches the threshold
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val dir = microCorpus(Seq(
+      1L -> s"$boiler only one two three",
+      2L -> s"$boiler just four five six",
+      3L -> s"$boiler more seven eight nine"))
+    val capped = graft.operators.TextOps
+      .dd20Containment(spark, dir, minContain = 0.5, maxDf = 2)
+    assert(capped.count() === 0L)
+    // uncapped, the boilerplate dominates every doc's kept set
+    val open = graft.operators.TextOps
+      .dd20Containment(spark, dir, minContain = 0.5, maxDf = 100)
+    assert(open.count() === 6L)
+  }
+
   test("ta14 BM25: hand-computed scores and ranking on a micro corpus") {
     // vocab x/y/z all df=2, N=3, dl = 3/2/4, avgdl = 3 -> one query
     // {x,y,z}; idf = ln(1.5/2.5) < 0 (the negative-idf regime)
