@@ -272,6 +272,48 @@ object Analytics {
     * bound the window's parallelism regardless of shuffle.partitions).
     * The exact arm is the verification baseline, same contract as
     * dd7/ann1. */
+  /** q21: EXACT per-group weighted median — the smallest price whose
+    * cumulative quantity reaches half the group's total (lower
+    * weighted median over integer weights). The weighted sibling of
+    * q18's exact arm, and the same scale shape: cumulative weight
+    * comes from the Ranks range exchange over the global (flag, price)
+    * order — parallelism = shuffle.partitions — never from a window
+    * partitioned by the 3-value flag column (PlanAudit rule 7's
+    * anti-pattern). Per-flag targets are offset-shifted into the
+    * global running sum via a |flags|-row driver collect (the q18
+    * contract). Tie collapse first: (flag, price) weight sums shrink
+    * the ranked frame to the distinct-price set.
+    *
+    * The median itself is an INPUT value (never arithmetic on
+    * doubles), and weights/cumulative sums are integers — the whole
+    * gate is bit-exact by construction with no rounding anywhere. */
+  def q21WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val grouped = lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("price"))
+      .agg(sum(col("w")).as("w"))
+    val ranked = Ranks.runningTotals(grouped,
+      Seq(col("l_returnflag"), col("price")), Seq(col("w")), Seq("gcum")).df
+    val totals = grouped.groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("tw"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (offsets, _) = Ranks.groupOffsetsFromTotals(totals)
+    // global target = flag offset + ceil(tw/2), computed driver-side
+    // on longs (|flags| rows)
+    val target = totals.map { case (f, tw) =>
+      f -> (offsets(f) + (tw + 1L) / 2L) }.toMap
+    val twMap = totals.toMap
+    ranked
+      .filter(col("gcum") >= element_at(typedLit(target), col("l_returnflag")))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).as("median_price"))
+      .withColumn("total_qty",
+        element_at(typedLit(twMap), col("l_returnflag")))
+      .select(col("l_returnflag"), col("total_qty"), col("median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def q18ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
     val acc = 10000
@@ -499,6 +541,7 @@ object Analytics {
     "q16_hourly_anomaly" -> (q16HourlyAnomaly _),
     "q17_approx_distinct" -> (q17ApproxDistinct _),
     "q18_approx_quantiles" -> (q18ApproxQuantiles _),
+    "q21_weighted_median" -> (q21WeightedMedian _),
     "q19_frequent_users" -> ((s: SparkSession, dir: String) =>
       q19FrequentUsers(s, dir)),
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -528,6 +571,22 @@ object Analytics {
     // so the doubles are bit-identical across engines. p is CAST to
     // DOUBLE so ceil(p*n) evaluates in the same IEEE arithmetic as
     // Spark (DuckDB VALUES would otherwise infer DECIMAL).
+    // q21 twin: SQL cumulative window (peers-inclusive RANGE semantics
+    // shift WHERE the running sum crosses inside a price tie, but
+    // min(price) over qualifying rows is tie-insensitive — crossing
+    // anywhere inside the tie group still yields that group's price)
+    "q21_weighted_median" ->
+      """WITH g AS (
+           SELECT l_returnflag AS f, l_extendedprice AS p,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT f, p, sum(w) OVER (PARTITION BY f ORDER BY p) AS cum
+               FROM g),
+         t AS (SELECT f, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY 1)
+         SELECT t.f AS l_returnflag, t.tw AS total_qty,
+           min(c.p) AS median_price
+         FROM c JOIN t ON c.f = t.f AND c.cum >= (t.tw + 1) // 2
+         GROUP BY 1, 2 ORDER BY 1""",
     "q18_approx_quantiles" ->
       """WITH n AS (
            SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1),

@@ -326,6 +326,57 @@ object GraphOps {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Synchronous label propagation over a SYMMETRIC simple edge frame
+    * `(src, dst)` — the standard near-linear community detection:
+    * every node starts as its own label and each round adopts the
+    * label most frequent among its neighbors, ties broken toward the
+    * SMALLEST label. A fixed round count (like the pagerank/ann14
+    * loops) keeps the trajectory engine-deterministic: synchronous
+    * updates + the min-label tie-break make every round a pure
+    * function of the previous labeling, so an unrolled SQL oracle
+    * reproduces it exactly — integer labels, no float drift at all.
+    *
+    * 100 TB shape: each round is one edge-sized equi-join against the
+    * node-sized label frame, a (dst, lbl) partial-aggregated count,
+    * and a node-keyed argmax — max(struct(cnt, -lbl)) rather than a
+    * window, so it map-side combines and never materializes a sorted
+    * per-node group. Per-round label frames are lineage-cut. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val cnts = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      labels = graft.spark.Checkpoints.cut(
+        cnts.groupBy(col("dst").as("id"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("id"), (-col("m.neg")).as("lbl")),
+        checkpointDir)
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** gr7: communities of the part co-purchase graph — label
+    * propagation composed over gr5's projected similarity graph, the
+    * pipeline read "which parts cluster into baskets". 3 synchronous
+    * rounds from singleton labels; output = every node with its
+    * community label (integers end to end). */
+  def gr7LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
+      gr5CopurchasePairs(s, dir)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+    }
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    labelPropagation(edges, rounds = 3)
+      .select(col("id").as("part_id"), col("lbl").as("community"))
+      .orderBy(col("part_id"))
+  }
+
   /** k-core of a SYMMETRIC simple edge frame `(src, dst)`: iteratively
     * peel nodes of degree < k until every survivor has degree ≥ k
     * within the surviving subgraph. Returns `(src, core_deg)` — the
@@ -397,8 +448,40 @@ object GraphOps {
     "gr3_weighted_pagerank" -> (gr3WeightedPagerank _),
     "gr4_triangle_count" -> (gr4TriangleCount _),
     "gr5_copurchase_pairs" -> (gr5CopurchasePairs _),
-    "gr6_kcore" -> (gr6Kcore _)
+    "gr6_kcore" -> (gr6Kcore _),
+    "gr7_label_prop" -> (gr7LabelProp _)
   )
+
+  // gr5's co-purchase pair derivation as a shared CTE prefix (ends at
+  // `cop (pa, pb)` with the same cap/threshold as the gate).
+  private val copurchaseCtes: String =
+    """op AS (
+         SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),
+       keep AS (
+         SELECT k FROM (SELECT k, count(*) AS kdeg FROM op GROUP BY k)
+         WHERE kdeg <= 64),
+       opk AS (SELECT op.k, op.v FROM op JOIN keep ON keep.k = op.k),
+       cop AS (
+         SELECT pa, pb FROM (
+           SELECT a.v AS pa, b.v AS pb, count(*) AS shared
+           FROM opk a JOIN opk b ON a.k = b.k AND a.v < b.v
+           GROUP BY 1, 2)
+         WHERE shared >= 2)"""
+
+  /** One unrolled synchronous label-propagation round `l$prev → l$i`:
+    * neighbor-label counts, then per-node argmax with the min-label
+    * tie-break (row_number twin of the operator's max(struct(cnt,
+    * -lbl))). MATERIALIZED for the same reason as [[peelCte]]. */
+  private def lpaCte(i: Int, prev: Int): String =
+    s"""c$i AS (
+         SELECT e.dst AS id, l.lbl, count(*) AS cnt
+         FROM ledges e JOIN l$prev l ON l.id = e.src GROUP BY 1, 2),
+       l$i AS MATERIALIZED (
+         SELECT id, lbl FROM (
+           SELECT id, lbl, row_number() OVER (
+             PARTITION BY id ORDER BY cnt DESC, lbl ASC) AS rn
+           FROM c$i)
+         WHERE rn = 1)"""
 
   // Shared CTE prefix: the namespaced symmetric edge list, degrees,
   // nodes — the exact twin of interactionEdges.
@@ -457,6 +540,19 @@ object GraphOps {
          JOIN s$i a ON a.src = e.src JOIN s$i b ON b.src = e.dst)"""
 
   val oracles: Map[String, String] = Map(
+    // 3 unrolled synchronous rounds — the exact trajectory twin of
+    // labelPropagation (integer labels, no fixpoint dependence)
+    "gr7_label_prop" ->
+      s"""WITH $copurchaseCtes,
+         ledges AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM cop
+           UNION ALL SELECT pb, pa FROM cop),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS id, src AS lbl FROM ledges),
+         ${lpaCte(1, 0)},
+         ${lpaCte(2, 1)},
+         ${lpaCte(3, 2)}
+         SELECT id AS part_id, lbl AS community FROM l3 ORDER BY 1""",
     // 8 unrolled peel rounds = the operator's round cap; rounds past
     // the fixpoint are identity, so this equals the converged core
     // whenever the operator's convergence require() passes

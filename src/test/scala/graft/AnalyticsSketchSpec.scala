@@ -66,6 +66,26 @@ class AnalyticsSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q21: weighted median matches a driver-side sequential " +
+       "accumulation per flag") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val got = graft.operators.Analytics.q21WeightedMedian(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val byFlag = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .groupBy(_.getString(0))
+    assert(got.keySet === byFlag.keySet)
+    byFlag.foreach { case (f, rs) =>
+      val wp = rs.map(r => (r.getDouble(1), r.getDouble(2).toLong))
+        .sortBy(_._1)
+      val total = wp.map(_._2).sum
+      val half = (total + 1L) / 2L
+      var cum = 0L
+      val median = wp.find { case (_, w) => cum += w; cum >= half }.get._1
+      assert(got(f) === ((total, median)), s"flag $f")
+    }
+  }
+
   test("q19: within_bounds all true; raw CMS estimate never under, " +
        "over by at most 3*eps*N") {
     spark.sparkContext.setLogLevel("ERROR")

@@ -201,6 +201,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(strong === Set((2L, 3L)))
   }
 
+  test("label propagation: two triangles + bridge converge to two " +
+       "communities, hand-traced through all 3 synchronous rounds") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    val got = GraphOps.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4; r2: 1→1 2→1 3→1 4→4 5→3 6→3;
+    // r3: the two triangles settle on their min members
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("label propagation tie-break: equal neighbor-label counts pick " +
+       "the smallest label") {
+    // path 1-2-3 after one round: node 2 sees {1, 3} once each -> 1
+    val edges = sym(Seq((1L, 2L), (2L, 3L)))
+    val got = GraphOps.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("k-core: clique survives with in-core degrees, an attached chain " +
        "peels away over multiple rounds") {
     // 5-clique (degrees 4) + chain 5-6-7-8 hanging off node 5: chain
