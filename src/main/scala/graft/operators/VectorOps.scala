@@ -485,6 +485,39 @@ object VectorOps {
       .groupBy(col("sig")).agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("sig"))
 
+  /** ann16: MULTIPROBE hyperplane LSH top-k (Lv et al. 2007, public) —
+    * each query probes its own signature bucket PLUS every
+    * Hamming-distance-1 bucket (flip each of the 8 plane bits), so
+    * recall rises the way extra hash tables would WITHOUT storing the
+    * corpus more than once: near-miss neighbors that landed one plane
+    * away become candidates. Candidate generation stays a narrow
+    * equi-join on the signature key — cost = Σ probed-bucket sizes
+    * (9 buckets/query), never all-pairs; a corpus vector has exactly
+    * ONE signature, so no (query, neighbor) pair can arrive via two
+    * probes and the join needs no dedup. Exact cosine verifies, ann6's
+    * round-9 + id tie-break ranks. */
+  def ann16MultiprobeLsh(s: SparkSession, dir: String, k: Int = 3,
+                         planes: Int = 8): DataFrame = {
+    val b = graft.spark.DfCache.memo(s, s"$dir#hpb$planes") {
+      hyperplaneBuckets(s, dir, planes)
+    }
+    val probes = col("sig") +:
+      (0 until planes).map(j => col("sig").bitwiseXOR(lit(1L << j)))
+    val queries = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
+        explode(array(probes: _*)).as("probe"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    b.join(broadcast(queries), col("sig") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("q_v"), col("v")), 9).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ann6: int8 scalar-quantized cosine top-k — the standard 4×
     * memory-compression step of a large-scale embedding store: each
     * vector is quantized to integers in [-127, 127] with a per-vector
@@ -778,6 +811,8 @@ object VectorOps {
     "ann2_label_centroids" -> (ann2LabelCentroids _),
     "ann3_ivf_topk" -> (ann3IvfTopK _),
     "ann4_hyperplane_lsh" -> (ann4HyperplaneLsh _),
+    "ann16_multiprobe_lsh" -> ((s: SparkSession, dir: String) =>
+      ann16MultiprobeLsh(s, dir)),
     "ann5_ivf_scaled" -> ((s: SparkSession, dir: String) => ann5IvfScaled(s, dir)),
     "ann15_ivf_learned" -> ((s: SparkSession, dir: String) =>
       ann15IvfLearned(s, dir)),
@@ -1253,6 +1288,36 @@ object VectorOps {
            FROM sims)
          SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
          ORDER BY q_id, rank""",
+    // ann16 twin: same signature CTE; probe list = own bucket + the 8
+    // single-bit flips, xor() on the BIGINT signature
+    "ann16_multiprobe_lsh" -> {
+      val sigExpr = sigExprSql(8)
+      val flips = (0 until 8).map(j => s"xor(sig, ${1L << j})")
+        .mkString(", ")
+      s"""WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+            FROM embeddings),
+          sig AS (SELECT vec_id, v, $sigExpr AS sig FROM emb),
+          qs AS (
+            SELECT vec_id AS q_id, v AS q_v,
+              unnest([sig, $flips]) AS probe
+            FROM sig WHERE vec_id % 50 = 0),
+          sims AS (
+            SELECT p.q_id, m.vec_id AS n_id,
+              round(list_dot_product(p.q_v, m.v) /
+                (sqrt(list_dot_product(p.q_v, p.q_v)) *
+                 sqrt(list_dot_product(m.v, m.v))), 9) AS sim
+            FROM qs p JOIN sig m
+              ON m.sig = p.probe AND m.vec_id <> p.q_id),
+          ranked AS (
+            SELECT q_id, n_id, sim, row_number() OVER (
+              PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+            FROM sims)
+          SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
+          ORDER BY q_id, rank"""
+    },
     "ann4_hyperplane_lsh" -> {
       val sigExpr = sigExprSql(8)
       s"""WITH emb AS (

@@ -83,6 +83,25 @@ class IvfSpec extends AnyFunSuite {
     assert(again === learned)
   }
 
+  test("ann16 multiprobe: candidate set strictly contains the single-" +
+       "probe set, so per-query best sim never degrades") {
+    val b = VectorOps.hyperplaneBuckets(spark, dir)
+    // single-probe candidates: own bucket only
+    val singleCands = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("sig").as("probe"), col("v").as("q_v"))
+      .join(b, col("sig") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = VectorOps.ann16MultiprobeLsh(spark, dir, k = 1000000)
+      .select(col("q_id"), col("n_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(singleCands.subsetOf(multi),
+      "multiprobe must never lose a single-probe candidate")
+    assert(multi.size > singleCands.size,
+      "Hamming-1 probes found no extra candidates — vacuous at this corpus")
+  }
+
   test("codebook cardinality scales as sqrt(n), not label count") {
     val n = Tables.embeddings(spark, dir).count()
     val cells = VectorOps.ann5IvfScaled(spark, dir, k = 3, nprobe = 1000)
