@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * every mm feature is computed over DECODED PIXELS, not raw payload
   * bytes. Only where the container bytes COME FROM stays synthetic
   * (no media files ship in the testdata); FixtureMediaSpec pins the
-  * decode against committed on-disk files. Compressed formats
-  * (PNG/JPEG) would slot into [[parseBmp]]'s position unchanged —
-  * this container ships no inflater, so the uncompressed container is
-  * the honest real-codec choice.
+  * decode against committed on-disk files. Since round 10 a
+  * COMPRESSED format is real too: [[parsePng]] is a full PNG decode
+  * (chunk walk, zlib inflate via `java.util.zip`, all five scanline
+  * unfilters), gated end to end by mm6. JPEG remains out of scope
+  * (no DCT codec ships in this container).
   */
 object Multimodal {
 
@@ -203,9 +204,12 @@ object Multimodal {
     * unchanged and still exact. */
   def ensureMediaDir(s: SparkSession, dir: String): String = {
     import s.implicits._
+    // v2: the directory name is versioned BECAUSE of the _done marker —
+    // a stale v1 lake from an earlier run would otherwise short-circuit
+    // materialization and leave the round's new formats (.png) missing
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_media_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"graft_media_v2_${java.lang.Integer.toHexString(dir.hashCode)}")
     val done = new java.io.File(out, "_done")
     if (!done.exists()) {
       out.mkdirs()
@@ -219,6 +223,8 @@ object Multimodal {
               java.nio.file.Paths.get(outPath, f"doc_$id%010d.wav"), wavBytes(p))
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outPath, f"doc_$id%010d.bmp"), bmpBytes(p))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outPath, f"doc_$id%010d.png"), pngBytes(p))
           }
         }
       done.createNewFile()
@@ -291,6 +297,149 @@ object Multimodal {
     bb.array()
   }
 
+  /** Build a VALID 8-bit grayscale PNG (public spec, RFC 2083): magic,
+    * IHDR/IDAT/IEND chunks with CRC32, zlib-deflated scanlines. The
+    * encoder deliberately CYCLES the row filter type (row y uses
+    * y % 5: None/Sub/Up/Average/Paeth) — filters are lossless, so the
+    * decode recovers identical pixels, and every one of the five
+    * unfilter paths in [[parsePng]] sits on the hash-gated path
+    * instead of only in a spec. */
+  def pngBytes(payload: Array[Byte], w: Int = 4, h: Int = 4): Array[Byte] = {
+    require(payload.length >= w * h)
+    // raw scanlines, one filter byte + w grayscale bytes per row
+    val raw = new Array[Byte](h * (w + 1))
+    val px = (x: Int, y: Int) => payload(y * w + x).toInt & 0xFF
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = px(x, y)
+        val left = if (x > 0) px(x - 1, y) else 0
+        val up = if (y > 0) px(x, y - 1) else 0
+        val ul = if (x > 0 && y > 0) px(x - 1, y - 1) else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (enc & 0xFF).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val idat = java.util.Arrays.copyOf(buf, n)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(0.toByte) // bit depth 8, colortype 0 (gray)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, none
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Paeth predictor (PNG spec §6.6) — shared by encoder and decoder. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG parsing — magic, chunk walk with length bounds, IHDR
+    * validation (8-bit grayscale or truecolor, no interlace), IDAT
+    * concatenation, zlib inflate, and full scanline UNFILTERING (all
+    * five per-row filter types: None/Sub/Up/Average/Paeth — the
+    * encoder cycles them, so each is exercised on the gate path).
+    * Returns luminance in image order (truecolor averaged like
+    * [[parseBmp]]); malformed input → None, never throws. */
+  def parsePng(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      if (bytes.length < 8 ||
+          !java.util.Arrays.equals(java.util.Arrays.copyOf(bytes, 8), magic))
+        return None
+      var pos = 8
+      var w = 0; var h = 0; var colortype = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var seenIhdr = false; var seenIend = false
+      while (pos + 8 <= bytes.length && !seenIend) {
+        val bb = java.nio.ByteBuffer.wrap(bytes, pos, 8)
+        val len = bb.getInt
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        if (len < 0 || pos + 12L + len > bytes.length) return None
+        typ match {
+          case "IHDR" =>
+            val d = java.nio.ByteBuffer.wrap(bytes, pos + 8, len)
+            w = d.getInt; h = d.getInt
+            val depth = d.get(); colortype = d.get()
+            val comp = d.get(); val filt = d.get(); val inter = d.get()
+            if (depth != 8 || (colortype != 0 && colortype != 2) ||
+                comp != 0 || filt != 0 || inter != 0) return None
+            if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return None
+            seenIhdr = true
+          case "IDAT" => idat.write(bytes, pos + 8, len)
+          case "IEND" => seenIend = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      if (!seenIhdr || !seenIend) return None
+      val bpp = if (colortype == 0) 1 else 3
+      val rowLen = w * bpp
+      val raw = new Array[Byte](h * (rowLen + 1))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (!inflater.finished() && off < raw.length) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        off += n
+      }
+      inflater.end()
+      if (off != raw.length) return None
+      // unfilter in place into the recon buffer (image order)
+      val recon = new Array[Int](h * rowLen)
+      for (y <- 0 until h) {
+        val f = raw(y * (rowLen + 1)).toInt & 0xFF
+        if (f > 4) return None
+        for (i <- 0 until rowLen) {
+          val x = raw(y * (rowLen + 1) + 1 + i).toInt & 0xFF
+          val left = if (i >= bpp) recon(y * rowLen + i - bpp) else 0
+          val up = if (y > 0) recon((y - 1) * rowLen + i) else 0
+          val ul = if (y > 0 && i >= bpp) recon((y - 1) * rowLen + i - bpp) else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + left
+            case 2 => x + up
+            case 3 => x + (left + up) / 2
+            case 4 => x + paeth(left, up, ul)
+          }
+          recon(y * rowLen + i) = v & 0xFF
+        }
+      }
+      val lum = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        lum(i) =
+          if (colortype == 0) recon(i)
+          else (recon(i * 3) + recon(i * 3 + 1) + recon(i * 3 + 2)) / 3
+        i += 1
+      }
+      Some((w, h, lum))
+    } catch { case _: Exception => None }
+
   /** REAL BMP parsing — magic, pixel-offset indirection, DIB header
     * validation (24-bit uncompressed), stride arithmetic, and the
     * bottom-up row flip. Returns luminance bytes in IMAGE order
@@ -351,15 +500,52 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** mm6: COMPRESSED-image decode END TO END — the PNG twin of mm5:
+    * materialized .png files stream through the `binaryFile` source
+    * and [[parsePng]] runs the full real codec (chunk walk, zlib
+    * inflate, all five scanline unfilters — the encoder cycles filter
+    * types per row, so each unfilter path is on this hash-gated path).
+    * Same per-pixel output contract as mm5, so a correct decode
+    * recovers the md5 bytes in image order and the mm5 oracle gates it
+    * verbatim. */
+  def mm6PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFiles(s, dir, "png")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parsePng(bytes).toSeq.flatMap { case (w, h, lum) =>
+          lum.indices.map(i => DecodedPixel(id, w, h, i, lum(i)))
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("px_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_resize" -> ((s: SparkSession, dir: String) => mm3Resize(s, dir)),
     "mm4_audio_decode" -> (mm4AudioDecode _),
-    "mm5_image_decode" -> (mm5ImageDecode _)
+    "mm5_image_decode" -> (mm5ImageDecode _),
+    "mm6_png_decode" -> (mm6PngDecode _)
   )
 
+  /** mm6 shares mm5's oracle verbatim: both decoders must recover the
+    * same md5 bytes in image order — PNG (deflate + unfilter) and BMP
+    * (stride + flip) are two real codecs gated by one truth. */
+  private val mm5OracleSql =
+    """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents)
+         SELECT doc_id, 4 AS width, 4 AS height, (i - 1) AS px_index,
+           b[i] AS lum
+         FROM bytes, unnest(range(1, 17)) AS t(i)
+         ORDER BY doc_id, px_index"""
+
   val oracles: Map[String, String] = Map(
+    "mm6_png_decode" -> mm5OracleSql,
     "mm2_frame_sample" ->
       """WITH bytes AS (
            SELECT doc_id,
@@ -388,16 +574,7 @@ object Multimodal {
     // Correct BMP decoding recovers the md5 bytes in IMAGE order:
     // lum at px_index i-1 (0-based) = byte i (1-based). A parser that
     // mishandled the bottom-up flip would emit row-swapped values.
-    "mm5_image_decode" ->
-      """WITH bytes AS (
-           SELECT doc_id,
-             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
-              FOR i IN range(1, 17)] AS b
-           FROM documents)
-         SELECT doc_id, 4 AS width, 4 AS height, (i - 1) AS px_index,
-           b[i] AS lum
-         FROM bytes, unnest(range(1, 17)) AS t(i)
-         ORDER BY doc_id, px_index""",
+    "mm5_image_decode" -> mm5OracleSql,
     // Recompute the WAV samples from the md5 bytes: sample i =
     // (b[2i-1]<<8 | b[2i]) - 32768 (1-based list positions). sumsq of
     // 8 squared 16-bit values is < 2^33 — exact in a double — so

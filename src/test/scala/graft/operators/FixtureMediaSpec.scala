@@ -60,6 +60,34 @@ class FixtureMediaSpec extends AnyFunSuite {
     assert(lum.toSeq === (0 until 16))
   }
 
+  test("committed PNG (independently encoded: CPython zlib, cycled row " +
+       "filters) decodes to the payload in image order") {
+    val disk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixtureDir, "doc_0000000000.png"))
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(fixtureDir)
+      .select(col("content")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Array[Byte]](0).sameElements(disk))
+    val Some((w, h, lum)) = Multimodal.parsePng(disk)
+    assert((w, h) === ((4, 4)))
+    assert(lum.toSeq === (0 until 16))
+  }
+
+  test("PNG round trip: the JVM encoder's cycled filters (incl. Paeth " +
+       "on a 5-row image) invert exactly; corrupt streams return None") {
+    val p25 = Array.tabulate[Byte](25)(i => ((i * 37 + 11) % 256).toByte)
+    val Some((w, h, lum)) = Multimodal.parsePng(Multimodal.pngBytes(p25, 5, 5))
+    assert((w, h) === ((5, 5)))
+    assert(lum.toSeq === p25.map(_ & 0xFF).toSeq)
+    // corruption paths: magic, truncated IDAT, bad CRC region is
+    // ancillary (CRCs are not re-verified — chunk bounds are)
+    val good = Multimodal.pngBytes(p25, 5, 5)
+    assert(Multimodal.parsePng(good.drop(1)).isEmpty)
+    assert(Multimodal.parsePng(good.take(good.length / 2)).isEmpty)
+    assert(Multimodal.parsePng(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("mm1's batch decode over the COMMITTED fixture image yields the " +
        "exact pixel features (byte-pinned real-codec contract)") {
     val disk = java.nio.file.Files.readAllBytes(
