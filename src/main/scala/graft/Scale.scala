@@ -165,7 +165,13 @@ object Scale {
                     // ann15 rides ann14's memoized codebook+assignment:
                     // its marginal cost is the probe/rerank tail only
                     "ann15_ivf_learned",
-                    "ta13_bigram_lm", "dd19_span_dedup"))
+                    "ta13_bigram_lm", "dd19_span_dedup",
+                    // round-10 wave 2: containment dedup (inverted
+                    // shingle index, hub-capped — the wedge volume is
+                    // df-bounded, so the curve should track postings,
+                    // not pairs) and multiprobe LSH (9 bucket probes
+                    // per query over the signature equi-join)
+                    "dd20_containment", "ann16_multiprobe_lsh"))
         results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier
@@ -173,15 +179,30 @@ object Scale {
       // cost is edge-linear: rank join against the persisted
       // src-partitioned edge frame + dst-key partial agg; the curve
       // should track edge volume, the graph build is untimed.
+      val ge = graft.spark.DfCache.memo(spark, s"scale#grEdges#$baseDir#$n") {
+        ScaleCorpus.scaledEdges(spark,
+          graft.operators.GraphOps.interactionEdges(spark, baseDir), n)
+      }
       results("gr1_pagerank") = timed(2) {
-        val ge = graft.spark.DfCache.memo(spark, s"scale#grEdges#$baseDir#$n") {
-          ScaleCorpus.scaledEdges(spark,
-            graft.operators.GraphOps.interactionEdges(spark, baseDir), n)
-        }
         val gn = ge.select(col("src").as("id")).distinct()
         val gc = gn.count()
         graft.operators.GraphOps.pagerank(ge,
           gn.select(col("id"), lit(1.0 / gc.toDouble).as("w"))).count()
+      }
+      // round-10 wave 2 graph rows over the same scaled edge frame:
+      // k-core rounds are a per-copy structural property (disjoint
+      // shifted copies of one base graph), so the curve isolates
+      // edge-volume cost; label propagation is 3 edge-sized joins.
+      results("gr6_kcore") = timed(2) {
+        graft.operators.GraphOps.kcore(ge, k = 30, maxRounds = 8).count()
+      }
+      results("gr7_label_prop") = timed(2) {
+        graft.operators.GraphOps.labelPropagation(ge, rounds = 3).count()
+      }
+      // sp19 overlay measure over the scaled jittered boxes (double
+      // areas — the integer-exact contract is gate-corpus-only)
+      results("sp19_overlay_area") = timed(2) {
+        SpatialJoin.overlayArea(partS, suppS).count()
       }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for

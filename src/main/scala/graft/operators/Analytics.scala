@@ -185,6 +185,32 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** q22: retention cohorts — the canonical growth-analytics read over
+    * an event stream: each user's cohort is the midnight of their
+    * FIRST activity; the matrix cell (cohort_day, day_k) counts users
+    * of that cohort active k days later. All integers and
+    * midnight-aligned timestamps — bit-exact with no rounding.
+    *
+    * Scale shape: distinct (user, day) activity first (one
+    * content-keyed aggregation that collapses the event volume to
+    * active-user-days), a user-keyed min for the cohort (high-NDV
+    * groupBy, never a window), one equi-join back, and a final
+    * cohort-cell count. Nothing is ever per-event after the first
+    * distinct. */
+  def q22RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val acts = events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohorts = acts.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+    acts.join(cohorts, "user_id")
+      // one row per (user, day) by the distinct above, so count(*)
+      // IS the distinct-user count of the cell
+      .groupBy(col("c0").as("cohort_day"),
+        datediff(col("d"), col("c0")).as("day_k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_k"))
+  }
+
   /** q16: trailing-window rate anomaly detection — hourly event counts
     * whose z-score against the PRECEDING 24 hours (per type) exceeds
     * |2|, with at least 12 trailing samples. The streaming-adjacent
@@ -542,6 +568,7 @@ object Analytics {
     "q17_approx_distinct" -> (q17ApproxDistinct _),
     "q18_approx_quantiles" -> (q18ApproxQuantiles _),
     "q21_weighted_median" -> (q21WeightedMedian _),
+    "q22_retention_cohorts" -> (q22RetentionCohorts _),
     "q19_frequent_users" -> ((s: SparkSession, dir: String) =>
       q19FrequentUsers(s, dir)),
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -571,6 +598,18 @@ object Analytics {
     // so the doubles are bit-identical across engines. p is CAST to
     // DOUBLE so ceil(p*n) evaluates in the same IEEE arithmetic as
     // Spark (DuckDB VALUES would otherwise infer DECIMAL).
+    // q22 twin: same distinct-activity → per-user min → cell count
+    // chain; date_diff on midnight-aligned timestamps counts whole
+    // days, the twin of Spark's datediff-after-date_trunc
+    "q22_retention_cohorts" ->
+      """WITH acts AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+         c AS (SELECT user_id, min(d) AS c0 FROM acts GROUP BY 1)
+         SELECT c.c0 AS cohort_day,
+           CAST(date_diff('day', c.c0, a.d) AS BIGINT) AS day_k,
+           count(*) AS n_users
+         FROM acts a JOIN c ON a.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q21 twin: SQL cumulative window (peers-inclusive RANGE semantics
     // shift WHERE the running sum crosses inside a price tie, but
     // min(price) over qualifying rows is tie-insensitive — crossing

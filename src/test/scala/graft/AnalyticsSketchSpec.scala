@@ -86,6 +86,24 @@ class AnalyticsSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("q22 retention: day-0 cell equals cohort size, cells sum to " +
+       "distinct user-days, no negative offsets") {
+    val rows = graft.operators.Analytics.q22RetentionCohorts(spark, dir)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "activity before the user's cohort day")
+    val acts = graft.Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts"))).distinct()
+    assert(rows.map(_._3).sum === acts.count())
+    // every cohort has a day-0 cell (the user's own first-activity day)
+    val day0 = rows.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    val cohortSizes = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(date_trunc("day", col("ts"))).as("c0"))
+      .groupBy(col("c0")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(day0 === cohortSizes)
+  }
+
   test("q19: within_bounds all true; raw CMS estimate never under, " +
        "over by at most 3*eps*N") {
     spark.sparkContext.setLogLevel("ERROR")
