@@ -1228,17 +1228,22 @@ object TextOps {
     *
     * 100 TB shape: two content-keyed aggregations + one bounded
     * self-join; nothing all-pairs, no driver state. */
-  def dd20Containment(s: SparkSession, dir: String,
-                      minContain: Double = 0.8, maxDf: Int = 256): DataFrame = {
-    val posts = docShingles(s, dir)
-      .select(col("doc_id"), explode(col("sset")).as("g"))
-    val keep = posts.groupBy(col("g"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select(col("g"))
-    val kept = graft.spark.DfCache.memo(s, s"$dir#dd20kept#$maxDf") {
+  /** Hub-capped inverted shingle postings (doc_id, g) — the shared
+    * index of the containment family (dd20 pairs, cp9 pruning). */
+  private def dd20Kept(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#dd20kept#$maxDf") {
+      val posts = docShingles(s, dir)
+        .select(col("doc_id"), explode(col("sset")).as("g"))
+      val keep = posts.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf)
+        .select(col("g"))
       posts.join(keep, "g")
     }
+
+  def dd20Containment(s: SparkSession, dir: String,
+                      minContain: Double = 0.8, maxDf: Int = 256): DataFrame = {
+    val kept = dd20Kept(s, dir, maxDf)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
     val shared = kept.select(col("g"), col("doc_id").as("id_a"))
       .join(kept.select(col("g"), col("doc_id").as("id_b")), "g")
@@ -1253,12 +1258,39 @@ object TextOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** cp9: subset pruning — the curation decision dd20's directed
+    * containment relation exists FOR: a document ≥80 %-contained in a
+    * strictly larger one (ties broken to the smaller doc_id) is a
+    * quote/boilerplate-wrapper duplicate and is dropped; the kept
+    * "keeper" is the smallest qualifying container id, so the decision
+    * is deterministic and one-pass (the standard rule — chains a⊂b⊂c
+    * drop both a and b in the same pass). Sizes = kept-posting counts,
+    * the dd20 contract. Output: every dropped doc with its keeper and
+    * how many containers qualified. */
+  def cp9SubsetPrune(s: SparkSession, dir: String,
+                     minContain: Double = 0.8, maxDf: Int = 256): DataFrame = {
+    val pairs = dd20Containment(s, dir, minContain, maxDf)
+    val sizes = dd20Kept(s, dir, maxDf)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .filter(col("n_b") > col("n_a") ||
+        (col("n_b") === col("n_a") && col("id_b") < col("id_a")))
+      .groupBy(col("id_a").as("doc_id"))
+      .agg(min(col("id_b")).as("keeper"),
+        count(lit(1)).as("n_containers"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta14_bm25" -> ((s: SparkSession, dir: String) => ta14Bm25(s, dir)),
     "ta13_bigram_lm" -> ((s: SparkSession, dir: String) =>
       ta13BigramLmScore(s, dir)),
     "dd20_containment" -> ((s: SparkSession, dir: String) =>
       dd20Containment(s, dir)),
+    "cp9_subset_prune" -> ((s: SparkSession, dir: String) =>
+      cp9SubsetPrune(s, dir)),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1449,6 +1481,29 @@ object TextOps {
              PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
            FROM scored)
          WHERE rank <= 10 ORDER BY qid, rank""",
+    // cp9 twin: dd20's qualifying pairs restricted to strictly-larger
+    // (or equal-size smaller-id) containers, then keeper = min id
+    "cp9_subset_prune" ->
+      s"""WITH $shinglesCte,
+         posts AS (SELECT doc_id, unnest(sset) AS g FROM sh),
+         keep AS (
+           SELECT g FROM (SELECT g, count(*) AS df FROM posts GROUP BY g)
+           WHERE df <= 256),
+         kept AS (SELECT p.doc_id, p.g FROM posts p JOIN keep USING (g)),
+         sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         sh2 AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         qual AS (
+           SELECT sh2.id_a, sh2.id_b
+           FROM sh2 JOIN sz a ON a.doc_id = sh2.id_a
+                    JOIN sz b ON b.doc_id = sh2.id_b
+           WHERE CAST(sh2.shared AS DOUBLE) / CAST(a.n AS DOUBLE) >= 0.8
+             AND (b.n > a.n OR (b.n = a.n AND sh2.id_b < sh2.id_a)))
+         SELECT id_a AS doc_id, min(id_b) AS keeper,
+           count(*) AS n_containers
+         FROM qual GROUP BY 1 ORDER BY 1""",
     // dd20 twin: inverted shingle index with the same maxDf=256 hub
     // cap; sizes over KEPT postings; containment is the identical
     // int/int double division

@@ -125,6 +125,20 @@ class TextScoreSpec extends AnyFunSuite {
     assert(got((4L, 3L)) === ((8L, 0.8)))
   }
 
+  test("cp9 subset prune: the quote drops toward its source, the " +
+       "equal-size near-twin tie-breaks to the smaller id") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val quote = (4 to 9).map(i => s"w$i").mkString(" ")
+    val v3 = (1 to 12).map(i => s"v$i").mkString(" ")
+    val v4 = ((1 to 10).map(i => s"v$i") ++ Seq("x", "v12")).mkString(" ")
+    val dir = microCorpus(Seq(1L -> base, 2L -> quote, 3L -> v3, 4L -> v4))
+    val got = graft.operators.TextOps.cp9SubsetPrune(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc2 contained in the strictly larger doc1; doc3/doc4 are
+    // equal-size mutual 0.8-containers -> only doc4 drops (id tie-break)
+    assert(got === Map(2L -> ((1L, 1L)), 4L -> ((3L, 1L))))
+  }
+
   test("dd20 hub cap: shingles above maxDf carry no containment signal") {
     // three docs share one boilerplate sentence; with maxDf=2 its
     // shingles are dropped, so no pair reaches the threshold
