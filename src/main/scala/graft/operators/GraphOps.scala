@@ -347,6 +347,10 @@ object GraphOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+    // free each round's node-sized checkpoint once the next round has
+    // materialized (same lifecycle as [[kcore]]; round 0 is lineage,
+    // not a checkpoint, so there is nothing to free the first time)
+    var prev: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val cnts = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -355,6 +359,8 @@ object GraphOps {
           .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
           .select(col("id"), (-col("m.neg")).as("lbl")),
         checkpointDir)
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(labels)
     }
     e.unpersist(blocking = false)
     labels
@@ -401,6 +407,12 @@ object GraphOps {
     var cur = edges.select(col("src"), col("dst"))
     var rounds = 0
     var done = false
+    // the previous round's checkpointed frame: freed as soon as the
+    // NEXT round's cut has materialized (cut is eager) — without this
+    // every round's edge-sized localCheckpoint stays pinned and the
+    // accumulated storage starves execution memory at scale (observed:
+    // AGGREGATE_OUT_OF_MEMORY in the degree hashAgg on the 100x
+    // corpus). Round 0's input is caller-owned and never unpersisted.
     var prev: Option[DataFrame] = None
     while (!done && rounds < maxRounds) {
       val bad = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -414,7 +426,7 @@ object GraphOps {
             .select(col("src"), col("dst")),
           checkpointDir)
         prev.foreach(_.unpersist(blocking = false))
-        prev = None
+        prev = Some(next)
         cur = next
         rounds += 1
       }
@@ -423,7 +435,11 @@ object GraphOps {
     require(done, s"k-core peel did not converge within $maxRounds rounds " +
       "(raise maxRounds; a batched peel converging this slowly usually " +
       "means a long induced path of exactly-degree-k nodes)")
-    cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    val out = graft.spark.Checkpoints.cut(
+      cur.groupBy(col("src")).agg(count(lit(1)).as("core_deg")),
+      checkpointDir)
+    prev.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** gr6: k-core of the customer–supplier interaction graph — the
