@@ -17,8 +17,13 @@ import graft.sources.ScaleCorpus
   * seg exact vs early-exit (the J8 flag decision, measured), dd5/dd8/
   * dd11 dedup, ann5/ann8 ANN.
   *
-  * Usage: runMain graft.Scale [baseSfDir] [mults] [outBase]
+  * Usage: runMain graft.Scale [baseSfDir] [mults] [outBase] [onlyPrefixes]
   *   e.g.  runMain graft.Scale /root/testdata/sf0.01 1,10,100 /root/repo/scale
+  *   The optional 4th arg is a comma list of result-key PREFIXES — only
+  *   matching experiments run (special sections: `seg`, `cc`, `stream`,
+  *   `replay`, `a6`). For fast single-curve re-measurement while
+  *   iterating; the committed SCALING artifact always comes from an
+  *   unfiltered run.
   */
 object Scale {
 
@@ -35,6 +40,10 @@ object Scale {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val mults = args.lift(1).getOrElse("1,10,100").split(",").map(_.trim.toInt)
     val outBase = args.lift(2).getOrElse("/root/repo/scale")
+    val only: Option[Array[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    def want(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,48 +58,59 @@ object Scale {
       // ONE domain grid shared by every corpus in the join experiments:
       // per-corpus grids would misalign copy k of source vs target and
       // manufacture cross-copy pairs
-      val bases = Map(
+      lazy val bases = Map(
         "part" -> GeoQueries.partBoxes(spark, baseDir),
         "supp" -> GeoQueries.supplierBoxes(spark, baseDir),
         "tri" -> GeoQueries.customerTriangles(spark, baseDir))
-      val b = bases.values.reduce(_.unionByName(_))
-        .agg(min("minx"), min("miny"), max("maxx"), max("maxy")).head
-      val domain = Some((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
+      lazy val domain = {
+        val b = bases.values.reduce(_.unionByName(_))
+          .agg(min("minx"), min("miny"), max("maxx"), max("maxy")).head
+        Some((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
+      }
       def scaledFrame(key: String): DataFrame =
         graft.spark.DfCache.memo(spark, s"scale#$baseDir#$n#$key") {
           SpatialJoin.entities(ScaleCorpus.scaledWkt(bases(key), n, domain = domain),
             col("id"), col("wkt"))
         }
-      val partS = scaledFrame("part")
-      val suppS = scaledFrame("supp")
-      val triS = scaledFrame("tri")
+      lazy val partS = scaledFrame("part")
+      lazy val suppS = scaledFrame("supp")
+      lazy val triS = scaledFrame("tri")
       // untimed warmup: materialize the persisted corpora (Bench
-      // methodology — measure the query, not the corpus build)
-      val corpus = Map(
-        "part" -> partS.count(), "supp" -> suppS.count(), "tri" -> triS.count(),
+      // methodology — measure the query, not the corpus build). The
+      // spatial frames only materialize when a spatial/progressive/a6
+      // experiment is actually selected — a filtered text-only run
+      // must not pay the WKT parse+persist of 2M+ geometries.
+      val wantSpatial = Seq("sp", "pr", "seg", "a6").exists(p =>
+        only.forall(_.exists(_.startsWith(p))))
+      val corpus = (if (wantSpatial) Map(
+          "part" -> partS.count(), "supp" -> suppS.count(),
+          "tri" -> triS.count())
+        else Map.empty[String, Long]) ++ Map(
         "docs" -> Tables.documents(spark, dataDir).count(),
         "vecs" -> Tables.embeddings(spark, dataDir).count())
 
       val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
-      results("sp3_relation_counts") = timed(2) {
+      def run(name: String, runs: Int = 2)(body: => Long): Unit =
+        if (want(name)) results(name) = timed(runs)(body)
+      run("sp3_relation_counts", 2) {
         SpatialJoin.relationCounts(partS, suppS).count() }
-      results("sp12_balanced_im") = timed(2) {
+      run("sp12_balanced_im", 2) {
         SkewBalancing.balancedDe9im(triS, suppS, zThreshold = 0.0).count() }
-      results("pr1_progressive_mbro") = timed(2) {
+      run("pr1_progressive_mbro", 2) {
         Progressive.progressiveVerify(partS, suppS, "w_mbro",
           budget = 200 * n, relation = "contains").count() }
-      results("pr10_early_stopping") = timed(2) {
+      run("pr10_early_stopping", 2) {
         ProgressiveTyped.earlyStopping(partS, suppS, "w_js",
           relation = "contains", batchSize = 100,
           precisionLevel = 0.0, maxViolations = 1).toDF().count() }
       // J8 early-exit decision: forced-segmented adaptive IM (the sp10
       // shape), exact union form vs RANK early-exit, same corpus
-      results("seg_exact") = timed(2) {
+      run("seg_exact", 2) {
         SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4).count() }
-      results("seg_earlyexit") = timed(2) {
+      run("seg_earlyexit", 2) {
         SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4,
           earlyExit = true).count() }
-      val segDiff =
+      val segDiff = if (!want("seg")) -1L else
         SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4)
           .select(col("s_id"), col("t_id"), col("intersects"))
           .exceptAll(SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4,
@@ -105,7 +125,7 @@ object Scale {
         col("id").as(idc),
         ((col("minx") + col("maxx")) / 2).as("x"),
         ((col("miny") + col("maxy")) / 2).as("y"))
-      results("sp15_knn_join") = timed(2) {
+      run("sp15_knn_join", 2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"),
           centroids(partS, "tgt_id"), k = 3).count() }
       // sp15 on a HEAVILY CLUSTERED corpus: 95 % of targets squeezed
@@ -120,13 +140,13 @@ object Scale {
       val tgtClustered = centroids(partS, "tgt_id")
         .withColumn("x", when(spreadTgt, col("x")).otherwise(col("x") / 10))
         .withColumn("y", when(spreadTgt, col("y")).otherwise(col("y") / 10))
-      results("sp15_knn_clustered") = timed(2) {
+      run("sp15_knn_clustered", 2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"), tgtClustered, k = 3)
           .count() }
       // sp16's ε-distance join on the same corpora: the g≥ε grid keeps
       // candidates ~ n·(targets/cells-touched) — the curve should track
       // output growth (pair density × corpus²), not the raw product
-      results("sp16_distance_join") = timed(2) {
+      run("sp16_distance_join", 2) {
         DistanceJoin.distanceJoin(centroids(suppS, "src_id"),
           centroids(partS, "tgt_id"), radius = 5.0).count() }
       // dd15 includes the dd9 pointer-jumping CC over the dd5 pair
@@ -172,7 +192,7 @@ object Scale {
                     // not pairs) and multiprobe LSH (9 bucket probes
                     // per query over the signature equi-join)
                     "dd20_containment", "ann16_multiprobe_lsh"))
-        results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+        if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier
       // edges — the scaled dirs carry no TPC-H tables). Per-iteration
@@ -183,7 +203,7 @@ object Scale {
         ScaleCorpus.scaledEdges(spark,
           graft.operators.GraphOps.interactionEdges(spark, baseDir), n)
       }
-      results("gr1_pagerank") = timed(2) {
+      run("gr1_pagerank", 2) {
         val gn = ge.select(col("src").as("id")).distinct()
         val gc = gn.count()
         graft.operators.GraphOps.pagerank(ge,
@@ -193,35 +213,38 @@ object Scale {
       // k-core rounds are a per-copy structural property (disjoint
       // shifted copies of one base graph), so the curve isolates
       // edge-volume cost; label propagation is 3 edge-sized joins.
-      results("gr6_kcore") = timed(2) {
+      run("gr6_kcore", 2) {
         graft.operators.GraphOps.kcore(ge, k = 30, maxRounds = 8).count()
       }
-      results("gr7_label_prop") = timed(2) {
+      run("gr7_label_prop", 2) {
         graft.operators.GraphOps.labelPropagation(ge, rounds = 3).count()
       }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)
-      results("sp19_overlay_area") = timed(2) {
+      run("sp19_overlay_area", 2) {
         SpatialJoin.overlayArea(partS, suppS).count()
       }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
       // BOTH engines (pointer jumping and the alternating-star form)
-      val ccEdges = graft.operators.TextOps.dd5LshPairs(spark, dataDir)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val (ccLabels, ccRounds) = graft.operators.Components
-        .connectedComponentsWithStats(ccEdges)
-      ccLabels.count()
-      val (ccAltLabels, ccAltRounds) = graft.operators.Components
-        .connectedComponentsAlternating(ccEdges)
-      ccAltLabels.count()
+      val (ccRounds, ccAltRounds) = if (!want("cc")) (-1, -1) else {
+        val ccEdges = graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val (ccLabels, r1) = graft.operators.Components
+          .connectedComponentsWithStats(ccEdges)
+        ccLabels.count()
+        val (ccAltLabels, r2) = graft.operators.Components
+          .connectedComponentsAlternating(ccEdges)
+        ccAltLabels.count()
+        (r1, r2)
+      }
       // dd5 at production signature width — the SAME gate operator
       // (TextOps.dd5LshPairs), wider signature: rows-per-band grown
       // with log n (r=4 to 100k docs, r=6 beyond; false-candidate rate
       // per band ~ J^r), band count fixed so recall stays 1-(1-J^r)^4.
       val docs = corpus("docs")
       val dd5Perms = if (docs <= 100000) 16 else 24
-      results(s"dd5_wide_signature_$dd5Perms") = timed(2) {
+      run(s"dd5_wide_signature_$dd5Perms", 2) {
         graft.operators.TextOps.dd5LshPairs(spark, dataDir,
           perms = dd5Perms, numBands = 4).count() }
       // dd8 gate width (8 planes / 4 bands = 2 bits/band, 4 bucket
@@ -230,7 +253,7 @@ object Scale {
       // never silently: the wide form below carries the curve.
       val vecs = corpus("vecs")
       if (vecs <= 50000)
-        results("dd8_lsh_embedding_dups") = timed(2) {
+        run("dd8_lsh_embedding_dups", 2) {
           SparkEntry.queries("dd8_lsh_embedding_dups")(spark, dataDir).count() }
       else println(s"[scale] skipping dd8_lsh_embedding_dups at n=$vecs: " +
         "gate-width signature (4 buckets/band) is quadratic past ~50k vectors")
@@ -239,73 +262,25 @@ object Scale {
       // width corpus-branched inside the operator and its oracle), so
       // the curve below is the hash-gated form's curve, not a
       // harness-only variant.
-      results("dd8_scaled_dups") = timed(2) {
+      run("dd8_scaled_dups", 2) {
         SparkEntry.queries("dd8_scaled_dups")(spark, dataDir).count() }
 
-      // Streaming state-scale: the production FILE source (one
-      // micro-batch per ts-ranged part file, parquet sink, no driver
-      // replay) at EVERY scale — wall-time should track data volume,
-      // state rows should track active users (sessionize) resp.
-      // rate × window (interval join).
-      val (st1Sec, st1Rows, st1State) =
-        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir)
-      val (ij1Sec, ij1Rows, ij1State) =
-        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)
-      val (sk1Sec, sk1Rows, sk1State) =
-        graft.streaming.EventStream.sketchFileStats(spark, dataDir)
-      // st10: the NATIVE session_window operator next to the custom
-      // sessionizer's curve — same input, Spark's own session state
-      val (sw1Sec, sw1Rows, sw1State) =
-        graft.streaming.EventStream.sessionWindowFileStats(spark, dataDir)
-      val (dr1Sec, dr1Rows, dr1State) =
-        graft.streaming.EventStream.dailyRollupFileStats(spark, dataDir)
-      // Same harnesses on the RocksDB state store — the provider a
-      // 100 TB deployment runs (state spills beyond the executor heap;
-      // the default HDFS-backed store is entirely on-heap), with the
-      // tuning preset (EventStream.RocksDbTuning: changelog
-      // checkpointing, 64 MB block cache, no compression, 64 MB write
-      // buffer, row tracking off, sparse snapshots) applied by the
-      // harness. Rows must match the in-memory run exactly; state_rows
-      // reads 0 under the tuned preset (trackTotalNumberOfRows=false —
-      // the documented cost of skipping the per-put existence lookup;
-      // the in-memory twin of the same query carries the state curve).
-      // The mem/rocks PAIR is interleaved min-of-2: host noise on this
-      // box has swung single runs of the identical harness by 1.8×,
-      // which once made the provider ratio read as 2.1× (r9).
-      val rocks = Some(graft.streaming.EventStream.RocksDbProvider)
-      val (st1rSec0, st1rRows, st1rState) =
-        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir, rocks)
-      val (ij1rSec0, ij1rRows, ij1rState) =
-        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir, rocks)
-      val st1Sec2 = math.min(st1Sec,
-        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir)._1)
-      val ij1Sec2 = math.min(ij1Sec,
-        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir)._1)
-      val st1rSec = math.min(st1rSec0,
-        graft.streaming.EventStream.sessionizeFileStats(spark, dataDir, rocks)._1)
-      val ij1rSec = math.min(ij1rSec0,
-        graft.streaming.EventStream.intervalJoinFileStats(spark, dataDir, rocks)._1)
-      // the hash-gated MemoryStream replay harnesses carry bounded
-      // driver collects — run them to 10× (1M rows), never silently
+      // Streaming state-scale moved to [[ScaleStream]] (round 11): the
+      // streaming curves were measured in the SAME JVM as ~40 batch
+      // experiments, and the accumulated heap/GC load contaminated the
+      // provider-ratio comparison (r10 recorded st2 rocks/mem = 1.90×
+      // where clean sessions measured 1.35–1.49×). ScaleStream runs the
+      // identical harnesses in a fresh JVM; the committed SCALING
+      // artifact carries one `kind:"stream"` line per scale from it
+      // next to these batch lines.
       val events = Tables.events(spark, dataDir).count()
-      val replayJson = if (events <= 1000000) {
-        val s1 = new graft.streaming.EventStream.ReplayStats
-        val t1 = timed(1) { graft.streaming.EventStream
-          .sessionizeGate(spark, dataDir, Some(s1)).count() }
-        val s2 = new graft.streaming.EventStream.ReplayStats
-        val t2 = timed(1) { graft.streaming.EventStream
-          .intervalJoinGate(spark, dataDir, Some(s2)).count() }
-        f""","st1_replay":{"sec":${t1._1}%.3f,"rows":${t1._2},"state_rows":${s1.maxStateRows}},""" +
-        f""""st2_replay":{"sec":${t2._1}%.3f,"rows":${t2._2},"state_rows":${s2.maxStateRows}}"""
-      } else {
-        println(s"[scale] skipping st1/st2 MemoryStream replay at n=$events: " +
-          "driver-collect harness capped at 1M events (file-source stats cover the scale)")
-        ""
-      }
 
       // A6 per-partition stats over the batch join: hot-spot proof
-      val (counted, stats) = SpatialJoin.de9imWithStats(partS, suppS)
-      counted.count()
+      val (counted, stats) =
+        if (want("a6")) SpatialJoin.de9imWithStats(partS, suppS)
+        else (spark.emptyDataFrame,
+          Map.empty[Int, SpatialJoin.PartitionStats])
+      if (want("a6")) counted.count()
       val verifs = stats.values.map(_.verifications.toDouble).toSeq
       val a6 =
         if (verifs.isEmpty) """"parts":0"""
@@ -321,19 +296,11 @@ object Scale {
       val qjson = results.map { case (k, (s, _)) => f""""$k":$s%.3f""" }.mkString(",")
       val rjson = results.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")
       val cjson = corpus.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val streamJson =
-        f""""st1_file":{"sec":$st1Sec2%.3f,"rows":$st1Rows,"state_rows":$st1State},""" +
-        f""""st2_file":{"sec":$ij1Sec2%.3f,"rows":$ij1Rows,"state_rows":$ij1State},""" +
-        f""""st5_file":{"sec":$sk1Sec%.3f,"rows":$sk1Rows,"state_rows":$sk1State},""" +
-        f""""st10_file":{"sec":$sw1Sec%.3f,"rows":$sw1Rows,"state_rows":$sw1State},""" +
-        f""""st8_file":{"sec":$dr1Sec%.3f,"rows":$dr1Rows,"state_rows":$dr1State},""" +
-        f""""st1_file_rocksdb":{"sec":$st1rSec%.3f,"rows":$st1rRows,"state_rows":$st1rState},""" +
-        f""""st2_file_rocksdb":{"sec":$ij1rSec%.3f,"rows":$ij1rRows,"state_rows":$ij1rState}""" +
-        replayJson
-      println(s"""{"scale":$n,"base":"$baseDir","seg_intersects_diff":$segDiff,""" +
+      println(s"""{"scale":$n,"kind":"batch","base":"$baseDir",""" +
+        s""""seg_intersects_diff":$segDiff,""" +
         s""""cc_rounds":$ccRounds,"cc_alt_rounds":$ccAltRounds,"events":$events,""" +
         s""""corpus":{$cjson},"sec":{$qjson},"rows":{$rjson},""" +
-        s""""stream":{$streamJson},"a6":{$a6}}""")
+        s""""a6":{$a6}}""")
       graft.spark.DfCache.release(spark)
     }
     spark.stop()

@@ -336,14 +336,27 @@ object GraphOps {
     * function of the previous labeling, so an unrolled SQL oracle
     * reproduces it exactly — integer labels, no float drift at all.
     *
-    * 100 TB shape: each round is one edge-sized equi-join against the
-    * node-sized label frame, a (dst, lbl) partial-aggregated count,
-    * and a node-keyed argmax — max(struct(cnt, -lbl)) rather than a
-    * window, so it map-side combines and never materializes a sorted
-    * per-node group. Per-round label frames are lineage-cut. */
+    * 100 TB shape (re-planned in round 11 — the r10 curve paid three
+    * edge-sized exchanges per round, 110.9 s at 100×): the edge frame
+    * is persisted SRC-PARTITIONED once, so the per-round label join is
+    * exchange-free on the edge side (the node-sized label frame
+    * arrives id-hashed from the previous round's aggregate and — both
+    * sides sharing the partition count — usually moves nothing
+    * either); the joined (dst, lbl) stream is then repartitioned by
+    * dst ONCE, and BOTH aggregations — the (dst, lbl) count and the
+    * node-keyed argmax, max(struct(cnt, -lbl)) rather than a window —
+    * run exchange-free on top of it (hash(dst) satisfies the
+    * clustered distribution of a (dst, lbl) grouping). Net: ONE
+    * edge-sized shuffle per round, the same bound as pagerank's rank
+    * move. Skipping the (dst, lbl) partial aggregate costs nothing in
+    * round 1 (singleton labels make every (dst, lbl) pair unique — a
+    * partial agg would reduce zero rows) and trades a second full
+    * exchange for at most some late-round combine. Per-round label
+    * frames are lineage-cut. */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
                        checkpointDir: Option[String] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -352,10 +365,12 @@ object GraphOps {
     // not a checkpoint, so there is nothing to free the first time)
     var prev: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val cnts = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val moved = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .select(col("dst"), col("lbl"))
+        .repartition(col("dst"))
       labels = graft.spark.Checkpoints.cut(
-        cnts.groupBy(col("dst").as("id"))
+        moved.groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst").as("id"))
           .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
           .select(col("id"), (-col("m.neg")).as("lbl")),
         checkpointDir)
@@ -432,6 +447,14 @@ object GraphOps {
       }
       bad.unpersist(blocking = false)
     }
+    // a graph needing EXACTLY maxRounds productive peels exits the loop
+    // with done=false even though the fixpoint is reached — one final
+    // degree check distinguishes that from genuine non-convergence, so
+    // the documented cap allows maxRounds productive peels, not
+    // maxRounds-1 (round-10 advisory)
+    if (!done)
+      done = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).isEmpty
     require(done, s"k-core peel did not converge within $maxRounds rounds " +
       "(raise maxRounds; a batched peel converging this slowly usually " +
       "means a long induced path of exactly-degree-k nodes)")

@@ -328,11 +328,17 @@ object Multimodal {
       }
     }
     val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
-    deflater.end()
-    val idat = java.util.Arrays.copyOf(buf, n)
+    val idatBuf = new java.io.ByteArrayOutputStream()
+    try {
+      deflater.setInput(raw); deflater.finish()
+      // loop until drained: a single deflate call is only guaranteed to
+      // finish for tiny inputs — larger w×h would otherwise truncate the
+      // IDAT and silently drop rows from the decode (round-10 advisory)
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished())
+        idatBuf.write(buf, 0, deflater.deflate(buf))
+    } finally deflater.end()
+    val idat = idatBuf.toByteArray
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
     ihdr.put(8.toByte).put(0.toByte) // bit depth 8, colortype 0 (gray)
@@ -399,15 +405,20 @@ object Multimodal {
       val bpp = if (colortype == 0) 1 else 3
       val rowLen = w * bpp
       val raw = new Array[Byte](h * (rowLen + 1))
+      // end() in finally: the truncated-stream early return would
+      // otherwise leak native zlib memory until finalization — repeated
+      // malformed inputs on an executor accumulate off-heap usage
+      // (round-10 advisory)
       val inflater = new java.util.zip.Inflater()
-      inflater.setInput(idat.toByteArray)
       var off = 0
-      while (!inflater.finished() && off < raw.length) {
-        val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated
-        off += n
-      }
-      inflater.end()
+      try {
+        inflater.setInput(idat.toByteArray)
+        while (!inflater.finished() && off < raw.length) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          if (n == 0 && inflater.needsInput()) return None // truncated
+          off += n
+        }
+      } finally inflater.end()
       if (off != raw.length) return None
       // unfilter in place into the recon buffer (image order)
       val recon = new Array[Int](h * rowLen)

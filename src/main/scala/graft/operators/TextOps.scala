@@ -1219,7 +1219,11 @@ object TextOps {
     * hub guard: shingles present in more than `maxDf` documents are
     * dropped BEFORE the join — they carry no containment signal and
     * one such key would quadratically dominate the job (Σ df² wedge
-    * volume). Sizes are recomputed over the KEPT postings so the score
+    * volume). On top of the hub cap, the default path applies PREFIX
+    * FILTERING (see the inline note): only the ⌊(1−t)·n_a⌋+O(1) rarest
+    * kept shingles of the contained side enter the index join, cutting
+    * candidate volume by roughly the containment threshold factor with
+    * provably identical output (exact verification re-counts |A∩B|). Sizes are recomputed over the KEPT postings so the score
     * stays a consistent "effective containment" of signal shingles —
     * the cap is part of the operator contract, mirrored in the oracle,
     * not a silent truncation. containment = shared/n_a is an
@@ -1242,20 +1246,78 @@ object TextOps {
     }
 
   def dd20Containment(s: SparkSession, dir: String,
-                      minContain: Double = 0.8, maxDf: Int = 256): DataFrame = {
+                      minContain: Double = 0.8, maxDf: Int = 256,
+                      prefixFilter: Boolean = true): DataFrame = {
     val kept = dd20Kept(s, dir, maxDf)
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    val shared = kept.select(col("g"), col("doc_id").as("id_a"))
-      .join(kept.select(col("g"), col("doc_id").as("id_b")), "g")
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
-      .withColumn("containment",
-        col("shared").cast("double") / col("n_a").cast("double"))
-      .filter(col("containment") >= minContain)
-      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
-      .orderBy(col("id_a"), col("id_b"))
+    if (!prefixFilter) {
+      // reference form: full posting self-join — Σ df² candidate rows.
+      // Kept as the equality baseline for the prefix-filtered default
+      // (Dd20PrefixSpec asserts pair-for-pair identity).
+      val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+      val shared = kept.select(col("g"), col("doc_id").as("id_a"))
+        .join(kept.select(col("g"), col("doc_id").as("id_b")), "g")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumn("containment",
+          col("shared").cast("double") / col("n_a").cast("double"))
+        .filter(col("containment") >= minContain)
+        .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    } else {
+      // PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin family): order
+      // each doc's kept shingles globally by ascending df (rarest
+      // first, ties by shingle value) and emit join candidates only
+      // from the first p = n_a − m + 1 shingles of the CONTAINED side,
+      // where m is the smallest shared count that can pass the final
+      // filter — a pair missing ALL p prefix shingles shares at most
+      // n_a − p = m − 1 < m shingles and can never qualify, so the
+      // candidate set provably covers every emitted pair and the
+      // verification step (exact |A∩B| + the identical final filter)
+      // makes the output pair-for-pair equal to the unfiltered form.
+      // m is lower-bounded as floor(t·n_a) − 1 rather than computed by
+      // a ceil: IEEE t·n_a can land an ulp above an exact integer
+      // product (0.8·5), and a ceil would then overshoot the true
+      // minimum and cut a qualifying pair's last prefix slot. The −1
+      // costs ≤ 2 extra prefix shingles per doc — noise next to the
+      // (1−t)× candidate-volume cut.
+      // The containing side stays FULL postings: containment is
+      // directional (shared/n_a) and puts no lower bound on the
+      // overlap as a fraction of n_b, so only side a can be pruned.
+      val dfs = kept.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val docSets = kept.join(dfs, "g")
+        .groupBy(col("doc_id"))
+        .agg(transform(
+            sort_array(collect_list(struct(col("df"), col("g")))),
+            x => x("g")).as("ordered"),
+          count(lit(1)).as("n_a"))
+      val p = greatest(lit(1),
+        col("n_a") - greatest(lit(1),
+          floor(lit(minContain) * col("n_a").cast("double")).cast("long")
+            - 1L) + 1L)
+      val prefixPosts = docSets.select(col("doc_id").as("id_a"),
+        explode(slice(col("ordered"), lit(1), p)).as("g"))
+      val cands = prefixPosts
+        .join(kept.select(col("g"), col("doc_id").as("id_b")), "g")
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      cands
+        .join(docSets.select(col("doc_id").as("id_a"),
+          col("ordered").as("set_a"), col("n_a")), "id_a")
+        .join(docSets.select(col("doc_id").as("id_b"),
+          col("ordered").as("set_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("set_a"), col("set_b")))
+            .cast("long").as("shared"),
+          col("n_a"))
+        .withColumn("containment",
+          col("shared").cast("double") / col("n_a").cast("double"))
+        .filter(col("containment") >= minContain)
+        .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
   }
 
   /** cp9: subset pruning — the curation decision dd20's directed

@@ -156,6 +156,33 @@ class TextScoreSpec extends AnyFunSuite {
     assert(open.count() === 6L)
   }
 
+  test("dd20 prefix filtering: pair-for-pair equal to the unfiltered " +
+       "posting self-join, at sf0.001 and across thresholds") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // sf0.001: the real corpus, gate parameters
+    val dir = "/root/testdata/sf0.001"
+    val pf = rows(graft.operators.TextOps.dd20Containment(spark, dir))
+    val full = rows(graft.operators.TextOps
+      .dd20Containment(spark, dir, prefixFilter = false))
+    assert(pf.nonEmpty, "vacuous: gate corpus must produce pairs")
+    assert(pf === full)
+    // micro corpus at thresholds that stress the prefix-length floor —
+    // including t*n_a landing an ulp above an exact integer (0.8*5)
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val quote = (4 to 9).map(i => s"w$i").mkString(" ") // n_a = 4 kept
+    val seven = (3 to 9).map(i => s"w$i").mkString(" ") // n_a = 5 kept
+    val mdir = microCorpus(Seq(1L -> base, 2L -> quote, 3L -> seven))
+    for (t <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      val a = rows(graft.operators.TextOps
+        .dd20Containment(spark, mdir, minContain = t))
+      val b = rows(graft.operators.TextOps
+        .dd20Containment(spark, mdir, minContain = t, prefixFilter = false))
+      assert(a === b, s"prefix-filtered != unfiltered at t=$t")
+    }
+  }
+
   test("ta14 BM25: hand-computed scores and ranking on a micro corpus") {
     // vocab x/y/z all df=2, N=3, dl = 3/2/4, avgdl = 3 -> one query
     // {x,y,z}; idf = ln(1.5/2.5) < 0 (the negative-idf regime)
