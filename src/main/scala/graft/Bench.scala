@@ -71,16 +71,27 @@ object Bench {
     // rounds): failures report a -1 sentinel time plus the exception
     // in an `errors` map, and `failed` makes the count impossible to
     // miss in the one-line artifact.
+    // st* gates report MEDIAN-OF-3 over an extra timed run (4 runs
+    // total, run 1 still the discarded isolation pass): streaming
+    // replay cost is micro-batch machinery with heavy run-to-run
+    // variance (r10: st9 raw runs spanned 12.7–25.6 s), so a min hides
+    // regressions and a single outlier blows the cross-round compare —
+    // the judged spread criterion reads the raw runs persisted below.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val runs = (1 to 3).map { _ =>
+      val nRuns = if (name.startsWith("st")) 4 else 3
+      val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, if (err.isDefined) -1.0 else runs.tail.min, err, runs)
+      val headline =
+        if (err.isDefined) -1.0
+        else if (name.startsWith("st")) runs.tail.sorted.apply(1) // median of 3
+        else runs.tail.min
+      (name, headline, err, runs)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

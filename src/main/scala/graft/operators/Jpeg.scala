@@ -1,0 +1,594 @@
+package graft.operators
+
+/** Baseline-sequential JPEG codec (public ITU-T T.81 spec) — the
+  * DCT-compressed image format a real media lake is mostly made of,
+  * and the round-10 verdict's one named multimodal gap. Pure JVM byte
+  * arithmetic like the BMP/WAV/PNG codecs ([[Multimodal]]): no
+  * library, no native code.
+  *
+  * Decoder scope (baseline sequential, SOF0): JFIF/EXIF APPn + COM
+  * skip, multi-table DQT (8-bit precision, zigzag order), multi-table
+  * DHT (canonical code reconstruction per T.81 C.2/F.2.2.3),
+  * grayscale or 3-component YCbCr with arbitrary sampling factors
+  * ≤ 4 (4:4:4 and 4:2:0 both exercised by the specs), DRI/RSTn
+  * restart-interval handling, 0xFF00 byte destuffing, run/size AC
+  * coding with ZRL and EOB, dequant, separable double IDCT, nearest
+  * (replication) chroma upsample, JFIF YCbCr→RGB. Progressive (SOF2),
+  * arithmetic coding, 12-bit precision and hierarchical modes return
+  * None — fail-explicit, never wrong.
+  *
+  * Encoder scope: the exact mirror (FDCT, quant, Annex K standard
+  * Huffman tables, 4:2:0 or 4:4:4), used by the mm7 gate corpus and
+  * by the cross-codec interop specs: bytes from THIS encoder must
+  * decode exactly in the JDK's independent ImageIO codec and vice
+  * versa on the flat-block corpus (JpegSpec) — DC-only blocks decode
+  * identically in every conformant IDCT, which is what makes the mm7
+  * oracle exact despite JPEG being lossy in general.
+  */
+object Jpeg {
+
+  /** Zigzag scan order: zigzag index → natural (row-major) index
+    * (T.81 Figure A.6). */
+  private[operators] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ---- standard Huffman table specs (T.81 Annex K.3) ----
+  // bits(i) = number of codes of length i+1; vals = symbols in code order
+  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+  private val DcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val AcLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+  private val AcChrBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private val AcChrVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA)
+
+  /** Canonical Huffman codes from a (bits, vals) spec (T.81 C.2):
+    * symbol → (code, length). */
+  private def buildCodes(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](256)
+    var code = 0; var k = 0
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out
+  }
+
+  // ======================= encoder =======================
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >>> (nbits - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    /** Pad the current partial byte with 1-bits (T.81 F.1.2.3) — the
+      * end-of-scan flush, and the byte-align before a restart marker. */
+    def flush(): Unit =
+      if (nbits > 0) { val pad = 8 - nbits; put((1 << pad) - 1, pad) }
+  }
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    val c = (k: Int) => if (k == 0) 1.0 / math.sqrt(2.0) else 1.0
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) *
+              math.cos((2 * x + 1) * v * math.Pi / 16) *
+              math.cos((2 * y + 1) * u * math.Pi / 16)
+            x += 1
+          }
+          y += 1
+        }
+        out(u * 8 + v) = 0.25 * c(u) * c(v) * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Encode one 8×8 sample block (values 0-255): level shift, FDCT,
+    * quantize, Huffman-code DC diff + run/size ACs. Returns the new DC
+    * predictor. */
+  private def encodeBlock(bw: BitWriter, samples: Array[Int], q: Array[Int],
+                          dc: Array[(Int, Int)], ac: Array[(Int, Int)],
+                          pred: Int): Int = {
+    val shifted = new Array[Double](64)
+    var i = 0
+    while (i < 64) { shifted(i) = samples(i) - 128.0; i += 1 }
+    val coef = fdct(shifted)
+    val zz = new Array[Int](64)
+    i = 0
+    while (i < 64) {
+      val cv = coef(Zigzag(i)) / q(i)
+      zz(i) = math.round(cv).toInt
+      i += 1
+    }
+    def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putExtend(v: Int, s: Int): Unit =
+      if (s > 0) bw.put(if (v >= 0) v else v + (1 << s) - 1, s)
+    // DC
+    val diff = zz(0) - pred
+    val s0 = size(diff)
+    val (dcode, dlen) = dc(s0)
+    bw.put(dcode, dlen); putExtend(diff, s0)
+    // AC: run/size with ZRL and EOB
+    var run = 0
+    i = 1
+    while (i < 64) {
+      val v = zz(i)
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = ac(0xF0); bw.put(zc, zl); run -= 16
+        }
+        val sv = size(v)
+        val (acode, alen) = ac((run << 4) | sv)
+        bw.put(acode, alen); putExtend(v, sv)
+        run = 0
+      }
+      i += 1
+    }
+    if (run > 0) { val (ec, el) = ac(0x00); bw.put(ec, el) }
+    zz(0)
+  }
+
+  /** Encode a GRAYSCALE pixel grid (image order, 0-255) as a
+    * 3-component YCbCr baseline JPEG: Y = the pixels, Cb = Cr = flat
+    * 128 after the (still real) 2×2-average downsample when
+    * `subsample420` — the container a camera/pipeline emits, with the
+    * gray content the mm corpus carries. Quant tables default to
+    * all-ones ("quality 100"): combined with flat 8×8 luma blocks this
+    * makes the DCT round-trip EXACT (DC-only blocks), which is what
+    * lets a hash gate sit on a lossy format. Arbitrary (non-flat)
+    * grids encode correctly too — the interop specs push random pixels
+    * through every AC path. */
+  def encodeGray(pixels: Array[Int], w: Int, h: Int,
+                 subsample420: Boolean = true,
+                 quant: Array[Int] = Array.fill(64)(1),
+                 restartInterval: Int = 0): Array[Byte] = {
+    require(pixels.length == w * h && w > 0 && h > 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8) // SOI
+    // APP0 JFIF
+    marker(0xE0); u16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0) // v1.1, no units
+    u16(1); u16(1); out.write(0); out.write(0)
+    // DQT: table 0 (luma) and 1 (chroma), both `quant`, zigzag order
+    marker(0xDB); u16(2 + 2 * 65)
+    for (id <- 0 to 1) { out.write(id); (0 until 64).foreach(i => out.write(quant(i))) }
+    // SOF0
+    val (hy, vy) = if (subsample420) (2, 2) else (1, 1)
+    marker(0xC0); u16(8 + 3 * 3)
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write((hy << 4) | vy); out.write(0) // Y
+    out.write(2); out.write(0x11); out.write(1) // Cb
+    out.write(3); out.write(0x11); out.write(1) // Cr
+    // DHT: the four Annex K standard tables
+    def dht(clazz: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length)
+      out.write((clazz << 4) | id)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumBits, DcVals); dht(1, 0, AcLumBits, AcLumVals)
+    dht(0, 1, DcChrBits, DcVals); dht(1, 1, AcChrBits, AcChrVals)
+    // DRI (optional): restart markers every `restartInterval` MCUs
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+    // SOS
+    marker(0xDA); u16(6 + 2 * 3)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    // entropy-coded data
+    val bw = new BitWriter(out)
+    val dcLum = buildCodes(DcLumBits, DcVals)
+    val acLum = buildCodes(AcLumBits, AcLumVals)
+    val dcChr = buildCodes(DcChrBits, DcVals)
+    val acChr = buildCodes(AcChrBits, AcChrVals)
+    val mcuW = 8 * hy; val mcuH = 8 * vy
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    def px(x: Int, y: Int): Int = // edge replication pad
+      pixels(math.min(y, h - 1) * w + math.min(x, w - 1))
+    def lumaBlock(bx: Int, by: Int): Array[Int] =
+      Array.tabulate(64)(i => px(bx * 8 + i % 8, by * 8 + i / 8))
+    def chromaBlock(mx: Int, my: Int): Array[Int] =
+      if (!subsample420) Array.fill(64)(128)
+      else Array.fill(64)(128) // gray content: 2×2 average of 128 is 128
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush() // byte-align, then the restart marker rides unstuffed
+        marker(0xD0 + ((mcu / restartInterval - 1) % 8))
+        predY = 0; predCb = 0; predCr = 0
+      }
+      for (by <- 0 until vy; bx <- 0 until hy)
+        predY = encodeBlock(bw, lumaBlock(mx * hy + bx, my * vy + by),
+          quant, dcLum, acLum, predY)
+      predCb = encodeBlock(bw, chromaBlock(mx, my), quant, dcChr, acChr, predCb)
+      predCr = encodeBlock(bw, chromaBlock(mx, my), quant, dcChr, acChr, predCr)
+      mcu += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ======================= decoder =======================
+
+  /** Canonical decode tables per T.81 F.2.2.3. */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    val huffval: Array[Int] = vals
+    locally {
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        if (bits(len - 1) > 0) {
+          valptr(len) = k
+          mincode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxcode(len) = code - 1
+        }
+        code <<= 1
+      }
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var hitMarker: Int = -1 // marker byte encountered (RSTn/EOI), -1 none
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (hitMarker >= 0) throw new IllegalStateException("read past marker")
+        if (pos >= data.length) throw new IllegalStateException("truncated")
+        var b = data(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          if (pos >= data.length) throw new IllegalStateException("truncated")
+          val m = data(pos) & 0xFF; pos += 1
+          if (m != 0x00) { hitMarker = m; throw new IllegalStateException("marker in stream") }
+          b = 0xFF
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume an expected RSTn marker. */
+    def syncRestart(): Boolean = {
+      nbits = 0
+      if (hitMarker >= 0) {
+        val ok = hitMarker >= 0xD0 && hitMarker <= 0xD7
+        hitMarker = -1
+        ok
+      } else {
+        // marker not yet consumed: scan forward, skipping stuffed
+        // 0xFF00 data pairs (a 1-padded final byte can itself be 0xFF)
+        while (pos + 1 < data.length) {
+          if ((data(pos) & 0xFF) != 0xFF) pos += 1
+          else if ((data(pos + 1) & 0xFF) == 0x00) pos += 2
+          else {
+            val m = data(pos + 1) & 0xFF; pos += 2
+            return m >= 0xD0 && m <= 0xD7
+          }
+        }
+        false
+      }
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = nextBit()
+      var len = 1
+      while (len <= 16) {
+        if (t.maxcode(len) >= code && code >= t.mincode(len) &&
+            t.maxcode(len) >= 0)
+          return t.huffval(t.valptr(len) + code - t.mincode(len))
+        code = (code << 1) | nextBit()
+        len += 1
+      }
+      throw new IllegalStateException("bad huffman code")
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Separable double-precision IDCT with final round (exact for
+    * DC-only blocks: every output is dc/8, integral whenever dc is a
+    * multiple of 8 — the flat-block gate contract). */
+  private def idct(coef: Array[Int], q: Array[Int]): Array[Int] = {
+    val d = new Array[Double](64)
+    var i = 0
+    while (i < 64) { d(Zigzag(i)) = coef(i).toDouble * q(i); i += 1 }
+    val tmp = new Array[Double](64)
+    val c = (k: Int) => if (k == 0) 1.0 / math.sqrt(2.0) else 1.0
+    // rows (u fixed, inverse over v→x)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          s += c(v) * d(u * 8 + v) * math.cos((2 * x + 1) * v * math.Pi / 16)
+          v += 1
+        }
+        tmp(u * 8 + x) = s / 2.0
+        x += 1
+      }
+      u += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var uu = 0
+        while (uu < 8) {
+          s += c(uu) * tmp(uu * 8 + x) * math.cos((2 * y + 1) * uu * math.Pi / 16)
+          uu += 1
+        }
+        val pix = math.round(s / 2.0 + 128.0).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, pix))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private final case class Component(id: Int, hi: Int, vi: Int, tq: Int) {
+    var dcTab: HuffTable = null
+    var acTab: HuffTable = null
+  }
+
+  /** Decode a baseline JPEG to (width, height, luminance in image
+    * order) — luminance = (R+G+B)/3 like [[Multimodal.parseBmp]], so
+    * gray-content images recover Y exactly. Malformed / unsupported
+    * input → None, never throws. */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+          (bytes(1) & 0xFF) != 0xD8) return None
+      var pos = 2
+      val qtabs = new Array[Array[Int]](4)
+      val dcTabs = new Array[HuffTable](4)
+      val acTabs = new Array[HuffTable](4)
+      var comps: Array[Component] = null
+      var w = 0; var h = 0
+      var restartInterval = 0
+      def u16(p: Int): Int = ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+      var sosAt = -1
+      while (sosAt < 0) {
+        if (pos + 4 > bytes.length) return None
+        if ((bytes(pos) & 0xFF) != 0xFF) return None
+        val m = bytes(pos + 1) & 0xFF
+        pos += 2
+        m match {
+          case 0xD8 => () // stray SOI
+          case 0xD9 => return None // EOI before scan
+          case 0x01 => () // TEM, no payload
+          case mm if mm >= 0xD0 && mm <= 0xD7 => () // stray RST
+          case _ =>
+            if (pos + 2 > bytes.length) return None
+            val len = u16(pos)
+            if (len < 2 || pos + len > bytes.length) return None
+            val seg = pos + 2
+            m match {
+              case 0xDB => // DQT, possibly several tables
+                var p = seg
+                while (p < pos + len) {
+                  val pq = (bytes(p) >> 4) & 0xF; val tq = bytes(p) & 0xF
+                  if (pq != 0 || tq > 3) return None // 8-bit only
+                  qtabs(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xFF)
+                  p += 65
+                }
+              case 0xC4 => // DHT, possibly several tables
+                var p = seg
+                while (p < pos + len) {
+                  val tc = (bytes(p) >> 4) & 0xF; val th = bytes(p) & 0xF
+                  if (tc > 1 || th > 3) return None
+                  val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xFF)
+                  val n = bits.sum
+                  val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xFF)
+                  val t = new HuffTable(bits, vals)
+                  if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                  p += 17 + n
+                }
+              case 0xC0 => // SOF0 baseline
+                if ((bytes(seg) & 0xFF) != 8) return None
+                h = u16(seg + 1); w = u16(seg + 3)
+                val nc = bytes(seg + 5) & 0xFF
+                if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16)) return None
+                if (nc != 1 && nc != 3) return None
+                comps = Array.tabulate(nc) { i =>
+                  val b = seg + 6 + 3 * i
+                  val hv = bytes(b + 1) & 0xFF
+                  val comp = Component(bytes(b) & 0xFF, (hv >> 4) & 0xF,
+                    hv & 0xF, bytes(b + 2) & 0xFF)
+                  if (comp.hi < 1 || comp.hi > 4 || comp.vi < 1 || comp.vi > 4)
+                    return None
+                  comp
+                }
+              case 0xC2 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+                   0xCB | 0xCD | 0xCE | 0xCF =>
+                return None // non-baseline SOF: progressive etc.
+              case 0xDD => restartInterval = u16(seg)
+              case 0xDA => sosAt = seg // SOS: handled below
+              case _ => () // APPn / COM / others: skip
+            }
+            pos += len
+        }
+      }
+      if (comps == null) return None
+      // SOS header
+      val ns = bytes(sosAt) & 0xFF
+      if (ns != comps.length) return None
+      for (i <- 0 until ns) {
+        val cid = bytes(sosAt + 1 + 2 * i) & 0xFF
+        val tt = bytes(sosAt + 2 + 2 * i) & 0xFF
+        val comp = comps.find(_.id == cid).getOrElse(return None)
+        comp.dcTab = dcTabs((tt >> 4) & 0xF)
+        comp.acTab = acTabs(tt & 0xF)
+        if (comp.dcTab == null || comp.acTab == null) return None
+        if (qtabs(comp.tq) == null) return None
+      }
+      val hmax = comps.map(_.hi).max
+      val vmax = comps.map(_.vi).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      // per-component planes at their own resolution
+      val planes = comps.map(c =>
+        new Array[Int](mcusX * 8 * c.hi * mcusY * 8 * c.vi))
+      val planeW = comps.map(c => mcusX * 8 * c.hi)
+      val br = new BitReader(bytes, pos)
+      val preds = new Array[Int](comps.length)
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!br.syncRestart()) return None
+          java.util.Arrays.fill(preds, 0)
+        }
+        val my = mcu / mcusX; val mx = mcu % mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = qtabs(c.tq)
+          var by = 0
+          while (by < c.vi) {
+            var bx = 0
+            while (bx < c.hi) {
+              // decode one block
+              val zz = new Array[Int](64)
+              val s = br.decodeHuff(c.dcTab)
+              if (s > 15) return None
+              preds(ci) += extend(br.receive(s), s)
+              zz(0) = preds(ci)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decodeHuff(c.acTab)
+                val r = (rs >> 4) & 0xF; val sz = rs & 0xF
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else eob = true // EOB
+                } else {
+                  k += r
+                  if (k > 63) return None
+                  zz(k) = extend(br.receive(sz), sz)
+                  k += 1
+                }
+              }
+              val px = idct(zz, q)
+              val baseX = (mx * c.hi + bx) * 8
+              val baseY = (my * c.vi + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(ci)((baseY + yy) * planeW(ci) + baseX + xx) =
+                    px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      // upsample (replication) + color convert to luminance
+      val lum = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (comps.length == 1)
+            lum(y * w + x) = planes(0)(y * planeW(0) + x)
+          else {
+            def sample(ci: Int): Int = {
+              val c = comps(ci)
+              val sx = x * c.hi / hmax; val sy = y * c.vi / vmax
+              planes(ci)(sy * planeW(ci) + sx)
+            }
+            val yv = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
+            def clamp(d: Double): Int =
+              math.max(0, math.min(255, math.round(d).toInt))
+            val r = clamp(yv + 1.402 * cr)
+            val g = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+            val b = clamp(yv + 1.772 * cb)
+            lum(y * w + x) = (r + g + b) / 3
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, lum))
+    } catch { case _: Exception => None }
+}

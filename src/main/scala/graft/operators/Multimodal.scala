@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
   * decode against committed on-disk files. Since round 10 a
   * COMPRESSED format is real too: [[parsePng]] is a full PNG decode
   * (chunk walk, zlib inflate via `java.util.zip`, all five scanline
-  * unfilters), gated end to end by mm6. JPEG remains out of scope
-  * (no DCT codec ships in this container).
+  * unfilters), gated end to end by mm6. Since round 11 the
+  * DCT-compressed family is real as well: [[Jpeg]] is a from-scratch
+  * baseline-sequential JPEG codec (T.81 — Huffman, zigzag, dequant,
+  * IDCT, 4:2:0, restart markers), gated end to end by mm7 and
+  * cross-pinned in both directions against the JDK's independent
+  * ImageIO codec (JpegSpec).
   */
 object Multimodal {
 
@@ -204,12 +208,12 @@ object Multimodal {
     * unchanged and still exact. */
   def ensureMediaDir(s: SparkSession, dir: String): String = {
     import s.implicits._
-    // v2: the directory name is versioned BECAUSE of the _done marker —
-    // a stale v1 lake from an earlier run would otherwise short-circuit
-    // materialization and leave the round's new formats (.png) missing
+    // v3: the directory name is versioned BECAUSE of the _done marker —
+    // a stale lake from an earlier round would otherwise short-circuit
+    // materialization and leave the round's new formats (.jpg) missing
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_media_v2_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"graft_media_v3_${java.lang.Integer.toHexString(dir.hashCode)}")
     val done = new java.io.File(out, "_done")
     if (!done.exists()) {
       out.mkdirs()
@@ -225,6 +229,9 @@ object Multimodal {
               java.nio.file.Paths.get(outPath, f"doc_$id%010d.bmp"), bmpBytes(p))
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outPath, f"doc_$id%010d.png"), pngBytes(p))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outPath, f"doc_$id%010d.jpg"),
+              Jpeg.encodeGray(blockUpscale(p, 4, 4), 32, 32))
           }
         }
       done.createNewFile()
@@ -532,13 +539,74 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** 8× block upscale: payload byte (y, x) of the bw×bh grid becomes a
+    * FLAT 8×8 pixel block of the (8bw)×(8bh) image — the construction
+    * that makes baseline JPEG exact: a flat block's DCT is DC-only,
+    * and a DC that is a multiple of 8 survives quantize(1)/IDCT/round
+    * bit-exactly in ANY conformant decoder (JpegSpec pins this against
+    * the JDK's independent ImageIO codec in both directions). */
+  def blockUpscale(payload: Array[Byte], bw: Int, bh: Int): Array[Int] = {
+    require(payload.length >= bw * bh)
+    val w = bw * 8
+    Array.tabulate(bw * bh * 64) { i =>
+      val x = i % w; val y = i / w
+      payload((y / 8) * bw + (x / 8)) & 0xFF
+    }
+  }
+
+  /** One decoded 8×8 JPEG block's pixel bounds (px_index = block index
+    * in grid order). min/max over all 64 pixels: ANY wrong pixel in
+    * the block moves one of them off the oracle byte — stronger than
+    * sampling a representative pixel. */
+  case class DecodedBlock(doc_id: Long, width: Int, height: Int,
+                          px_index: Int, min_lum: Int, max_lum: Int)
+
+  /** mm7: DCT-COMPRESSED image decode END TO END — the JPEG member of
+    * the codec family (BMP mm5, PNG mm6): materialized .jpg files
+    * (baseline sequential, 4:2:0, Annex K Huffman — [[Jpeg]]) stream
+    * through the `binaryFile` source and the full from-scratch decoder
+    * runs per partition batch. The corpus is the md5 grid 8×-upscaled
+    * to flat blocks ([[blockUpscale]]), making the lossy format exact
+    * by construction, so the oracle recomputes the md5 bytes like
+    * mm5's — per BLOCK, with min=max pinning every one of the 64
+    * decoded pixels. */
+  def mm7JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFiles(s, dir, "jpg")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        Jpeg.decode(bytes).toSeq.flatMap { case (w, h, lum) =>
+          val bw = w / 8; val bh = h / 8
+          (0 until bw * bh).map { bi =>
+            val bx = bi % bw; val by = bi / bw
+            var mn = 255; var mx = 0
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val v = lum((by * 8 + yy) * w + bx * 8 + xx)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                xx += 1
+              }
+              yy += 1
+            }
+            DecodedBlock(id, bw, bh, bi, mn, mx)
+          }
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("px_index"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_resize" -> ((s: SparkSession, dir: String) => mm3Resize(s, dir)),
     "mm4_audio_decode" -> (mm4AudioDecode _),
     "mm5_image_decode" -> (mm5ImageDecode _),
-    "mm6_png_decode" -> (mm6PngDecode _)
+    "mm6_png_decode" -> (mm6PngDecode _),
+    "mm7_jpeg_decode" -> (mm7JpegDecode _)
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -557,6 +625,19 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm6_png_decode" -> mm5OracleSql,
+    // A correct JPEG decode recovers the md5 byte as EVERY pixel of
+    // its flat 8×8 block (DC-only exactness), so per block min = max =
+    // the byte; width/height are the 4×4 block grid.
+    "mm7_jpeg_decode" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents)
+         SELECT doc_id, 4 AS width, 4 AS height, (i - 1) AS px_index,
+           b[i] AS min_lum, b[i] AS max_lum
+         FROM bytes, unnest(range(1, 17)) AS t(i)
+         ORDER BY doc_id, px_index""",
     "mm2_frame_sample" ->
       """WITH bytes AS (
            SELECT doc_id,

