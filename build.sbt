@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g (box has 125g): at 8g the 140-gate bench ran close enough to
+  // the GC wall that single queries caught multi-second stalls — r11
+  // GateTune saw 17 s outliers on a 4.6 s streaming gate under 8g
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -2,20 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off streaming state-store provider comparison (the round-10
-  * RocksDB tuning experiment): runs the st1/st2 file-source scale
-  * harnesses at a given corpus dir under the in-memory provider and
-  * the (tuned) RocksDB provider and prints one JSON line per run.
-  * The tuning itself lives in [[graft.streaming.EventStream.RocksDbTuning]]
-  * and is applied by every RocksDB harness run, so what this main
-  * measures is exactly what Scale records.
+/** Scratch profiler for ONE replay gate's micro-batch cost breakdown:
+  * runs the gate once and prints per-progress durationMs entries
+  * (addBatch / getBatch / commitOffsets / walCommit / queryPlanning /
+  * triggerExecution) summed across batches — where the seconds
+  * actually go, which GateTune's totals can't show.
   *
-  * Usage: runMain graft.StreamTune <dataDir> [st1|st2|both]
+  * Usage: runMain graft.StreamTune /root/testdata/sf0.1 st9
   */
 object StreamTune {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/scale/sf0.1x100")
-    val which = args.lift(1).getOrElse("st2")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = args.lift(1).getOrElse("st9")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,29 +22,64 @@ object StreamTune {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rocks = Some(graft.streaming.EventStream.RocksDbProvider)
-    // Host noise on this shared box swamps single runs (the same
-    // harness has measured 42 s and 58 s minutes apart) — interleave
-    // the providers and take min-of-2 per provider, Bench methodology.
-    def minOf2(run: () => (Double, Long, Long),
-               other: () => (Double, Long, Long))
-        : ((Double, Long, Long), (Double, Long, Long)) = {
-      val a1 = run(); val b1 = other(); val a2 = run(); val b2 = other()
-      (if (a1._1 <= a2._1) a1 else a2, if (b1._1 <= b2._1) b1 else b2)
-    }
-    def report(name: String, r: (Double, Long, Long)): Unit =
-      println(f"""{"run":"$name","sec":${r._1}%.3f,"rows":${r._2},"state_rows":${r._3}}""")
-    if (which == "st2" || which == "both") {
-      val (m, r) = minOf2(
-        () => graft.streaming.EventStream.intervalJoinFileStats(spark, dir),
-        () => graft.streaming.EventStream.intervalJoinFileStats(spark, dir, rocks))
-      report("st2_file_mem", m); report("st2_file_rocksdb_tuned", r)
-    }
-    if (which == "st1" || which == "both") {
-      val (m, r) = minOf2(
-        () => graft.streaming.EventStream.sessionizeFileStats(spark, dir),
-        () => graft.streaming.EventStream.sessionizeFileStats(spark, dir, rocks))
-      report("st1_file_mem", m); report("st1_file_rocksdb_tuned", r)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    val es = graft.streaming.EventStream
+    val parts = sys.env.getOrElse("GRAFT_GATE_STATE_PARTITIONS", "4")
+    // replica of the st2/st9/st12 replay harness with the query handle
+    // kept, so recentProgress is readable after the run
+    val rows = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    for (attempt <- 1 to 2) {
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", parts)
+      import sess.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+      val memE = MemoryStream[(Long, Long, Long)]
+      val memC = MemoryStream[(Long, Long, Long)]
+      def toEvents(m: MemoryStream[(Long, Long, Long)]) =
+        m.toDF().toDF("event_id", "user_id", "us")
+          .withColumn("ts", timestamp_micros(col("us")))
+      val joined = which match {
+        case "st2" => es.intervalJoin(toEvents(memE), toEvents(memC))
+        case "st12" => es.semiJoin(toEvents(memE), toEvents(memC))
+        case _ => es.intervalJoinOuter(toEvents(memE), toEvents(memC))
+      }
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(s"tune_$attempt").start()
+      val chunk = math.max(1, (rows.length + 1) / 2)
+      rows.grouped(chunk).foreach { batch =>
+        val (e, c) = batch.partition(_._4 == "error")
+        memE.addData(e.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        memC.addData(c.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val maxUs = rows.iterator.map(_._3).max
+      val day = 24L * 3600L * 1000000L
+      for (i <- 1 to 2) {
+        memE.addData((-i.toLong, -999L, maxUs + i * day))
+        memC.addData((-i.toLong, -999L, maxUs + i * day))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress
+      q.stop()
+      println(f"attempt $attempt total_sec $sec%.2f batches ${progress.length}")
+      val durations = scala.collection.mutable.Map.empty[String, Long]
+      progress.foreach(_.durationMs.forEach { (k, v) =>
+        durations(k) = durations.getOrElse(k, 0L) + v.longValue })
+      durations.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+        println(f"  durationMs.$k%-28s ${v / 1000.0}%8.2f s")
+      }
+      progress.foreach { p =>
+        println(f"  batch ${p.batchId} trigger=${p.durationMs.get("triggerExecution")}ms " +
+          s"rows=${p.numInputRows}")
+      }
     }
     spark.stop()
   }

@@ -247,9 +247,21 @@ object EventStream {
     * [[RocksDbTuning]] regardless — and they set their own on-disk
     * checkpointLocation, so [[gateCkptBase]] never applies to them). */
   private def gateSession(spark: SparkSession,
-                          partitions: String = defaultGateParts): SparkSession = {
+                          partitions: String = defaultGateParts,
+                          noDataBatches: Boolean = true): SparkSession = {
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", partitions)
+    // The replay gates whose OUTPUT is entirely data-driven (join
+    // gates: matched rows emit on arrival, evicted rows emit in the
+    // second SENTINEL's batch by design — see intervalJoinOuterGate)
+    // pass noDataBatches=false: the engine otherwise appends one
+    // empty watermark micro-batch after every data batch, and the
+    // round-11 StreamTune profile measured those at ~0.75 s each —
+    // pure commit machinery, no output depends on them there. Gates
+    // whose FLUSH rides the automatic no-data batch (st1's event-time
+    // timeout after a single sentinel) keep the default.
+    if (!noDataBatches)
+      sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     gateCkptBase.foreach { base =>
       sess.conf.set("spark.sql.streaming.checkpointLocation",
         s"$base/s${gateRuns.incrementAndGet()}")
@@ -297,7 +309,7 @@ object EventStream {
     // per micro-batch; at the gate's data size 32 partitions is pure
     // overhead (5 batches × 32 commits) — narrowed in the gate's own
     // session, never the caller's
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
     val name = s"st1_gate_${gateRuns.incrementAndGet()}"
@@ -404,7 +416,7 @@ object EventStream {
         .orderBy(col("us"), col("event_id"))
         .as[(Long, Long, Long, String)].collect()
     }
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, noDataBatches = false)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
     val memC = MemoryStream[(Long, Long, Long)]
@@ -488,7 +500,7 @@ object EventStream {
         .orderBy(col("us"), col("event_id"))
         .as[(Long, Long, Long, String)].collect()
     }
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, noDataBatches = false)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
     val memC = MemoryStream[(Long, Long, Long)]
@@ -677,7 +689,7 @@ object EventStream {
         .orderBy(col("us"), col("event_id"))
         .as[(Long, Long, Long)].collect()
     }
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, noDataBatches = false)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
     val name = s"st10_gate_${gateRuns.incrementAndGet()}"
@@ -728,7 +740,7 @@ object EventStream {
         .orderBy(col("us"), col("event_id"))
         .as[(Long, Long, Long, String)].collect()
     }
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, noDataBatches = false)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val memE = MemoryStream[(Long, Long, Long)]
     val memC = MemoryStream[(Long, Long, Long)]
@@ -782,7 +794,7 @@ object EventStream {
         .orderBy(col("us"), col("event_id"))
         .as[(Long, Long, String)].collect()
     }
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, noDataBatches = false)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
     val name = s"st4_gate_${gateRuns.incrementAndGet()}"
@@ -844,7 +856,7 @@ object EventStream {
     * stays spec-asserted (EventStreamSpec, emitEstimate = true). */
   def approxDistinctGate(spark: SparkSession, dir: String,
                          emitEstimate: Boolean = false): DataFrame = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     val name = s"st5_gate_${gateRuns.incrementAndGet()}"
     // complete mode, like st3's gate: a bounded gate run ends with the
     // last ~lateness of windows still below the final watermark, which
@@ -901,7 +913,7 @@ object EventStream {
   def heavyHittersGate(spark: SparkSession, dir: String, k: Int = 3,
                        emitEstimate: Boolean = false): DataFrame = {
     import org.apache.spark.util.sketch.CountMinSketch
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     val name = s"st6_gate_${gateRuns.incrementAndGet()}"
     val q = dailyHeavyHitters(readEvents(sess, dir))
       .writeStream.outputMode("complete").format("memory")
@@ -937,7 +949,7 @@ object EventStream {
     * operators under micro-batch replay, this gates the file-source +
     * watermark + windowed-agg path end to end. */
   def hourlyGate(spark: SparkSession, dir: String): DataFrame = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     val name = s"st3_gate_${gateRuns.incrementAndGet()}"
     val q = runToMemory(sess, dir, name)
     q.stop()
@@ -1158,7 +1170,7 @@ object EventStream {
     * ~lateness of day windows correctly stays in state; the oracle
     * applies the same finalization cutoff in SQL. */
   def dailyRollupGate(spark: SparkSession, dir: String): DataFrame = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     val name = s"st8_gate_${gateRuns.incrementAndGet()}"
     val q = dailyRollup(readEvents(sess, dir))
       .writeStream.outputMode("append").format("memory")
@@ -1194,7 +1206,7 @@ object EventStream {
     * like st3/st5 — append would never flush the last ~lateness of
     * windows). */
   def enrichGate(spark: SparkSession, dir: String): DataFrame = {
-    val sess = gateSession(spark)
+    val sess = gateSession(spark, partitions = "8")
     val name = s"st7_gate_${gateRuns.incrementAndGet()}"
     val q = enrichedHourly(readEvents(sess, dir),
         graft.Tables.customer(sess, dir))
