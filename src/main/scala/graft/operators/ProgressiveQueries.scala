@@ -108,6 +108,54 @@ object ProgressiveQueries {
       .orderBy(col("s_id"), col("t_id"))
   }
 
+  /** pr11: progressive QUALITY metrics — the reference's headline
+    * evaluation next to pr4's PGR curve (`experiments/progressive/
+    * ProgressiveEvaluation.scala:124-140`): for each algorithm, at its
+    * budget,
+    *   qualifiedPairsWithinBudget = min(totalQualifying, verifications)
+    *   recall    = qualifying / qualifiedPairsWithinBudget
+    *   precision = qualifying / verifications
+    * evaluated for PROGRESSIVE_GIANT (global weight-ordered budget,
+    * b=150) vs TOPK (per-target top-k, k=3) on the sp corpus with the
+    * Jaccard weight. All counts are integers and both ratios are
+    * single int/int IEEE divisions — bit-exact cross-engine. The
+    * 1-row aggregates cross-join the 1-row total frame (aggregate-
+    * reduced broadcast, the PlanAudit-whitelisted shape). */
+  def pr11QualityMetrics(s: SparkSession, dir: String): DataFrame = {
+    val src = partBoxes(s, dir); val tgt = supplierBoxes(s, dir)
+    def metrics(sel: DataFrame, algo: String, budget: Long): DataFrame =
+      sel.agg(count(lit(1)).as("verifications"),
+          sum(when(col("qualifies"), 1L).otherwise(0L)).as("qualifying"))
+        .select(lit(algo).as("algo"), lit(budget).as("budget"),
+          col("verifications"), col("qualifying"))
+    val giant = Progressive.progressiveVerify(src, tgt, "w_js",
+      budget = 150, relation = "contains")
+    // TOPK selection (the pr2 operator at the same weight), verified
+    // with the same predicate via the bounded geometry join-back
+    val topk = Progressive.topKPerTarget(src, tgt, "w_js", k = 3)
+      .select(col("s_id"), col("t_id"))
+      .join(src.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
+      .join(tgt.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
+      .withColumn("qualifies", graft.functions.GeomFunctions
+        .st_predicate(col("s_geom"), col("t_geom"), "contains"))
+    // the unbudgeted truth: qualifying pairs over ALL candidates
+    val tot = Progressive.progressiveVerify(src, tgt, "w_js",
+        budget = Int.MaxValue, relation = "contains")
+      .agg(sum(when(col("qualifies"), 1L).otherwise(0L))
+        .as("total_qualifying"))
+    metrics(giant, "giant", 150L)
+      .unionByName(metrics(topk, "topk", 3L))
+      .crossJoin(broadcast(tot))
+      .select(col("algo"), col("budget"), col("verifications"),
+        col("qualifying"), col("total_qualifying"),
+        (col("qualifying").cast("double") /
+          least(col("total_qualifying"), col("verifications"))
+            .cast("double")).as("recall"),
+        (col("qualifying").cast("double") /
+          col("verifications").cast("double")).as("prec"))
+      .orderBy(col("algo"))
+  }
+
   /** pr10: the early-stopping EXECUTION path through the hash gate —
     * precisionLevel 0 disables the stop rule, so the verified set is
     * exactly the candidate set and the (s_id, t_id, qualifies)
@@ -132,7 +180,8 @@ object ProgressiveQueries {
     "pr5_chi2_topk" -> (pr5Chi2TopK _),
     "pr6_hybrid_scheme" -> (pr6HybridScheme _),
     "pr8_composite_scheme" -> (pr8CompositeScheme _),
-    "pr9_isp_budget" -> (pr9IspBudget _)
+    "pr9_isp_budget" -> (pr9IspBudget _),
+    "pr11_quality_metrics" -> (pr11QualityMetrics _)
   )
 
   // --- oracle plumbing ---
@@ -172,6 +221,42 @@ object ProgressiveQueries {
          FROM cand)"""
 
   val oracles: Map[String, String] = Map(
+    // pr11: recall = qp / min(totalQP, verifications), precision =
+    // qp / verifications (ProgressiveEvaluation.scala:124-140), for
+    // GIANT (global rank <= 150) vs TOPK (per-target top-3), both
+    // over the shared weighted candidate CTE
+    "pr11_quality_metrics" ->
+      s"""$candCte,
+         giant AS (
+           SELECT contains_q FROM (
+             SELECT contains_q,
+               row_number() OVER (ORDER BY w_js DESC, s_id ASC, t_id ASC) AS rk
+             FROM weighted) WHERE rk <= 150),
+         topk AS (
+           SELECT contains_q FROM (
+             SELECT contains_q,
+               row_number() OVER (PARTITION BY t_id
+                 ORDER BY w_js DESC, s_id ASC) AS rk
+             FROM weighted) WHERE rk <= 3),
+         tot AS (
+           SELECT CAST(count(*) FILTER (WHERE contains_q) AS BIGINT)
+             AS total_qualifying
+           FROM weighted),
+         m AS (
+           SELECT 'giant' AS algo, CAST(150 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS verifications,
+             CAST(count(*) FILTER (WHERE contains_q) AS BIGINT) AS qualifying
+           FROM giant
+           UNION ALL
+           SELECT 'topk', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (WHERE contains_q) AS BIGINT)
+           FROM topk)
+         SELECT m.algo, m.budget, m.verifications, m.qualifying,
+           tot.total_qualifying,
+           CAST(m.qualifying AS DOUBLE)
+             / least(tot.total_qualifying, m.verifications) AS recall,
+           CAST(m.qualifying AS DOUBLE) / m.verifications AS prec
+         FROM m, tot ORDER BY m.algo""",
     "pr10_early_stopping" ->
       s"""$candCte
          SELECT s_id, t_id, contains_q AS qualifies FROM weighted
