@@ -61,7 +61,11 @@ object SparkEntry {
         // left-semi stream-stream join: the existence-check join shape
         // (match-driven emission, no sentinel needed)
         "st12_stream_semi_join" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.semiJoinGate(s, dir)))
+          graft.streaming.EventStream.semiJoinGate(s, dir)),
+        // latest-value snapshot per key: the CDC-upsert materialized
+        // view (state = result, one max-struct row per key)
+        "st13_stream_snapshot" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.snapshotGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -150,6 +154,16 @@ object SparkEntry {
                SELECT 1 FROM c WHERE c.user_id = e.user_id
                  AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000)
              ORDER BY 1""",
+        // st13: latest event per user — selection only (row_number
+        // desc = 1 on the unique (ts, event_id) order), no arithmetic,
+        // so every column is bit-identical
+        "st13_stream_snapshot" ->
+          """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               event_type AS last_type, value AS last_value
+             FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+             WHERE rn = 1 ORDER BY user_id""",
         // the stream-static enrichment join vs its batch twin
         "st7_stream_enrich" ->
           """SELECT c.c_nationkey AS nation, date_trunc('hour', e.ts) AS hour,

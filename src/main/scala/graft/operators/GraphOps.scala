@@ -481,6 +481,66 @@ object GraphOps {
         col("core_deg"))
       .orderBy(col("node_id"))
 
+  /** Multi-source BFS hop distance over a SYMMETRIC edge frame: every
+    * node reachable from `seeds` (id) within `maxHops` hops, with its
+    * minimum hop count. Frontier iteration — per round one
+    * frontier×edge join (frontier-sized input, never all-pairs), a
+    * distinct on the discovered set, and a node-sized anti-join
+    * against the already-reached set; each round's reached frame has
+    * its lineage cut so plan depth stays O(1) per round
+    * ([[graft.spark.Checkpoints]]; `checkpointDir` upgrades to
+    * reliable DFS checkpoints for cluster deployments). Distances are
+    * integers — exact in any engine.
+    *
+    * 100 TB shape: this is the Pregel BFS pattern — state is one
+    * (id, dist) row per REACHED node, the per-round join is driven by
+    * the (usually shrinking) frontier, and the edge frame is
+    * persisted src-partitioned once so every round's join reuses the
+    * same exchange. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reached = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier = reached.select(col("id"))
+    var prev: Option[DataFrame] = None
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(reached.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(h))
+      val merged = graft.spark.Checkpoints.cut(
+        reached.unionByName(next), checkpointDir)
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(merged)
+      frontier = next.select(col("id"))
+      reached = merged
+    }
+    e.unpersist(blocking = false)
+    reached
+  }
+
+  /** gr8: BFS reach from the nation-0 supplier seed set over the
+    * customer–supplier interaction graph — "how far does this cohort's
+    * influence extend, and through how many hops" (the blast-radius /
+    * audience-expansion read). 4 hops; nodes unreached in 4 hops are
+    * absent from the output. The oracle unrolls 4 min-plus relaxation
+    * rounds (d_i = min(d_{i-1}, 1 + d_{i-1} of any in-neighbor)) —
+    * provably the same function as frontier BFS on an unweighted
+    * graph, round for round. */
+  def gr8BfsReach(s: SparkSession, dir: String): DataFrame = {
+    val seeds = graft.Tables.supplier(s, dir)
+      .filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey").cast("long") * 2 + 1).as("id"))
+    bfsHops(interactionEdges(s, dir), seeds, maxHops = 4)
+      .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
+        col("dist"))
+      .orderBy(col("node_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> (gr1Pagerank _),
     "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _),
@@ -488,7 +548,8 @@ object GraphOps {
     "gr4_triangle_count" -> (gr4TriangleCount _),
     "gr5_copurchase_pairs" -> (gr5CopurchasePairs _),
     "gr6_kcore" -> (gr6Kcore _),
-    "gr7_label_prop" -> (gr7LabelProp _)
+    "gr7_label_prop" -> (gr7LabelProp _),
+    "gr8_bfs_reach" -> (gr8BfsReach _)
   )
 
   // gr5's co-purchase pair derivation as a shared CTE prefix (ends at
@@ -578,6 +639,21 @@ object GraphOps {
          SELECT e.src, e.dst FROM e$prev e
          JOIN s$i a ON a.src = e.src JOIN s$i b ON b.src = e.dst)"""
 
+  /** One unrolled min-plus BFS relaxation `d$prev → d$i`: a node's
+    * distance is the min of its previous distance and 1 + any
+    * in-neighbor's previous distance — round-for-round the same
+    * function as [[bfsHops]]' frontier iteration on an unweighted
+    * graph. MATERIALIZED because each round references its
+    * predecessor twice (see [[peelCte]]). */
+  private def bfsCte(i: Int, prev: Int): String =
+    s"""d$i AS MATERIALIZED (
+         SELECT id, min(dist) AS dist FROM (
+           SELECT id, dist FROM d$prev
+           UNION ALL
+           SELECT e.dst AS id, d.dist + 1 AS dist
+           FROM edges e JOIN d$prev d ON d.id = e.src)
+         GROUP BY id)"""
+
   val oracles: Map[String, String] = Map(
     // 3 unrolled synchronous rounds — the exact trajectory twin of
     // labelPropagation (integer labels, no fixpoint dependence)
@@ -603,6 +679,16 @@ object GraphOps {
                 CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                 count(*) AS core_deg
          FROM e8 GROUP BY 1, 2 ORDER BY node_id""",
+    // 4 unrolled min-plus rounds ≡ 4 frontier-BFS hops (exact integer
+    // distances; seeds with no edges keep dist 0 on both sides)
+    "gr8_bfs_reach" ->
+      s"""WITH $graphCtes,
+         d0 AS MATERIALIZED (
+           SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS id, 0 AS dist
+           FROM supplier WHERE s_nationkey = 0),
+         ${(1 to 4).map(i => bfsCte(i, i - 1)).mkString(",\n         ")}
+         SELECT id AS node_id, $kindSql AS kind, dist
+         FROM d4 ORDER BY node_id""",
     "gr1_pagerank" ->
       s"""WITH $graphCtes,
          np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),

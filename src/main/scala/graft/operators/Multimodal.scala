@@ -599,6 +599,87 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** One decoded image with its perceptual hash and the decoded pixel
+    * payload (the exact-verification key). */
+  case class HashedImage(doc_id: Long, dhash: Long, pix: Array[Byte])
+
+  /** Difference-hash (dHash) over the decoded image: one bit per
+    * horizontally-adjacent pixel pair, set when the left pixel is
+    * darker — the standard perceptual fingerprint for image dedup
+    * (gradient signs survive re-encoding and small luminance shifts).
+    * 4×4 images yield 12 bits; a production 9×8 downsample yields the
+    * classic 64-bit dHash — the bit layout is size-generic. */
+  /** The dHash bit loop: row-major, MSB-first — bit (h·(w−1)−1−k) is
+    * pair k in scan order. w·(h−1) must fit 64 bits (w ≤ 9, h ≤ 8 is
+    * the classic downsample). */
+  def dHashBits(w: Int, h: Int, lum: Array[Int]): Long = {
+    require((w - 1) * h <= 64, s"dHash needs (w-1)*h <= 64 bits, got ${w}x$h")
+    var bits = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        bits = (bits << 1) |
+          (if (lum(y * w + x) < lum(y * w + x + 1)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  def imageHashes(s: SparkSession, dir: String): Dataset[HashedImage] = {
+    import s.implicits._
+    mediaFiles(s, dir, "png").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parsePng(bytes).map { case (w, h, lum) =>
+          HashedImage(id, dHashBits(w, h, lum), lum.map(_.toByte))
+        }
+      })
+  }
+
+  /** Verified image-duplicate pairs: bucket-join on the dHash (the
+    * LSH-style candidate generator — candidate volume is Σ bucket²,
+    * never all-pairs), then verify candidates by exact decoded-pixel
+    * equality. Identical images always share a dHash, so bucketing
+    * drops no true pair. Spec-covered over a synthesized duplicate
+    * lake; the mm8 GATE carries the aggregate form below (this corpus
+    * has too few byte-identical images at small SF for a pair list to
+    * be meaningful evidence). */
+  def imageDupPairs(imgs: DataFrame): DataFrame = {
+    val a = imgs.select(col("doc_id").as("doc_a"), col("dhash"),
+      col("pix").as("pix_a"))
+    val b = imgs.select(col("doc_id").as("doc_b"), col("dhash"),
+      col("pix").as("pix_b"))
+    a.join(b, Seq("dhash"))
+      .filter(col("doc_a") < col("doc_b") && col("pix_a") === col("pix_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** mm8: IMAGE dedup profile — the multimodal member of the dedup
+    * family: decode the PNG lake end to end ([[parsePng]]),
+    * fingerprint each image with [[imageHashes]]' dHash, and emit the
+    * per-bucket dedup summary: images per bucket (the skew/collision
+    * profile that sizes the verify stage), the bucket's keeper
+    * (min doc_id), and the VERIFIED duplicate-pair count — exact
+    * pixel-equality groups within the bucket, Σ C(c,2). Two shuffles,
+    * both key-grouped: (dhash, pixels) then dhash — never all-pairs.
+    * The oracle recomputes the dHash bit-for-bit from the source md5
+    * bytes, so the gate pins decode → fingerprint → group → verify
+    * end to end. At 100 TB the same plan runs a 64-bit dHash over
+    * real downsamples, with [[imageDupPairs]] (plus Hamming-1
+    * multiprobe, the ann16 pattern) emitting the pair list. */
+  def mm8ImageNearDup(s: SparkSession, dir: String): DataFrame =
+    imageHashes(s, dir).toDF()
+      .groupBy(col("dhash"), col("pix"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("mn"))
+      .groupBy(col("dhash"))
+      .agg(sum(col("c")).as("n_images"),
+        min(col("mn")).as("keep_id"),
+        sum(expr("(c * (c - 1)) DIV 2")).as("n_dup_pairs"))
+      .orderBy(col("dhash"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -606,7 +687,8 @@ object Multimodal {
     "mm4_audio_decode" -> (mm4AudioDecode _),
     "mm5_image_decode" -> (mm5ImageDecode _),
     "mm6_png_decode" -> (mm6PngDecode _),
-    "mm7_jpeg_decode" -> (mm7JpegDecode _)
+    "mm7_jpeg_decode" -> (mm7JpegDecode _),
+    "mm8_image_neardup" -> (mm8ImageNearDup _)
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -625,6 +707,37 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm6_png_decode" -> mm5OracleSql,
+    // dHash recomputed bit-for-bit from the md5 bytes (12 gradient
+    // signs, row-major MSB-first — the dHashBits layout); exact-pixel
+    // groups ≡ md5 groups because the lake's pixels ARE the md5 bytes
+    "mm8_image_neardup" ->
+      """WITH bb AS (
+           SELECT doc_id, md5(text) AS m,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents),
+         h AS (
+           SELECT doc_id, m,
+             (CASE WHEN b[1]  < b[2]  THEN 2048 ELSE 0 END) +
+             (CASE WHEN b[2]  < b[3]  THEN 1024 ELSE 0 END) +
+             (CASE WHEN b[3]  < b[4]  THEN  512 ELSE 0 END) +
+             (CASE WHEN b[5]  < b[6]  THEN  256 ELSE 0 END) +
+             (CASE WHEN b[6]  < b[7]  THEN  128 ELSE 0 END) +
+             (CASE WHEN b[7]  < b[8]  THEN   64 ELSE 0 END) +
+             (CASE WHEN b[9]  < b[10] THEN   32 ELSE 0 END) +
+             (CASE WHEN b[10] < b[11] THEN   16 ELSE 0 END) +
+             (CASE WHEN b[11] < b[12] THEN    8 ELSE 0 END) +
+             (CASE WHEN b[13] < b[14] THEN    4 ELSE 0 END) +
+             (CASE WHEN b[14] < b[15] THEN    2 ELSE 0 END) +
+             (CASE WHEN b[15] < b[16] THEN    1 ELSE 0 END) AS dhash
+           FROM bb),
+         g AS (
+           SELECT dhash, m, count(*) AS c, min(doc_id) AS mn
+           FROM h GROUP BY 1, 2)
+         SELECT dhash, CAST(sum(c) AS BIGINT) AS n_images,
+           min(mn) AS keep_id,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_dup_pairs
+         FROM g GROUP BY 1 ORDER BY 1""",
     // A correct JPEG decode recovers the md5 byte as EVERY pixel of
     // its flat 8×8 block (DC-only exactness), so per block min = max =
     // the byte; width/height are the 4×4 block grid.

@@ -956,6 +956,46 @@ object EventStream {
     sess.table(name).orderBy(col("event_type"), col("hour"))
   }
 
+  /** Latest-value snapshot per key — the streaming materialized-view /
+    * CDC-upsert shape: the state IS the result (each user's most
+    * recent event by event time, event_id as the unique tie-break),
+    * maintained incrementally as one max-struct row per key. No
+    * watermark: an upsert view must accept arbitrarily late updates,
+    * and eviction would silently freeze a key. State is O(distinct
+    * keys), never O(events) — the per-key row only ever gets
+    * OVERWRITTEN, which is exactly what a 100 TB deployment writes
+    * through update mode to a keyed store (the gate reads it back via
+    * the memory sink's complete mode instead; semantics identical, the
+    * sink is the harness choice). The max-struct aggregation keeps the
+    * plan fully declarative — partial maxes combine map-side, so the
+    * shuffle carries one row per key per micro-batch, not the raw
+    * events. */
+  def latestSnapshot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
+
+  /** st13 driver gate: [[latestSnapshot]] over the production
+    * file-source path, run to completion against the static events
+    * table; the oracle is the batch row_number()-desc form. `value`
+    * passes through unchanged (selection, no arithmetic), so the
+    * doubles are bit-identical. */
+  def snapshotGate(spark: SparkSession, dir: String): DataFrame = {
+    val sess = gateSession(spark, partitions = "8")
+    val name = s"st13_gate_${gateRuns.incrementAndGet()}"
+    val q = latestSnapshot(readEvents(sess, dir))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    sess.table(name).orderBy(col("user_id"))
+  }
+
   /** Tracks the peak state-store rows across EVERY progress update.
     * `q.recentProgress` is a ring buffer keeping only the last
     * `spark.sql.streaming.numRecentProgressUpdates` (default 100)

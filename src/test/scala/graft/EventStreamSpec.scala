@@ -350,6 +350,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st13 latest-value snapshot == the batch argmax, every column") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.snapshotGate(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toMap
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts"), col("m.event_id"),
+        col("m.event_type"), col("m.value"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("st13 snapshot state is one row per key (bounded by users, not events)") {
+    val dir = "/root/testdata/sf0.001"
+    val nUsers = graft.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    val nRows = EventStream.snapshotGate(spark, dir).count()
+    assert(nRows === nUsers)
+  }
+
   test("st12 left-semi stream-stream join == the batch semi join, each " +
        "matched error exactly once") {
     import org.apache.spark.sql.functions._

@@ -25,6 +25,22 @@ class GraphOpsSpec extends AnyFunSuite {
     nodes.select(col("id"), lit(1.0 / n.toDouble).as("w"))
   }
 
+  test("bfsHops on a path graph: exact hop distances, unreached nodes absent") {
+    // 1-2-3-4-5-6-7, seed {1}, 4 hops: 5 is the frontier edge, 6/7 out
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)))
+    val d = GraphOps.bfsHops(edges, Seq(1L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("bfsHops multi-source: distance is the min over seeds; isolated seed kept at 0") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    // seeds 1 and 5 meet in the middle; 99 has no edges but is a seed
+    val d = GraphOps.bfsHops(edges, Seq(1L, 5L, 99L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d === Map(1L -> 0, 5L -> 0, 99L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
   test("path graph a-b-c: one iteration matches the hand computation") {
     val edges = sym(Seq((1L, 2L), (2L, 3L)))
     val r = GraphOps.pagerank(edges, uniform(edges), iters = 1)

@@ -69,4 +69,34 @@ class BmpCodecSpec extends AnyFunSuite {
       assert(r.isEmpty, s"case $i parsed but should be rejected")
     }
   }
+
+  test("dHash bit layout: row-major MSB-first gradient signs") {
+    // 2x2 image: one comparison per row → 2 bits.
+    // row 0: 10 < 20 → 1 (MSB); row 1: 30 < 25 → 0
+    assert(Multimodal.dHashBits(2, 2, Array(10, 20, 30, 25)) === 2L)
+    // flat image hashes to 0 (strict <)
+    assert(Multimodal.dHashBits(4, 4, Array.fill(16)(7)) === 0L)
+    // identical pixels → identical hash; flipping one gradient flips
+    // exactly that bit
+    val px = Array.tabulate(16)(i => (i * 37 + 11) % 256)
+    val h1 = Multimodal.dHashBits(4, 4, px)
+    assert(h1 === Multimodal.dHashBits(4, 4, px.clone()))
+    val px2 = px.clone(); px2(0) = 255 // pair k=0 is the MSB (bit 11)
+    val h2 = Multimodal.dHashBits(4, 4, px2)
+    val expectFlip = (px(0) < px(1)) != (px2(0) < px2(1))
+    assert(((h1 ^ h2) == (if (expectFlip) 1L << 11 else 0L)))
+  }
+
+  test("dHash through the PNG codec equals dHash on the source grays") {
+    val p = payload(9)
+    val (w, h, lum) = Multimodal.parsePng(Multimodal.pngBytes(p)).get
+    assert(Multimodal.dHashBits(w, h, lum) ===
+      Multimodal.dHashBits(4, 4, p.map(_ & 0xFF)))
+  }
+
+  test("dHash rejects widths whose bit count exceeds 64") {
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashBits(10, 8, Array.fill(80)(0))
+    }
+  }
 }

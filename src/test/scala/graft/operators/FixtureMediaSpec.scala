@@ -113,4 +113,26 @@ class FixtureMediaSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(wav).exists(_._2.length === 8))
     assert(Multimodal.parseBmp(bmp).exists(_._3.length === 16))
   }
+
+  test("imageDupPairs over a synthesized duplicate lake: exactly the " +
+       "byte-identical pairs, dHash collisions verified away") {
+    import spark.implicits._
+    // payloads: a appears 3x (docs 1,2,5), b twice (3,7), c once (9);
+    // d is crafted to share a's GRADIENT SIGNS (same dHash bucket)
+    // with different pixel values — a candidate that must verify away
+    val a = Array.tabulate(16)(i => (i * 7 + 3) % 251)
+    val b = Array.tabulate(16)(i => (200 - i * 9 + 256) % 256)
+    val c = Array.fill(16)(128)
+    val d = a.map(v => math.min(250, v + 2)) // monotone shift keeps signs
+    assert(Multimodal.dHashBits(4, 4, d) === Multimodal.dHashBits(4, 4, a))
+    val imgs = Seq(
+      (1L, a), (2L, a), (5L, a), (3L, b), (7L, b), (9L, c), (11L, d))
+      .map { case (id, px) =>
+        Multimodal.HashedImage(id, Multimodal.dHashBits(4, 4, px),
+          px.map(_.toByte))
+      }.toDF()
+    val pairs = Multimodal.imageDupPairs(imgs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L), (1L, 5L), (2L, 5L), (3L, 7L)))
+  }
 }
