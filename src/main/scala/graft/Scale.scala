@@ -219,6 +219,25 @@ object Scale {
       run("gr7_label_prop", 2) {
         graft.operators.GraphOps.labelPropagation(ge, rounds = 3).count()
       }
+      // round-11: multi-source BFS over the same scaled edge frame —
+      // 1 % of nodes seeded (hash-picked, deterministic); per-round
+      // cost is frontier-edge join + node-sized anti-join, so the
+      // curve should track edge volume like pagerank's
+      run("gr8_bfs_reach", 2) {
+        val seeds = ge.select(col("src").as("id")).distinct()
+          .filter(pmod(xxhash64(col("id")), lit(100)) === 0)
+        graft.operators.GraphOps.bfsHops(ge, seeds, maxHops = 4).count()
+      }
+      // round-11: the mm8 compute path (encode → PNG decode → dHash →
+      // two key-grouped aggs) over in-flight bytes — the codec cost
+      // per document is constant, so the curve should be linear in
+      // docs; the gate's one-file-per-image lake is a harness
+      // artifact deliberately excluded (see inlineImageHashes)
+      run("mm8_image_profile", 2) {
+        graft.operators.Multimodal.imageDedupProfile(
+          graft.operators.Multimodal.inlineImageHashes(spark,
+            Tables.documents(spark, dataDir)).toDF()).count()
+      }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)
       run("sp19_overlay_area", 2) {

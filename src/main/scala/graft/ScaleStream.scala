@@ -66,6 +66,9 @@ object ScaleStream {
       pair("st2", p => es.intervalJoinFileStats(spark, dataDir, p))
       pair("st8", p => es.dailyRollupFileStats(spark, dataDir, p))
       pair("st10", p => es.sessionWindowFileStats(spark, dataDir, p))
+      // st13 (round 11): the CDC-upsert snapshot — per-key overwrite
+      // state, the canonical RocksDB-provider workload (point puts)
+      pair("st13", p => es.snapshotFileStats(spark, dataDir, p))
       if (want("st5")) {
         val a = es.sketchFileStats(spark, dataDir)
         val b = es.sketchFileStats(spark, dataDir)

@@ -671,7 +671,12 @@ object Multimodal {
     * real downsamples, with [[imageDupPairs]] (plus Hamming-1
     * multiprobe, the ann16 pattern) emitting the pair list. */
   def mm8ImageNearDup(s: SparkSession, dir: String): DataFrame =
-    imageHashes(s, dir).toDF()
+    imageDedupProfile(imageHashes(s, dir).toDF())
+
+  /** The per-bucket dedup summary over any (doc_id, dhash, pix)
+    * frame — two key-grouped shuffles, never all-pairs. */
+  def imageDedupProfile(imgs: DataFrame): DataFrame =
+    imgs
       .groupBy(col("dhash"), col("pix"))
       .agg(count(lit(1)).as("c"), min(col("doc_id")).as("mn"))
       .groupBy(col("dhash"))
@@ -679,6 +684,22 @@ object Multimodal {
         min(col("mn")).as("keep_id"),
         sum(expr("(c * (c - 1)) DIV 2")).as("n_dup_pairs"))
       .orderBy(col("dhash"))
+
+  /** Encode → decode → fingerprint over IN-FLIGHT PNG bytes (no file
+    * lake) — the scale-harness form of [[imageHashes]]: a 100 TB lake
+    * stores images in large container files, so the gate lake's
+    * one-file-per-image listing cost is a harness artifact, not part
+    * of the operator curve. Same codec, same bits. */
+  def inlineImageHashes(s: SparkSession, docs: DataFrame): Dataset[HashedImage] = {
+    import s.implicits._
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        parsePng(pngBytes(raw)).map { case (w, h, lum) =>
+          HashedImage(id, dHashBits(w, h, lum), lum.map(_.toByte))
+        }
+      })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),

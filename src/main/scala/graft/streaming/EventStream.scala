@@ -1163,6 +1163,46 @@ object EventStream {
     }
   }
 
+  /** Scale harness for the st13 latest-value snapshot: the production
+    * shape is UPDATE mode (each micro-batch emits the keys it
+    * overwrote, the KV-sink write pattern), counted through a
+    * foreachBatch sink — a file sink can't take update mode, and a
+    * complete-mode memory sink would re-materialize the whole snapshot
+    * on the driver every batch. Returns (seconds, total update rows
+    * emitted, max state rows); state rows = distinct keys, the
+    * operator's O-claim, measured. Update counts are deterministic
+    * given the file order (maxFilesPerTrigger=1), so the mem/rocks
+    * rows-equal check holds. */
+  def snapshotFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
+    val sess = gateSession(spark, partitions = "8")
+    stateProvider.foreach { p =>
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      if (p == RocksDbProvider)
+        RocksDbTuning.foreach { case (k, v) => sess.conf.set(k, v) }
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_scale")
+    val listener = new MaxStateListener
+    sess.streams.addListener(listener)
+    try {
+      val updates = new java.util.concurrent.atomic.AtomicLong
+      val t0 = System.nanoTime()
+      val q = latestSnapshot(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$ckpt/_ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          updates.addAndGet(df.count()); ()
+        }
+        .start()
+      q.processAllAvailable()
+      val syncMax = q.recentProgress.iterator
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(-1L)(math.max)
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, updates.get(), math.max(listener.maxRows, syncMax))
+    } finally sess.streams.removeListener(listener)
+  }
+
   /** Scale harness twin of [[sessionizeFileStats]] for the
     * stream-stream interval join: both sides are the production file
     * source (error / click filters), state is the watermark-bounded
