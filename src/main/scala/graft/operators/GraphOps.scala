@@ -502,21 +502,21 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var reached = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var frontier = reached.select(col("id"))
-    var prev: Option[DataFrame] = None
+    // round 0 is cut too, so every later round's frontier/reached
+    // derives from a checkpoint — O(1) lineage per round, and nothing
+    // persisted outlives the call
+    var reached = graft.spark.Checkpoints.cut(
+      seeds.select(col("id")).distinct().withColumn("dist", lit(0)),
+      checkpointDir)
     for (h <- 1 to maxHops) {
+      val frontier = reached.filter(col("dist") === h - 1).select(col("id"))
       val next = e.join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
         .join(reached.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(h))
       val merged = graft.spark.Checkpoints.cut(
         reached.unionByName(next), checkpointDir)
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(merged)
-      frontier = next.select(col("id"))
+      reached.unpersist(blocking = false)
       reached = merged
     }
     e.unpersist(blocking = false)

@@ -1050,7 +1050,13 @@ object EventStream {
   val RocksDbTuning: Map[String, String] = Map(
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       -> "true",
-    "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "64",
+    // 256 (r11, from 64): the st13 upsert at 100× (150k-row state,
+    // get+put per event) read 2.0× the in-memory provider under the
+    // 64 MB cache and 1.25× under 256 MB — the working set plus block
+    // churn outgrew 64 MB. This is an LRU CAPACITY bound, not an
+    // allocation; on a shared cluster pair it with
+    // boundedMemoryUsage/maxMemoryUsageMB to cap the per-executor sum.
+    "spark.sql.streaming.stateStore.rocksdb.blockCacheSizeMB" -> "256",
     "spark.sql.streaming.stateStore.rocksdb.compression" -> "no_compression",
     "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "64",
     "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
@@ -1059,7 +1065,15 @@ object EventStream {
     // residual bottleneck and parallelizes across state partitions,
     // where the on-heap map gains nothing from extra partitions (its
     // ops are ~free; more partitions only add commit overhead)
-    "spark.sql.shuffle.partitions" -> "16")
+    "spark.sql.shuffle.partitions" -> "16") ++
+    // experiment dial: GRAFT_ROCKS_EXTRA="k=v;k=v" overlays/overrides
+    // entries for single-run provider sweeps without a recompile
+    // (ScaleStream tuning passes); unset in committed measurements
+    // unless SCALING.md says otherwise
+    sys.env.get("GRAFT_ROCKS_EXTRA").map(_.split(";").iterator
+      .filter(_.contains("=")).map { kv =>
+        val a = kv.split("=", 2); a(0).trim -> a(1).trim
+      }.toMap).getOrElse(Map.empty)
 
   /** Shared runner for the file-source scale harnesses: build the
     * streaming frame against the given child session, drain it into a

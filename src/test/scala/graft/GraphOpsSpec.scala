@@ -41,6 +41,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(d === Map(1L -> 0, 5L -> 0, 99L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
 
+  test("bfsHops differential: random graphs match a driver-side reference BFS") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (0 until n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val seeds = (0 until 3).map(_ => rnd.nextInt(n).toLong).distinct
+      val maxHops = 1 + rnd.nextInt(4)
+      // reference: breadth-first over the adjacency map
+      val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      val got = GraphOps.bfsHops(sym(pairs), seeds.toDF("id"), maxHops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === dist, s"trial $trial (n=$n, hops=$maxHops)")
+    }
+  }
+
   test("path graph a-b-c: one iteration matches the hand computation") {
     val edges = sym(Seq((1L, 2L), (2L, 3L)))
     val r = GraphOps.pagerank(edges, uniform(edges), iters = 1)
