@@ -1234,21 +1234,51 @@ object TextOps {
     * self-join; nothing all-pairs, no driver state. */
   /** Hub-capped inverted shingle postings (doc_id, g) — the shared
     * index of the containment family (dd20 pairs, cp9 pruning). */
-  private def dd20Kept(s: SparkSession, dir: String, maxDf: Int): DataFrame =
-    graft.spark.DfCache.memo(s, s"$dir#dd20kept#$maxDf") {
-      val posts = docShingles(s, dir)
-        .select(col("doc_id"), explode(col("sset")).as("g"))
-      val keep = posts.groupBy(col("g"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf)
-        .select(col("g"))
-      posts.join(keep, "g")
+  private def dd20Kept(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val posts = docShingles(s, dir)
+      .select(col("doc_id"), explode(col("sset")).as("g"))
+    val keep = posts.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("g"))
+    posts.join(keep, "g")
+  }
+
+  /** Per-doc kept shingle sets as LONG-id arrays in global (df, gid)
+    * order, plus n_a — the ONE resident frame of the dd20/cp9 family
+    * (round-11 memory fix: the raw kept-postings frame used to sit in
+    * the cache for the whole session — at 100× it is the corpus's
+    * shingle volume in 40-byte strings, and its residency was measured
+    * degrading dd20 itself 2.6× under co-residency. It is now a
+    * build-scoped persist, freed the moment this compact frame
+    * materializes; the string↔long bijection is re-derived
+    * deterministically on any recompute — repartition(g) +
+    * sortWithinPartitions(g) make the ids a pure function of the
+    * data, the round-11 invariant). */
+  private def dd20DocSets(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#dd20sets#$maxDf") {
+      val kept = dd20Kept(s, dir, maxDf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gids = kept.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .repartition(col("g")).sortWithinPartitions(col("g"))
+        .withColumn("gid", monotonically_increasing_id())
+        .select(col("g"), col("df"), col("gid"))
+      val ds = kept.join(gids, "g")
+        .groupBy(col("doc_id"))
+        .agg(transform(
+            sort_array(collect_list(struct(col("df"), col("gid")))),
+            x => x("gid")).as("sset"),
+          count(lit(1)).as("n_a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      kept.unpersist(blocking = false)
+      ds
     }
 
   def dd20Containment(s: SparkSession, dir: String,
                       minContain: Double = 0.8, maxDf: Int = 256,
                       prefixFilter: Boolean = true): DataFrame = {
-    val kept = dd20Kept(s, dir, maxDf)
+    lazy val kept = dd20Kept(s, dir, maxDf)
     if (!prefixFilter) {
       // reference form: full posting self-join — Σ df² candidate rows.
       // Kept as the equality baseline for the prefix-filtered default
@@ -1293,29 +1323,12 @@ object TextOps {
       // shingle therefore gets a unique LONG id first, and everything
       // downstream (candidate equi-join, per-doc sets, exact
       // array_intersect verification) moves 8-byte ids. The id is NOT
-      // a hash (a collision would silently merge shingles): it is
-      // monotonically_increasing_id over the distinct-shingle frame
-      // hash-repartitioned by g and SORTED within partitions — a pure
-      // function of (hash(g), sort rank), so a recomputed partition
-      // reproduces identical ids and the id↔shingle bijection is
-      // exact by construction.
-      val gids = graft.spark.DfCache.memo(s, s"$dir#dd20gids#$maxDf") {
-        kept.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .repartition(col("g")).sortWithinPartitions(col("g"))
-          .withColumn("gid", monotonically_increasing_id())
-          .select(col("g"), col("df"), col("gid"))
-      }
-      // per-doc kept sets as LONG arrays in global (df, gid) order:
-      // ascending rarity, deterministic tie-break — the one total
-      // order every doc's prefix is cut from
-      val docSets = graft.spark.DfCache.memo(s, s"$dir#dd20sets#$maxDf") {
-        kept.join(gids, "g")
-          .groupBy(col("doc_id"))
-          .agg(transform(
-              sort_array(collect_list(struct(col("df"), col("gid")))),
-              x => x("gid")).as("sset"),
-            count(lit(1)).as("n_a"))
-      }
+      // a hash (a collision would silently merge shingles): see
+      // [[dd20DocSets]] for the determinism construction. The per-doc
+      // arrays are in global (df, gid) order: ascending rarity,
+      // deterministic tie-break — the one total order every doc's
+      // prefix is cut from.
+      val docSets = dd20DocSets(s, dir, maxDf)
       val p = greatest(lit(1),
         col("n_a") - greatest(lit(1),
           floor(lit(minContain) * col("n_a").cast("double")).cast("long")
@@ -1358,8 +1371,11 @@ object TextOps {
   def cp9SubsetPrune(s: SparkSession, dir: String,
                      minContain: Double = 0.8, maxDf: Int = 256): DataFrame = {
     val pairs = dd20Containment(s, dir, minContain, maxDf)
-    val sizes = dd20Kept(s, dir, maxDf)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // kept-posting counts per doc ≡ docSets' n_a (the join with gids
+    // is key-preserving), read from the compact shared memo instead of
+    // re-aggregating the postings frame
+    val sizes = dd20DocSets(s, dir, maxDf)
+      .select(col("doc_id"), col("n_a").as("n"))
     pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
