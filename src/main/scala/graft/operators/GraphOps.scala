@@ -541,6 +541,78 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** Neighborhood Jaccard similarity over a simple undirected pair
+    * frame `(a, b)` with `a < b`: for every node pair sharing at least
+    * `minCommon` neighbors, |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the
+    * common-neighbor link-prediction / item-similarity primitive
+    * (recommendations, graph-based near-dup scoring) one rung above
+    * raw co-occurrence.
+    *
+    * Neighbor profiles are HUB-PRUNED first: a neighbor whose degree
+    * exceeds `maxHubDeg` is removed from every node's neighbor set
+    * (both the intersection and the union), because wedge volume is
+    * Σ_w deg(w)² over the SHARED neighbor w — one hub neighbor
+    * quadratically dominates the self-join while carrying no
+    * similarity signal (sharing a ubiquitous neighbor is not
+    * evidence; the gr5 `maxPerKey` argument one projection up). The
+    * cap is part of the operator's contract, mirrored in the oracle.
+    * Degrees and commons are computed over the SAME pruned profile,
+    * so the Jaccard stays a true set ratio. The output similarity is
+    * one IEEE division of exact integers — bit-identical across
+    * engines, no rounding needed.
+    *
+    * 100 TB shape: one degree aggregation, one semi-join prune, one
+    * equi-self-join on the shared-neighbor key (volume ≤ |V|·cap²),
+    * one (xa, xb) count — never all-pairs over nodes. */
+  def neighborhoodJaccard(pairs: DataFrame, minCommon: Long,
+                          maxHubDeg: Int): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val nonHub = sym.groupBy(col("a").as("b")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxHubDeg)
+      .select(col("b"))
+    // adjacency with hub NEIGHBORS dropped: (x, w) = kept neighbor w of x
+    val adj = sym.join(nonHub, "b")
+      .select(col("a").as("x"), col("b").as("w"))
+    val pdeg = adj.groupBy(col("x")).agg(count(lit(1)).as("pd"))
+    val common = adj.select(col("w"), col("x").as("xa"))
+      .join(adj.select(col("w"), col("x").as("xb")), "w")
+      .filter(col("xa") < col("xb"))
+      .groupBy(col("xa"), col("xb"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    common
+      .join(pdeg.select(col("x").as("xa"), col("pd").as("deg_a")), "xa")
+      .join(pdeg.select(col("x").as("xb"), col("pd").as("deg_b")), "xb")
+      .select(col("xa"), col("xb"), col("n_common"), col("deg_a"),
+        col("deg_b"),
+        (col("n_common") / (col("deg_a") + col("deg_b") - col("n_common")))
+          .as("jaccard"))
+  }
+
+  /** gr9: "customers also bought" part similarity — neighborhood
+    * Jaccard over the gr5 co-purchase graph (shared memo with gr7).
+    * Two parts are similar when their co-purchase NEIGHBORHOODS
+    * overlap, a strictly stronger signal than a single shared basket
+    * (the gr5 edge): it survives removing the direct edge and is the
+    * standard collaborative-filtering item-item score. The gate runs
+    * minCommon=1 (every wedge scored): the co-purchase graph SPARSIFIES
+    * per-node as the corpus grows — TPC-H order baskets stay ~4–7 parts
+    * while the part universe scales — so a ≥2-common-neighbor cut that
+    * emits 14k pairs at sf0.001 is empty by sf0.1; scoring all wedges
+    * keeps the gate non-vacuous at every SF (the Jaccard value itself
+    * carries the strength signal). */
+  def gr9JaccardSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
+      gr5CopurchasePairs(s, dir)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+    }
+    neighborhoodJaccard(pairs, minCommon = 1L, maxHubDeg = 64)
+      .select(col("xa").as("part_a"), col("xb").as("part_b"),
+        col("n_common"), col("deg_a"), col("deg_b"), col("jaccard"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gr1_pagerank" -> (gr1Pagerank _),
     "gr2_personalized_pagerank" -> (gr2PersonalizedPagerank _),
@@ -549,7 +621,8 @@ object GraphOps {
     "gr5_copurchase_pairs" -> (gr5CopurchasePairs _),
     "gr6_kcore" -> (gr6Kcore _),
     "gr7_label_prop" -> (gr7LabelProp _),
-    "gr8_bfs_reach" -> (gr8BfsReach _)
+    "gr8_bfs_reach" -> (gr8BfsReach _),
+    "gr9_jaccard_similarity" -> (gr9JaccardSimilarity _)
   )
 
   // gr5's co-purchase pair derivation as a shared CTE prefix (ends at
@@ -655,6 +728,31 @@ object GraphOps {
          GROUP BY id)"""
 
   val oracles: Map[String, String] = Map(
+    // neighborhood Jaccard over the hub-pruned co-purchase profiles;
+    // the similarity is ONE IEEE division of exact integers, so it is
+    // bit-identical across engines without rounding
+    "gr9_jaccard_similarity" ->
+      s"""WITH $copurchaseCtes,
+         sym AS (SELECT pa AS a, pb AS b FROM cop
+                 UNION ALL SELECT pb, pa FROM cop),
+         nonhub AS (
+           SELECT a AS b FROM (SELECT a, count(*) AS d FROM sym GROUP BY a)
+           WHERE d <= 64),
+         adj AS (
+           SELECT sym.a AS x, sym.b AS w
+           FROM sym JOIN nonhub ON nonhub.b = sym.b),
+         pdeg AS (SELECT x, count(*) AS pd FROM adj GROUP BY x),
+         com AS (
+           SELECT l.x AS xa, r.x AS xb, count(*) AS n_common
+           FROM adj l JOIN adj r ON l.w = r.w AND l.x < r.x
+           GROUP BY 1, 2)
+         SELECT com.xa AS part_a, com.xb AS part_b, com.n_common,
+           da.pd AS deg_a, db.pd AS deg_b,
+           com.n_common / (da.pd + db.pd - com.n_common) AS jaccard
+         FROM com
+         JOIN pdeg da ON da.x = com.xa
+         JOIN pdeg db ON db.x = com.xb
+         ORDER BY 1, 2""",
     // 3 unrolled synchronous rounds — the exact trajectory twin of
     // labelPropagation (integer labels, no fixpoint dependence)
     "gr7_label_prop" ->

@@ -275,6 +275,53 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One fixed-length analysis frame of a decoded PCM clip. Every
+    * feature is INTEGER math on 16-bit samples — energy at worst
+    * frameLen·32768² < 2^45 in a Long, a sign-flip product at worst
+    * 32768² < 2^31 in an Int — so the oracle recomputes them exactly. */
+  case class WavFrame(doc_id: Long, frame_idx: Int, n_samples: Int,
+                      energy: Long, n_zero_cross: Int, peak: Int)
+
+  /** mm9: FRAMED audio features — the windowing step every audio
+    * pipeline runs before VAD/language-ID/segment filtering: split
+    * each decoded clip into fixed-length frames and compute per-frame
+    * energy (Σ s²), zero-crossing count (adjacent sign flips — the
+    * classic cheap voicing/noise discriminator) and peak amplitude.
+    * Same file-source → parseWav batch-decode contract as mm4; the
+    * per-frame loop is executor-side imperative code on a decoded
+    * clip, the documented codec exception to expressions-first.
+    * 100 TB shape: pure flatMap (rows out = clips × frames), no
+    * shuffle before the gate's orderBy. */
+  /** Per-frame feature extraction over one decoded clip (the mm9
+    * kernel, separated for direct spec coverage). */
+  def frameFeatures(id: Long, smp: Array[Short],
+                    frameLen: Int): Iterator[WavFrame] =
+    smp.grouped(frameLen).zipWithIndex.map { case (fs, fi) =>
+      var energy = 0L; var zc = 0; var peak = 0; var i = 0
+      while (i < fs.length) {
+        val v = fs(i).toInt
+        energy += v.toLong * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i + 1 < fs.length && v * fs(i + 1).toInt < 0) zc += 1
+        i += 1
+      }
+      WavFrame(id, fi, fs.length, energy, zc, peak)
+    }
+
+  def mm9AudioFrames(s: SparkSession, dir: String,
+                     frameLen: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaFiles(s, dir, "wav")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes).iterator.flatMap { case (_, smp) =>
+          frameFeatures(id, smp, frameLen)
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Build a VALID 24-bit uncompressed BMP: BITMAPFILEHEADER +
     * 40-byte BITMAPINFOHEADER + BGR pixel rows stored BOTTOM-UP with
     * 4-byte row stride padding (both real BMP quirks). Pixel (x,y) of
@@ -709,7 +756,9 @@ object Multimodal {
     "mm5_image_decode" -> (mm5ImageDecode _),
     "mm6_png_decode" -> (mm6PngDecode _),
     "mm7_jpeg_decode" -> (mm7JpegDecode _),
-    "mm8_image_neardup" -> (mm8ImageNearDup _)
+    "mm8_image_neardup" -> (mm8ImageNearDup _),
+    "mm9_audio_frames" -> ((s: SparkSession, dir: String) =>
+      mm9AudioFrames(s, dir))
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -727,6 +776,30 @@ object Multimodal {
          ORDER BY doc_id, px_index"""
 
   val oracles: Map[String, String] = Map(
+    // mm9: frames recomputed from the md5-derived samples — integer
+    // energy (inner BIGINT cast: 4·32768² overflows INT32), adjacent
+    // sign-flip count via an index-lambda, integer peak
+    "mm9_audio_frames" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents),
+         smp AS (
+           SELECT doc_id,
+             [b[2*i - 1] * 256 + b[2*i] - 32768 FOR i IN range(1, 9)] AS s
+           FROM bytes),
+         fr AS (
+           SELECT doc_id, f AS frame_idx,
+             list_slice(s, 4*f + 1, 4*f + 4) AS fs
+           FROM smp, unnest(range(0, 2)) AS t(f))
+         SELECT doc_id, frame_idx, len(fs) AS n_samples,
+           CAST(list_sum(list_transform(fs,
+             x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+           len(list_filter(range(1, len(fs)),
+             i -> fs[i] * fs[i + 1] < 0)) AS n_zero_cross,
+           list_max(list_transform(fs, x -> abs(x))) AS peak
+         FROM fr ORDER BY doc_id, frame_idx""",
     "mm6_png_decode" -> mm5OracleSql,
     // dHash recomputed bit-for-bit from the md5 bytes (12 gradient
     // signs, row-major MSB-first — the dHashBits layout); exact-pixel

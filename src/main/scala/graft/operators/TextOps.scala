@@ -1387,6 +1387,124 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- PII redaction (cp10) ----
+
+  /** One PII pattern: (name, regex, replacement token). Regexes are
+    * restricted to the Java∩RE2 common dialect (character classes,
+    * bounded repetition, alternation — no backreferences, no
+    * lookaround) so the Spark plan and the DuckDB oracle match
+    * byte-for-byte on every input. */
+  final case class PiiPattern(name: String, regex: String, token: String)
+
+  /** The default scrub set: emails and NANP-style phone numbers. */
+  val DefaultPiiPatterns: Seq[PiiPattern] = Seq(
+    PiiPattern("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    PiiPattern("phone", "\\+1-555-[0-9]{4}", "[PHONE]"))
+
+  /** PII redaction over a text column: per-pattern match counts plus
+    * the scrubbed text, one projection — the mandatory compliance
+    * pass of any web-scale training corpus (emails, phone numbers →
+    * replacement tokens). Everything is codegen'd string expressions
+    * (regexp_count + chained regexp_replace); at 100 TB this is a
+    * pure map stage with zero shuffle, so throughput is scan-bound.
+    * Patterns apply in sequence; the defaults are disjoint (an email
+    * match can never overlap a phone match), so order is cosmetic. */
+  def piiRedact(docs: DataFrame, text: Column,
+                patterns: Seq[PiiPattern] = DefaultPiiPatterns): DataFrame = {
+    val counts = patterns.map(p =>
+      regexp_count(text, lit(p.regex)).cast("long").as(s"n_${p.name}"))
+    val clean = patterns.foldLeft(text)((t, p) =>
+      regexp_replace(t, p.regex, p.token))
+    docs.select(col("doc_id") +: counts :+ clean.as("clean_text"): _*)
+  }
+
+  /** cp10 gate: scrub a deterministically DERIVED contact-page corpus
+    * (the documents text with synthetic emails/phones appended from
+    * doc_id/source — the mm-family pattern: the corpus is fake, the
+    * operator plumbing is real) and emit per-doc PII counts plus the
+    * md5 of the scrubbed text for every doc that had any PII. The md5
+    * pins the REDACTED BYTES, not just the counts — a replacement
+    * that ate a neighboring character would pass counts and fail the
+    * hash. */
+  def cp10PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val did = col("doc_id")
+    val contact = concat(
+      col("text"),
+      when(did % 3 === 0,
+        concat(lit(" contact "), col("source"), did.cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(did % 9 === 0,
+        concat(lit(" cc admin@"), col("source"),
+          lit(".example.com"))).otherwise(lit("")),
+      when(did % 5 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((did % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    piiRedact(d.select(did, contact.as("t")), col("t"))
+      .filter(col("n_email") + col("n_phone") > 0)
+      .select(col("doc_id"), col("n_email"), col("n_phone"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- URL canonicalization dedup (dd21) ----
+
+  /** Canonicalize a URL column: drop the fragment, lowercase the
+    * host, strip a leading `www.`, remove `utm_*` tracking params
+    * (repairing separators), and trim trailing slashes — the
+    * canonical-URL step every crawl pipeline runs before URL-level
+    * dedup. Pure string expressions in the Java∩RE2 dialect: no
+    * backreferences (replacement-group syntax differs between
+    * engines), no lookaround (RE2 lacks it) — host splitting uses
+    * regexp_extract + substring arithmetic instead. Assumes
+    * `https?://` URLs (the crawl normal form); other schemes pass
+    * through the generic steps untouched. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val host = regexp_extract(noFrag, "^https?://([^/?#]+)", 1)
+    val scheme = regexp_extract(noFrag, "^(https?)://", 1)
+    // everything after the authority, by position (no backreferences)
+    val prefixLen = length(scheme) + lit(3) + length(host)
+    val rest = noFrag.substr(prefixLen + 1, length(noFrag))
+    val cleanHost = regexp_replace(lower(host), "^www\\.", "")
+    val rebuilt = when(host =!= "",
+      concat(lower(scheme), lit("://"), cleanHost, rest)).otherwise(noFrag)
+    val noUtm = regexp_replace(
+      regexp_replace(rebuilt, "utm_[a-z]+=[^&#]*&?", ""),
+      "[?&]$", "")
+    rtrim(noUtm, "/")
+  }
+
+  /** dd21 gate: URL-level dedup over a deterministically DERIVED
+    * crawl frontier (mixed-case hosts, www/no-www, utm params,
+    * fragments, trailing slashes — all synthesized from doc_id/source,
+    * the corpus-is-fake/plumbing-is-real pattern). Canonicalize, then
+    * group: each canonical URL keeps its smallest doc_id. Only groups
+    * with a real collapse (n_docs > 1) emit — the dedup decisions.
+    * 100 TB shape: one map projection + one groupBy on the canonical
+    * key; never content-sized state. */
+  def dd21UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val did = col("doc_id")
+    val raw = concat(
+      lit("https://"),
+      when(did % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      upper(col("source")), lit(".Example.COM/p/"),
+      (did % 7).cast("string"),
+      when(did % 6 === 0, lit("/")).otherwise(lit("")),
+      when(did % 3 === 0,
+        concat(lit("?utm_source=feed&ref="), (did % 11).cast("string")))
+        .otherwise(when(did % 3 === 1,
+          concat(lit("?id="), (did % 5).cast("string"),
+            lit("&utm_campaign=x"))).otherwise(lit(""))),
+      when(did % 4 === 0, lit("#frag")).otherwise(lit("")))
+    documents(s, dir)
+      .select(did, canonicalizeUrl(raw).as("url"))
+      .groupBy(col("url"))
+      .agg(min(did).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("url"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta14_bm25" -> ((s: SparkSession, dir: String) => ta14Bm25(s, dir)),
     "ta13_bigram_lm" -> ((s: SparkSession, dir: String) =>
@@ -1395,6 +1513,8 @@ object TextOps {
       dd20Containment(s, dir)),
     "cp9_subset_prune" -> ((s: SparkSession, dir: String) =>
       cp9SubsetPrune(s, dir)),
+    "cp10_pii_redact" -> (cp10PiiRedact _),
+    "dd21_url_dedup" -> (dd21UrlDedup _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1529,6 +1649,75 @@ object TextOps {
                     JOIN sh sb ON sb.doc_id = id_b)"""
 
   val oracles: Map[String, String] = Map(
+    // cp10: same derived contact corpus, same Java∩RE2 patterns;
+    // DuckDB counts via len(regexp_extract_all) and replaces with the
+    // 'g' flag (Spark's regexp_replace is always global)
+    "cp10_pii_redact" ->
+      """WITH contact AS (
+           SELECT doc_id,
+             text
+               || (CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source
+                     || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 9 = 0 THEN ' cc admin@' || source
+                     || '.example.com'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END) AS t
+           FROM documents),
+         scrub AS (
+           SELECT doc_id,
+             len(regexp_extract_all(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+             len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS n_phone,
+             regexp_replace(regexp_replace(t,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+               '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS clean
+           FROM contact)
+         SELECT doc_id, n_email, n_phone, md5(clean) AS clean_md5
+         FROM scrub WHERE n_email + n_phone > 0 ORDER BY doc_id""",
+    // dd21: same derived crawl frontier, same canonicalization
+    // sequence (fragment → host lowering/www strip by position
+    // arithmetic → utm removal + separator repair → trailing-slash
+    // trim); division of labor identical so the bytes match
+    "dd21_url_dedup" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             'https://'
+               || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+               || upper(source) || '.Example.COM/p/'
+               || CAST(doc_id % 7 AS VARCHAR)
+               || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref='
+                     || CAST(doc_id % 11 AS VARCHAR)
+                   WHEN doc_id % 3 = 1 THEN '?id='
+                     || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=x'
+                   ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         nofrag AS (
+           SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+         parts AS (
+           SELECT doc_id, u,
+             regexp_extract(u, '^https?://([^/?#]+)', 1) AS host,
+             regexp_extract(u, '^(https?)://', 1) AS scheme
+           FROM nofrag),
+         reb AS (
+           SELECT doc_id,
+             CASE WHEN host <> '' THEN
+               lower(scheme) || '://'
+                 || regexp_replace(lower(host), '^www\.', '')
+                 || substr(u, length(scheme) + 3 + length(host) + 1)
+             ELSE u END AS u
+           FROM parts),
+         canon AS (
+           SELECT doc_id,
+             rtrim(regexp_replace(regexp_replace(u,
+               'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', ''), '/') AS url
+           FROM reb)
+         SELECT url, min(doc_id) AS keep_id, count(*) AS n_docs
+         FROM canon GROUP BY 1 HAVING count(*) > 1 ORDER BY url""",
     // parallel unnests zip in DuckDB, so the bigram stream is two
     // shifted slices — the exact twin of Spark's zip_with(slice, slice)
     "ta13_bigram_lm" ->

@@ -290,6 +290,42 @@ object VectorOps {
     ivfSearch(embVectors(s, dir), kmeansCodebook(s, dir, 3),
       kmeansAssigned(s, dir), k, nprobe)
 
+  /** ann17: kNN-GRAPH construction — every corpus vector's top-k
+    * cosine neighbors among its OWN Lloyd cell's members (the ann14
+    * codebook, memoized assignment shared with ann14/ann15/cp8). Where
+    * the ann* search gates answer queries, this materializes the
+    * corpus-wide neighbor graph itself — the input artifact of
+    * SemDeDup-style semantic dedup, graph clustering (gr7 over
+    * embedding space), and diversity-aware curation.
+    *
+    * 100 TB shape: the candidate space is the per-cell self-join —
+    * with ceil(sqrt n) trained cells the per-cell membership is ~√n,
+    * so candidate volume is n·√n, never n² (the dd14 bound, here with
+    * the FULL Lloyd codebook so cells are tighter). The top-k window
+    * runs on a NARROW (src, nbr, sim) projection — vectors are
+    * dropped the moment the cosine is computed (the ivfAssign
+    * narrow-rows doctrine) — and partitions by src_id, whose
+    * cardinality grows with the corpus. In-cell truncation is the
+    * accepted ANN trade-off (a neighbor in an adjacent cell is
+    * missed); the exact twin at gate scale is dd7's quadratic form. */
+  def ann17KnnGraph(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cells = kmeansAssigned(s, dir)
+    val a = cells.select(col("cell"), col("vec_id").as("src_id"),
+      col("v").as("src_v"))
+    val b = cells.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("v").as("nbr_v"))
+    a.join(b, "cell")
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"),
+        round(cosine(col("src_v"), col("nbr_v")), 9).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("nbr_id"), col("sim"), col("rank"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
   /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
     * exceeds a data-calibrated threshold (this synthetic corpus tops
     * out near 0.51, so 0.45 marks its "near-duplicate" tail; rounded
@@ -816,6 +852,8 @@ object VectorOps {
     "ann5_ivf_scaled" -> ((s: SparkSession, dir: String) => ann5IvfScaled(s, dir)),
     "ann15_ivf_learned" -> ((s: SparkSession, dir: String) =>
       ann15IvfLearned(s, dir)),
+    "ann17_knn_graph" -> ((s: SparkSession, dir: String) =>
+      ann17KnnGraph(s, dir)),
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
@@ -1014,6 +1052,27 @@ object VectorOps {
            FROM emb e, cv3 c)"""
 
   val oracles: Map[String, String] = Map(
+    // kNN-graph: per-corpus-vector top-k within its OWN final Lloyd
+    // cell — the lloydChain's asgnF reused, vectors re-joined from emb
+    "ann17_knn_graph" ->
+      s"""WITH $lloydChainCtes,
+         cells AS (
+           SELECT a.vec_id, e.v, a.cell
+           FROM asgnF a JOIN emb e USING (vec_id) WHERE a.crk = 1),
+         sims AS (
+           SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT src_id, nbr_id, sim,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY sim DESC, nbr_id ASC) AS rank
+           FROM sims)
+         SELECT src_id, nbr_id, sim, rank
+         FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""",
     "ann14_kmeans_lloyd" ->
       s"""WITH $lloydChainCtes,
          sizes AS (

@@ -137,4 +137,42 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(avg(true) > avg(false),
       s"target-slice mean weight ${avg(true)} not above raw ${avg(false)}")
   }
+
+  test("piiRedact: exact counts and exact scrubbed bytes on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b@x.io and c_d%e@y.org or call +1-555-0199 now"),
+      (2L, "no pii here"),
+      (3L, "+1-555-12345 has a fifth digit outside the match")).toDF("doc_id", "t")
+    val got = graft.operators.TextOps.piiRedact(docs, col("t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((2L, 1L, "mail [EMAIL] and [EMAIL] or call [PHONE] now")))
+    assert(got(2L) === ((0L, 0L, "no pii here")))
+    // the phone pattern is bounded at 4 digits: the first 4 match, the
+    // 5th survives — redaction never eats neighboring bytes
+    assert(got(3L) === ((0L, 1L, "[PHONE]5 has a fifth digit outside the match")))
+  }
+
+  test("canonicalizeUrl: case table covering every rule and their repairs") {
+    import spark.implicits._
+    val cases = Seq(
+      // host lowering + www strip + trailing slash
+      "https://WWW.Ex.COM/p/1/" -> "https://ex.com/p/1",
+      // fragment drop + utm strip repairs the separator chain
+      "https://ex.com/p/1?utm_source=a&ref=2#f" -> "https://ex.com/p/1?ref=2",
+      "https://ex.com/p?id=3&utm_campaign=x" -> "https://ex.com/p?id=3",
+      // a query that was ONLY tracking vanishes entirely
+      "https://ex.com/?utm_source=x" -> "https://ex.com",
+      // http scheme, host-only lowering (path case preserved)
+      "http://WwW.A.b/Q" -> "http://a.b/Q",
+      // non-URL input passes through the generic steps untouched
+      "notaurl" -> "notaurl")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), graft.operators.TextOps.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"canonicalizeUrl($in)")
+    }
+  }
 }

@@ -312,4 +312,47 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === expect)
   }
+
+  test("neighborhoodJaccard on a hand graph: exact commons, degrees, ratios") {
+    // square 1-2-3-4 with chord 1-3: N(1)={2,3,4} N(2)={1,3}
+    // N(3)={1,2,4} N(4)={1,3}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("a", "b")
+    val got = GraphOps.neighborhoodJaccard(pairs, minCommon = 1L, maxHubDeg = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got === Map(
+      (1L, 2L) -> (1L, 3L, 2L, 0.25),
+      (1L, 3L) -> (2L, 3L, 3L, 0.5),
+      (1L, 4L) -> (1L, 3L, 2L, 0.25),
+      (2L, 3L) -> (1L, 2L, 3L, 0.25),
+      (2L, 4L) -> (2L, 2L, 2L, 1.0),
+      (3L, 4L) -> (1L, 3L, 2L, 0.25)))
+    // minCommon=2 keeps only the two 2-common pairs
+    val strict = GraphOps.neighborhoodJaccard(pairs, minCommon = 2L, maxHubDeg = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 3L), (2L, 4L)))
+  }
+
+  test("neighborhoodJaccard hub prune: hub neighbors leave both the " +
+       "intersection and the union") {
+    // star: hub 100 — {1..5}, plus edge 1-2. deg(100)=5.
+    val pairs = ((1L to 5L).map(i => (i, 100L)) :+ (1L, 2L)).toDF("a", "b")
+    // cap 3 drops 100 from every profile: N'(1)={2}, N'(2)={1},
+    // N'(3..5)={}, N'(100)={1..5}; only wedges through 1 and 2 remain
+    val capped = GraphOps.neighborhoodJaccard(pairs, 1L, maxHubDeg = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(capped === Map(
+      (1L, 100L) -> (1L, 1L, 5L, 0.2),
+      (2L, 100L) -> (1L, 1L, 5L, 0.2)))
+    // uncapped, the pairs {1..5}² all share the hub
+    val open = GraphOps.neighborhoodJaccard(pairs, 1L, maxHubDeg = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L to 5L).combinations(2).forall(p => open((p(0), p(1)))))
+  }
 }

@@ -161,4 +161,33 @@ class IvfSpec extends AnyFunSuite {
         s"cell $c: ${selSizes.getOrElse(c, 0)} selected of $n members")
     }
   }
+
+  test("ann17 kNN-graph: every corpus vector present, contiguous ranks, " +
+       "non-increasing sims with the deterministic tie-break, no self edges") {
+    val rows = VectorOps.ann17KnnGraph(spark, dir, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val n = Tables.embeddings(spark, dir).count()
+    val bySrc = rows.groupBy(_._1)
+    // every vector gets a neighbor list (no cell is a singleton here)
+    assert(bySrc.size.toLong === n)
+    bySrc.foreach { case (src, nb) =>
+      val sorted = nb.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length),
+        s"$src: ranks not contiguous")
+      assert(sorted.length <= 3 && sorted.forall(_._2 != src))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"$src: order violated between ${a._2} and ${b._2}")
+        case _ =>
+      }
+      // a vector's nearest in-cell neighbor lists it back among ITS
+      // candidates' cell — mutual-cell consistency: all of src's
+      // neighbors share one cell, so neighbor pairs within the list
+      // must also be each other's candidates (same cell by transitivity)
+      val ids = sorted.map(_._2).toSet
+      assert(ids.size === sorted.length, s"$src: duplicate neighbor")
+    }
+  }
 }

@@ -58,4 +58,24 @@ class WavCodecSpec extends AnyFunSuite {
       assert(r.isEmpty, s"case $i parsed but should be rejected")
     }
   }
+
+  test("mm9 frameFeatures: hand-computed energies, zero crossings, " +
+       "peaks, and a ragged tail frame") {
+    // payload 0..15 through the real codec: samples all negative
+    // (-32767, -32253, ... step 514), so zero crossings are 0 and the
+    // energies are the literal sums below (overflow INT32 — the Long
+    // contract is load-bearing for frame 0)
+    val p = Array.tabulate[Byte](16)(_.toByte)
+    val (_, smp) = Multimodal.parseWav(Multimodal.wavBytes(p)).get
+    val fr = Multimodal.frameFeatures(7L, smp, frameLen = 4).toSeq
+    assert(fr === Seq(
+      Multimodal.WavFrame(7L, 0, 4, 4096297044L, 0, 32767),
+      Multimodal.WavFrame(7L, 1, 4, 3586935380L, 0, 30711)))
+    // sign-flip counting + ragged last frame on a crafted clip
+    val crafted = Array[Short](5, -3, 2, -1, 0, 7, -7, 7, 4)
+    val f2 = Multimodal.frameFeatures(1L, crafted, frameLen = 4).toSeq
+    assert(f2.map(w => (w.frame_idx, w.n_samples, w.n_zero_cross, w.peak)) ===
+      Seq((0, 4, 3, 5), (1, 4, 2, 7), (2, 1, 0, 4)))
+    assert(f2.map(_.energy) === Seq(25L + 9 + 4 + 1, 0L + 49 + 49 + 49, 16L))
+  }
 }
