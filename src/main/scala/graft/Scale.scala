@@ -191,7 +191,14 @@ object Scale {
                     // df-bounded, so the curve should track postings,
                     // not pairs) and multiprobe LSH (9 bucket probes
                     // per query over the signature equi-join)
-                    "dd20_containment", "ann16_multiprobe_lsh"))
+                    "dd20_containment", "ann16_multiprobe_lsh",
+                    // round-11 wave 3: PII scrub (pure map, the curve
+                    // should be scan-linear), URL canonicalize+group
+                    // (map + one key agg), kNN-graph (rides ann14's
+                    // memoized assignment; per-cell self-join keeps
+                    // candidates at n·√n)
+                    "cp10_pii_redact", "dd21_url_dedup",
+                    "ann17_knn_graph"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier
@@ -237,6 +244,31 @@ object Scale {
         graft.operators.Multimodal.imageDedupProfile(
           graft.operators.Multimodal.inlineImageHashes(spark,
             Tables.documents(spark, dataDir)).toDF()).count()
+      }
+      // round-11: framed audio features over in-flight WAV bytes —
+      // synth + decode + frame are constant per doc, so the curve
+      // should be doc-linear (the mm8 exclusion argument for the
+      // gate's one-file-per-clip lake applies unchanged)
+      run("mm9_audio_frames", 2) {
+        graft.operators.Multimodal.inlineAudioFrames(spark,
+          Tables.documents(spark, dataDir)).toDF().count()
+      }
+      // round-11: neighborhood Jaccard over the dd5 near-dup pair
+      // graph (the cc section's corpus — doc-scaled and SPARSE, the
+      // regime the operator targets; the dense bipartite interaction
+      // graph was measured 5.7 s/22 s at 1×/10× because every node
+      // pair shares a neighbor there — wedge volume, not operator
+      // cost, and not a similarity-graph shape)
+      run("gr9_jaccard", 2) {
+        // the pair frame is the INPUT, memoized so min-of-2 isolates
+        // the wedge join + pair agg (run 1 pays the dd5 build)
+        val pairs = graft.spark.DfCache.memo(spark,
+          s"scale#gr9pairs#$dataDir") {
+          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+        }
+        graft.operators.GraphOps.neighborhoodJaccard(
+          pairs, minCommon = 1L, maxHubDeg = 64).count()
       }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)

@@ -748,6 +748,21 @@ object Multimodal {
       })
   }
 
+  /** In-flight WAV synth → decode → frame chain (the mm9 compute path
+    * without the gate's one-file-per-clip lake — the Scale twin, same
+    * exclusion argument as [[inlineImageHashes]]). */
+  def inlineAudioFrames(s: SparkSession, docs: DataFrame,
+                        frameLen: Int = 4): Dataset[WavFrame] = {
+    import s.implicits._
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        parseWav(wavBytes(raw)).iterator.flatMap { case (_, smp) =>
+          frameFeatures(id, smp, frameLen)
+        }
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
