@@ -1387,6 +1387,56 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Winnowing fingerprints (ta15) ----
+
+  /** ta15: WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    * the MOSS algorithm): hash every k-gram of word hashes, slide a
+    * window of `w` consecutive k-gram hashes over each document, and
+    * keep each window's RIGHTMOST MINIMUM — the classic guarantee
+    * that any shared run of w+k-1 words between two documents yields
+    * at least one shared fingerprint, at ~2/(w+1) selection density.
+    * This is the positional-fingerprint rung between dd2 (one prefix
+    * fingerprint per doc) and dd19 (every span) — the standard
+    * substring-plagiarism / span-level dedup index.
+    *
+    * Determinism: word hash = the TextOps md5 contract; k-gram hash =
+    * Horner fold mod P (every intermediate < 2^36, exact in BIGINT on
+    * both engines); rightmost-min = min(struct(g, -pos)) — one total
+    * order, no float anywhere.
+    *
+    * 100 TB shape: arrays keep the k-gram build map-only (zip_with of
+    * shifted slices, the ta13 pattern); the window selection explodes
+    * each k-gram into the ≤w windows it can win (volume w·tokens,
+    * k-gram-linear like shingling) and runs ONE (doc, window) argmin
+    * aggregation — per-doc work, no corpus-wide key. */
+  def winnowFingerprints(s: SparkSession, dir: String,
+                         w: Int = 4): DataFrame = {
+    val hs = transform(tokens(col("text")), t => wordHash(t))
+    val n = size(col("hs"))
+    // k=3 k-gram Horner hashes at 0-based positions 0..n-3
+    val kgExpr = zip_with(
+      zip_with(slice(col("hs"), lit(1), n - 2), slice(col("hs"), lit(2), n - 2),
+        (a, b) => (a * 31 + b) % P),
+      slice(col("hs"), lit(3), n - 2),
+      (ab, c) => (ab * 31 + c) % P)
+    val kg = documents(s, dir)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        when(n >= 3, kgExpr).otherwise(array().cast("array<bigint>")).as("kg"))
+      .select(col("doc_id"), size(col("kg")).as("m"),
+        posexplode(col("kg")).as(Seq("pos", "g")))
+    kg.select(col("doc_id"), col("m"), col("pos"), col("g"),
+        explode(sequence(lit(0), lit(w - 1))).as("d"))
+      .withColumn("j", col("pos") - col("d"))
+      .filter(col("j") >= 0 && col("j") <= col("m") - w)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(struct(col("g"), (-col("pos")).as("np"))).as("sel"))
+      .select(col("doc_id"), (-col("sel").getField("np")).as("pos"),
+        col("sel").getField("g").as("g"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   // ---- PII redaction (cp10) ----
 
   /** One PII pattern: (name, regex, replacement token). Regexes are
@@ -1515,6 +1565,8 @@ object TextOps {
       cp9SubsetPrune(s, dir)),
     "cp10_pii_redact" -> (cp10PiiRedact _),
     "dd21_url_dedup" -> (dd21UrlDedup _),
+    "ta15_winnow_fingerprints" -> ((s: SparkSession, dir: String) =>
+      winnowFingerprints(s, dir)),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1718,6 +1770,42 @@ object TextOps {
            FROM reb)
          SELECT url, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM canon GROUP BY 1 HAVING count(*) > 1 ORDER BY url""",
+    // ta15: k-gram Horner hashes by positional self-join, complete
+    // windows only (j <= m-4), rightmost-min via (g ASC, pos DESC)
+    // row_number — the exact twin of min(struct(g, -pos))
+    "ta15_winnow_fingerprints" ->
+      s"""WITH words AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+           FROM documents),
+         toks AS (
+           SELECT doc_id, generate_subscripts(ws, 1) AS i,
+             unnest(ws) AS word
+           FROM words),
+         hs AS (
+           SELECT doc_id, i,
+             CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % $P AS h
+           FROM toks),
+         kg AS (
+           SELECT a.doc_id, a.i - 1 AS pos,
+             ((a.h * 31 + b.h) % $P * 31 + c.h) % $P AS g
+           FROM hs a
+           JOIN hs b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           JOIN hs c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+         mm AS (SELECT doc_id, count(*) AS m FROM kg GROUP BY 1),
+         wnd AS (
+           SELECT kg.doc_id, kg.pos - d.d AS j, kg.pos, kg.g
+           FROM kg
+           JOIN mm ON mm.doc_id = kg.doc_id
+           CROSS JOIN unnest(range(0, 4)) AS d(d)
+           WHERE kg.pos - d.d >= 0 AND kg.pos - d.d <= mm.m - 4),
+         sel AS (
+           SELECT doc_id, j, pos, g,
+             row_number() OVER (PARTITION BY doc_id, j
+               ORDER BY g ASC, pos DESC) AS rk
+           FROM wnd)
+         SELECT DISTINCT doc_id, pos, g FROM sel WHERE rk = 1
+         ORDER BY doc_id, pos""",
     // parallel unnests zip in DuckDB, so the bigram stream is two
     // shifted slices — the exact twin of Spark's zip_with(slice, slice)
     "ta13_bigram_lm" ->

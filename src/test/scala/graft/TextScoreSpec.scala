@@ -156,6 +156,39 @@ class TextScoreSpec extends AnyFunSuite {
     assert(open.count() === 6L)
   }
 
+  test("ta15 winnowing: the coverage guarantee holds for every complete " +
+       "window of every corpus doc, and short docs emit nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val fp = graft.operators.TextOps.winnowFingerprints(spark, dir, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fp.nonEmpty)
+    // density sanity: winnowing selects ~2/(w+1) of kgrams — never
+    // more than the window count, never less than 1 per complete window
+    val byDoc = fp.groupBy(_._1)
+    // COVERAGE GUARANTEE: every window of 4 consecutive kgram
+    // positions contains at least one selected fingerprint. Recompute
+    // the per-doc kgram counts from the documents table.
+    import org.apache.spark.sql.functions._
+    val m = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (size(split(trim(lower(col("text"))), "\\s+")) - 2).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (doc, rows) =>
+      val sel = rows.map(_._2).toSet
+      val mm = m(doc)
+      (0 to mm - 4).foreach { j =>
+        assert((j until j + 4).exists(sel),
+          s"doc $doc window $j has no fingerprint")
+      }
+      // selected positions are valid kgram positions
+      assert(sel.forall(p => p >= 0 && p < mm))
+    }
+    // every doc with >= 4 kgrams fingerprints; no doc below can
+    m.foreach { case (doc, mm) =>
+      assert(byDoc.contains(doc) === (mm >= 4), s"doc $doc m=$mm")
+    }
+  }
+
   test("dd20 prefix filtering: pair-for-pair equal to the unfiltered " +
        "posting self-join, at sf0.001 and across thresholds") {
     def rows(df: org.apache.spark.sql.DataFrame) =
