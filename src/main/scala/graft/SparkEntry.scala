@@ -65,7 +65,13 @@ object SparkEntry {
         // latest-value snapshot per key: the CDC-upsert materialized
         // view (state = result, one max-struct row per key)
         "st13_stream_snapshot" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.snapshotGate(s, dir)))
+          graft.streaming.EventStream.snapshotGate(s, dir)),
+        // the THIRD sessionizer engine: Spark 4 transformWithState
+        // (StatefulProcessor + typed ValueState + event-time timers,
+        // RocksDB-backed — TWS is RocksDB-only), same q14 oracle as
+        // st1/st10: three engines, one hash
+        "st14_tws_sessionize" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.sessionizeTwsGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,6 +84,8 @@ object SparkEntry {
         // native session_window ≡ custom sessionizer (identical
         // inclusive-boundary merge semantics, spec-pinned)
         "st10_session_window" -> Analytics.oracles("q14_sessionize"),
+        // transformWithState engine ≡ the same sessions again
+        "st14_tws_sessionize" -> Analytics.oracles("q14_sessionize"),
         "st2_stream_interval_join" -> EventOps.oracles("tj2_interval_join"),
         // q6 restricted to the streamed columns (the streaming agg has
         // no countDistinct: approximate distinct is the streaming-state

@@ -15,6 +15,50 @@ case class SessionEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp) {
 case class OpenSession(start: Long, last: Long, n: Long)
 case class UserSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
+/** The st14 sessionizer engine: Spark 4 `transformWithState`
+  * StatefulProcessor with one typed ValueState and one live
+  * event-time timer per key. The merge semantics live in
+  * [[EventStream.mergeSessionBatch]], shared verbatim with the st1
+  * flatMapGroupsWithState engine — this class is ONLY the new API's
+  * state/timer plumbing. Timer discipline: delete-then-register keeps
+  * exactly one pending timer per key (the GroupState
+  * setTimeoutTimestamp overwrite semantics, which TWS timers do not
+  * have natively — registerTimer accumulates). */
+class TwsSessionizer(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessionEvent, UserSession] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+      timerValues: TimerValues): Iterator[UserSession] = {
+    val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+    val prev = if (open.exists()) Some(open.get()) else None
+    val (out, next) =
+      graft.streaming.EventStream.SessionMerge(user, sorted, prev, gapUs)
+    next.foreach { o =>
+      open.update(o)
+      val expiry = o.last / 1000 + gapUs / 1000
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(expiry)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] =
+    if (open.exists()) {
+      val s = open.get()
+      open.clear()
+      Iterator.single(UserSession(user, s.start, s.last, s.n))
+    } else Iterator.empty
+}
+
 /** Typed rows / state of the streaming funnel (st11). The watermarked
   * event-time column rides in the row (event-time timeout contract);
   * `tr` is the funnel step rank: 0 view, 1 click, 2 purchase — also
@@ -112,64 +156,16 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    def close(user: Long, o: OpenSession) = UserSession(user, o.start, o.last, o.n)
     def fn(user: Long, rows: Iterator[SessionEvent],
            state: GroupState[OpenSession]): Iterator[UserSession] =
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator.single(close(user, s))
+        Iterator.single(UserSession(user, s.start, s.last, s.n))
       } else {
         val sorted = rows.toIndexedSeq.sortBy(e => (e.us, e.event_id))
-        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-        var open = state.getOption
-        // Late (cross-batch) arrivals that precede the open session by
-        // more than the gap accumulate into their own running session —
-        // two such strays within the gap of each other belong to ONE
-        // session (batch q14 semantics), so none may be emitted as a
-        // singleton while its bridging neighbour sits in the same
-        // batch. A stray chain that grows to within the gap of the
-        // open session's start merges into it.
-        var stray: Option[OpenSession] = None
-        sorted.foreach { e =>
-          open match {
-            case Some(o) if e.us < o.start =>
-              if (o.start - e.us <= gapUs) stray match {
-                // the backwards-extending event may itself bridge a
-                // pending stray chain — then the whole chain joins too
-                case Some(st) if e.us - st.last <= gapUs =>
-                  open = Some(OpenSession(st.start, o.last, o.n + st.n + 1))
-                  stray = None
-                case _ =>
-                  open = Some(OpenSession(e.us, o.last, o.n + 1))
-              }
-              else stray match {
-                // (this arm has o.start - e.us > gap, so a grown chain
-                // ending at e.us can never reach the open session —
-                // chain-into-open merges happen in the branch above)
-                case Some(st) if e.us - st.last <= gapUs =>
-                  stray = Some(OpenSession(st.start, e.us, st.n + 1))
-                case Some(st) =>
-                  out += UserSession(user, st.start, st.last, st.n)
-                  stray = Some(OpenSession(e.us, e.us, 1))
-                case None =>
-                  stray = Some(OpenSession(e.us, e.us, 1))
-              }
-            // inside the open span: count it, bounds unchanged
-            case Some(o) if e.us <= o.last =>
-              open = Some(OpenSession(o.start, o.last, o.n + 1))
-            case Some(o) if e.us - o.last <= gapUs =>
-              open = Some(OpenSession(o.start, e.us, o.n + 1))
-            case Some(o) =>
-              out += close(user, o)
-              open = Some(OpenSession(e.us, e.us, 1))
-            case None => open = Some(OpenSession(e.us, e.us, 1))
-          }
-        }
-        // whatever stray chain remains ends more than the gap before
-        // the open session's start; by the watermark contract anything
-        // that could still bridge it is already here or beyond lateness
-        stray.foreach(st => out += UserSession(user, st.start, st.last, st.n))
+        val (out, open) =
+          SessionMerge(user, sorted, state.getOption, gapUs)
         open.foreach { o =>
           state.update(o)
           // fire once the watermark passes the gap after the last event
@@ -183,6 +179,98 @@ object EventStream {
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** One micro-batch of the sessionizer merge: fold a ts-sorted batch
+    * of one user's events into the open-session state, returning the
+    * sessions to emit and the new open session. Pure and FIELD-FREE —
+    * a nested object, so a task closure that references it captures
+    * the static singleton and never the enclosing [[EventStream]]
+    * (whose driver-side caches must not ride a task). SHARED by both
+    * stateful engines (st1 flatMapGroupsWithState, st14
+    * transformWithState), so the two gates hash-equal by construction
+    * of everything except the state/timer plumbing under test. */
+  object SessionMerge extends Serializable {
+    def apply(user: Long,
+        sorted: IndexedSeq[SessionEvent], open0: Option[OpenSession],
+        gapUs: Long): (Seq[UserSession], Option[OpenSession]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+    var open = open0
+    // Late (cross-batch) arrivals that precede the open session by
+    // more than the gap accumulate into their own running session —
+    // two such strays within the gap of each other belong to ONE
+    // session (batch q14 semantics), so none may be emitted as a
+    // singleton while its bridging neighbour sits in the same
+    // batch. A stray chain that grows to within the gap of the
+    // open session's start merges into it.
+    var stray: Option[OpenSession] = None
+    sorted.foreach { e =>
+      open match {
+        case Some(o) if e.us < o.start =>
+          if (o.start - e.us <= gapUs) stray match {
+            // the backwards-extending event may itself bridge a
+            // pending stray chain — then the whole chain joins too
+            case Some(st) if e.us - st.last <= gapUs =>
+              open = Some(OpenSession(st.start, o.last, o.n + st.n + 1))
+              stray = None
+            case _ =>
+              open = Some(OpenSession(e.us, o.last, o.n + 1))
+          }
+          else stray match {
+            // (this arm has o.start - e.us > gap, so a grown chain
+            // ending at e.us can never reach the open session —
+            // chain-into-open merges happen in the branch above)
+            case Some(st) if e.us - st.last <= gapUs =>
+              stray = Some(OpenSession(st.start, e.us, st.n + 1))
+            case Some(st) =>
+              out += UserSession(user, st.start, st.last, st.n)
+              stray = Some(OpenSession(e.us, e.us, 1))
+            case None =>
+              stray = Some(OpenSession(e.us, e.us, 1))
+          }
+        // inside the open span: count it, bounds unchanged
+        case Some(o) if e.us <= o.last =>
+          open = Some(OpenSession(o.start, o.last, o.n + 1))
+        case Some(o) if e.us - o.last <= gapUs =>
+          open = Some(OpenSession(o.start, e.us, o.n + 1))
+        case Some(o) =>
+          out += UserSession(user, o.start, o.last, o.n)
+          open = Some(OpenSession(e.us, e.us, 1))
+        case None => open = Some(OpenSession(e.us, e.us, 1))
+      }
+    }
+    // whatever stray chain remains ends more than the gap before
+    // the open session's start; by the watermark contract anything
+    // that could still bridge it is already here or beyond lateness
+    stray.foreach(st => out += UserSession(user, st.start, st.last, st.n))
+    (out.toSeq, open)
+    }
+  }
+
+  /** st14: the SAME sessionizer on Spark 4's transformWithState — the
+    * modern arbitrary-state API (StatefulProcessor + typed ValueState +
+    * explicit event-time timers) that supersedes
+    * flatMapGroupsWithState for new pipelines (per-state-variable
+    * typing, multiple state variables, timer multiplexing, state TTL).
+    * The merge kernel is [[mergeSessionBatch]], shared with st1, so
+    * the gate isolates exactly the state/timer plumbing: a timer that
+    * fired early/late or state that round-tripped wrong breaks the
+    * q14 hash. Timer discipline mirrors GroupState.setTimeoutTimestamp
+    * (one live timer per key): existing timers are deleted before the
+    * new one registers. */
+  def sessionizeTws(events: DataFrame, gapMinutes: Int = 30,
+                    lateness: String = "2 hours"): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", lateness)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   private val gateRuns = new java.util.concurrent.atomic.AtomicLong(0)
@@ -243,9 +331,10 @@ object EventStream {
     * is keyed, not positional) — this dial is pure harness cost. The
     * 100×-capable file-source harnesses pass 8 explicitly (their
     * historical value, so the Scale curves' conditions don't shift
-    * under a gate-scale tune; the RocksDB runs override to 16 via
-    * [[RocksDbTuning]] regardless — and they set their own on-disk
-    * checkpointLocation, so [[gateCkptBase]] never applies to them). */
+    * under a gate-scale tune; since r11 [[RocksDbTuning]] also pins 8,
+    * so mem and rocks curves run like-for-like — and they set their
+    * own on-disk checkpointLocation, so [[gateCkptBase]] never
+    * applies to them). */
   private def gateSession(spark: SparkSession,
                           partitions: String = defaultGateParts,
                           noDataBatches: Boolean = true): SparkSession = {
@@ -296,7 +385,22 @@ object EventStream {
     * gate scale factor — production ingestion uses [[readEvents]]
     * (file/Kafka source) and never materializes the stream. */
   def sessionizeGate(spark: SparkSession, dir: String,
-                     stats: Option[ReplayStats] = None): DataFrame = {
+                     stats: Option[ReplayStats] = None): DataFrame =
+    sessionGateWith(spark, dir, "st1_gate", stats, df => sessionize(df))
+
+  /** st14 gate: the SAME replay + q14 oracle as st1, with the
+    * transformWithState engine. TWS is RocksDB-only in OSS Spark, so
+    * this gate also exercises the spill-capable provider on the
+    * correctness path (every other gate runs it only in Scale). */
+  def sessionizeTwsGate(spark: SparkSession, dir: String,
+                        stats: Option[ReplayStats] = None): DataFrame =
+    sessionGateWith(spark, dir, "st14_gate", stats,
+      df => sessionizeTws(df), rocksDb = true)
+
+  private def sessionGateWith(spark: SparkSession, dir: String,
+      namePfx: String, stats: Option[ReplayStats],
+      engine: DataFrame => Dataset[UserSession],
+      rocksDb: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val rows = memoRows(s"sess#$dir") {
@@ -310,10 +414,16 @@ object EventStream {
     // overhead (5 batches × 32 commits) — narrowed in the gate's own
     // session, never the caller's
     val sess = gateSession(spark, partitions = "8")
+    if (rocksDb) {
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+        RocksDbProvider)
+      RocksDbTuning.foreach { case (k, v) => sess.conf.set(k, v) }
+      sess.conf.set("spark.sql.shuffle.partitions", "8")
+    }
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, Long)]
-    val name = s"st1_gate_${gateRuns.incrementAndGet()}"
-    val q = sessionize(mem.toDF().toDF("user_id", "event_id", "us")
+    val name = s"${namePfx}_${gateRuns.incrementAndGet()}"
+    val q = engine(mem.toDF().toDF("user_id", "event_id", "us")
         .withColumn("ts", timestamp_micros(col("us"))))
       .writeStream.outputMode("append").format("memory")
       .queryName(name).start()
@@ -1061,11 +1171,31 @@ object EventStream {
     "spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB" -> "64",
     "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
     "spark.sql.streaming.stateStore.minDeltasForSnapshot" -> "100",
-    // state-task parallelism: the provider's per-op JNI cost is the
-    // residual bottleneck and parallelizes across state partitions,
-    // where the on-heap map gains nothing from extra partitions (its
-    // ops are ~free; more partitions only add commit overhead)
-    "spark.sql.shuffle.partitions" -> "16") ++
+    // join state format v3 (r11): stream-stream joins keep FOUR state
+    // stores per partition under v2 (left/right × keyToNumValues/
+    // keyWithIndexToValue) — four RocksDB instances, four changelog
+    // commits, four eviction scans per partition per batch. v3 folds
+    // them into ONE store with virtual column families (RocksDB-only
+    // by design, which is why it lives here and not in session conf).
+    // Measured on st2 at 100× (10M events, 153k state rows): rocks
+    // 65.6 s → 32.3 s, ratio vs in-memory 1.94× → 0.96× — the
+    // RocksDB interval join is now at parity with the on-heap map.
+    // Only affects NEW checkpoints; restarts read the version pinned
+    // in the existing checkpoint (Spark guards the mismatch).
+    "spark.sql.streaming.join.stateFormatVersion" -> "3",
+    // state partitions 8 (r11, from 16): per-INSTANCE commit cost
+    // (changelog file create+sync, memtable flush bookkeeping) is the
+    // residual bottleneck, and it scales with partition count, not
+    // data: st8's chained rollup at 10× read 32.2 s under 16
+    // partitions and 24.3 s under 8. Matching the file harnesses' 8
+    // mem-side partitions also makes the mem/rocks curves
+    // like-for-like. Swept and rejected at 10×: maxWriteBufferNumber=4
+    // + writeBufferSizeMB=128 (no change) and blockSizeKB=32 (no
+    // change) — the eviction scan is not block-bound. On a real
+    // cluster this dial is state-size-per-partition bound: raise it
+    // when a partition's state outgrows executor disk/compaction
+    // budgets, not for parallelism.
+    "spark.sql.shuffle.partitions" -> "8") ++
     // experiment dial: GRAFT_ROCKS_EXTRA="k=v;k=v" overlays/overrides
     // entries for single-run provider sweeps without a recompile
     // (ScaleStream tuning passes); unset in committed measurements
@@ -1081,13 +1211,24 @@ object EventStream {
     * via [[MaxStateListener]]). `stateProvider` overrides the state
     * store provider for this session BEFORE query start (when the
     * provider is pinned) — pass [[RocksDbProvider]] for the
-    * spill-capable curve. */
+    * spill-capable curve. `rocksOverrides` are per-GATE RocksDB-run
+    * conf deltas on top of [[RocksDbTuning]] (a gate whose measured
+    * optimum differs from the global default — st10's state-partition
+    * count); a key the operator set via GRAFT_ROCKS_EXTRA still wins,
+    * so single-run sweeps can probe overridden gates too. */
   private def runFileSinkStats(sess: SparkSession, prefix: String,
-      stateProvider: Option[String])(build: => DataFrame): (Double, Long, Long) = {
+      stateProvider: Option[String],
+      rocksOverrides: Map[String, String] = Map.empty)
+      (build: => DataFrame): (Double, Long, Long) = {
     stateProvider.foreach { p =>
       sess.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      if (p == RocksDbProvider)
-        RocksDbTuning.foreach { case (k, v) => sess.conf.set(k, v) }
+      if (p == RocksDbProvider) {
+        val envKeys = sys.env.get("GRAFT_ROCKS_EXTRA").iterator
+          .flatMap(_.split(";")).filter(_.contains("="))
+          .map(_.split("=", 2)(0).trim).toSet
+        (RocksDbTuning ++ rocksOverrides.filterNot(kv => envKeys(kv._1)))
+          .foreach { case (k, v) => sess.conf.set(k, v) }
+      }
     }
     val out = java.nio.file.Files.createTempDirectory(prefix).toString
     val listener = new MaxStateListener
@@ -1143,7 +1284,14 @@ object EventStream {
   def sessionWindowFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
     val sess = gateSession(spark, partitions = "8")
-    runFileSinkStats(sess, "graft_swin_scale", stateProvider) {
+    // RocksDB state partitions 16, not the global 8: the session-window
+    // store at 100× holds 360k rows and its per-batch merge/eviction
+    // scan parallelizes — measured 42.6 s (1.35×) at 16 vs 59.6 s
+    // (1.79×) at 8 at 100×, while the small-state regime prefers 8 (the
+    // commit-overhead argument in RocksDbTuning). State-partition count
+    // follows STATE SIZE, not a global constant.
+    runFileSinkStats(sess, "graft_swin_scale", stateProvider,
+      rocksOverrides = Map("spark.sql.shuffle.partitions" -> "16")) {
       sessionWindowAgg(readEvents(sess, dir, maxFilesPerTrigger = Some(1)))
     }
   }

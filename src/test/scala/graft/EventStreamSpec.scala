@@ -240,6 +240,16 @@ class EventStreamSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == custom)
   }
 
+  test("transformWithState gate (st14) equals the flatMapGroupsWithState " +
+       "gate (st1) row for row — three sessionizer engines, one answer") {
+    val dir = "/root/testdata/sf0.001"
+    val tws = EventStream.sessionizeTwsGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val custom = EventStream.sessionizeGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(tws.nonEmpty && tws == custom)
+  }
+
   test("streaming funnel (st11) equals the batch tj3 funnel row for row") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStream.funnelGate(spark, dir).collect()
