@@ -198,7 +198,7 @@ object Scale {
                     // memoized assignment; per-cell self-join keeps
                     // candidates at n·√n)
                     "cp10_pii_redact", "dd21_url_dedup",
-                    "ann17_knn_graph"))
+                    "ann17_knn_graph", "ta15_winnow_fingerprints"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier

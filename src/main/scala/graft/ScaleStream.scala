@@ -69,6 +69,16 @@ object ScaleStream {
       // st13 (round 11): the CDC-upsert snapshot — per-key overwrite
       // state, the canonical RocksDB-provider workload (point puts)
       pair("st13", p => es.snapshotFileStats(spark, dataDir, p))
+      // st14 (round 11): transformWithState sessionizer — RocksDB-only
+      // by API contract, so a single-provider min-of-2 row; compare
+      // against st1_file_rocksdb (same kernel, same provider, old API)
+      if (want("st14")) {
+        val a = es.sessionizeTwsFileStats(spark, dataDir)
+        val b = es.sessionizeTwsFileStats(spark, dataDir)
+        require(a._2 == b._2, s"st14 rows diverged (${a._2}/${b._2})")
+        out("st14_file_rocksdb") =
+          f"""{"sec":${math.min(a._1, b._1)}%.3f,"rows":${a._2},"state_rows":${a._3}}"""
+      }
       if (want("st5")) {
         val a = es.sketchFileStats(spark, dataDir)
         val b = es.sketchFileStats(spark, dataDir)

@@ -1276,6 +1276,19 @@ object EventStream {
     }
   }
 
+  /** Scale harness for st14 (transformWithState sessionizer). TWS is
+    * RocksDB-only, so there is no in-memory pair — the comparison row
+    * is st1_file_rocksdb: the SAME sessionizer kernel on the same
+    * provider, differing only in the state API (fMGWS's single
+    * implicit state row + timeout vs TWS's typed ValueState + timer
+    * registry). */
+  def sessionizeTwsFileStats(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    val sess = gateSession(spark, partitions = "8")
+    runFileSinkStats(sess, "graft_tws_scale", Some(RocksDbProvider)) {
+      sessionizeTws(readEvents(sess, dir, maxFilesPerTrigger = Some(1))).toDF()
+    }
+  }
+
   /** Scale harness twin for st10 (native session_window, append-mode
     * parquet sink): finalized sessions flush as the watermark passes;
     * the trailing ~lateness of open sessions correctly stays in state —
