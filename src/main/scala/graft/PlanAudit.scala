@@ -91,7 +91,11 @@ object PlanAudit {
         "ann9_filtered_topk", "ann10_range_search",
         // dd14: same centroid-broadcast assignment as ann5/ann8; the
         // pair search itself is a cell-keyed equi-join, not unbounded
-        "dd14_semantic_dedup")
+        "dd14_semantic_dedup",
+        // ann18: recall evaluation — the brute arm is the exact scan
+        // BY DEFINITION of the metric (ground truth for recall@k);
+        // the measured arm is ann5's bounded probe path
+        "ann18_recall_eval")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

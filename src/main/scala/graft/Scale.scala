@@ -198,7 +198,11 @@ object Scale {
                     // memoized assignment; per-cell self-join keeps
                     // candidates at n·√n)
                     "cp10_pii_redact", "dd21_url_dedup",
-                    "ann17_knn_graph", "ta15_winnow_fingerprints"))
+                    "ann17_knn_graph", "ta15_winnow_fingerprints",
+                    // ann18 rides ann5's bounded probe path plus the
+                    // by-definition-exact brute ground-truth arm
+                    // (broadcast query sample × one corpus scan)
+                    "ann18_recall_eval"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier
@@ -234,6 +238,16 @@ object Scale {
         val seeds = ge.select(col("src").as("id")).distinct()
           .filter(pmod(xxhash64(col("id")), lit(100)) === 0)
         graft.operators.GraphOps.bfsHops(ge, seeds, maxHops = 4).count()
+      }
+      // round-11: weighted min-plus over the same scaled edges with a
+      // deterministic hash weight (the workload shape — edge join +
+      // node min agg per round — is weight-value-independent)
+      run("gr10_weighted_sssp", 2) {
+        val we = ge.withColumn("w",
+          pmod(xxhash64(col("src"), col("dst")), lit(7)) + 1)
+        val seeds = ge.select(col("src").as("id")).distinct()
+          .filter(pmod(xxhash64(col("id")), lit(100)) === 0)
+        graft.operators.GraphOps.minPlusSssp(we, seeds, rounds = 4).count()
       }
       // round-11: the mm8 compute path (encode → PNG decode → dHash →
       // two key-grouped aggs) over in-flight bytes — the codec cost

@@ -541,6 +541,63 @@ object GraphOps {
       .orderBy(col("node_id"))
   }
 
+  /** Weighted single-source shortest paths by synchronous min-plus
+    * relaxation (Bellman–Ford rounds) over a weighted edge frame
+    * `(src, dst, w)`: d_i(v) = min(d_{i-1}(v), min over in-edges
+    * (d_{i-1}(u) + w)), seeds at 0 — after `rounds` rounds, the exact
+    * minimum cost over paths of ≤ rounds edges. The weighted
+    * generalization of [[bfsHops]] (w ≡ 1 reduces to it), and like
+    * gr6/gr7/gr8 the FIXED round count makes the trajectory a pure
+    * function of the input with an exact unrolled SQL oracle; rounds
+    * past the fixpoint are identity.
+    *
+    * 100 TB shape: per round ONE edge-sized equi-join against the
+    * src-partitioned persisted edge frame plus one node-keyed min
+    * aggregation — the pagerank bound; per-round distance frames are
+    * lineage-cut ([[graft.spark.Checkpoints]]), integer arithmetic
+    * end to end. */
+  def minPlusSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = graft.spark.Checkpoints.cut(
+      seeds.select(col("id")).distinct().withColumn("dist", lit(0L)),
+      checkpointDir)
+    for (_ <- 1 to rounds) {
+      val relax = e
+        .join(dist.select(col("id").as("src"), col("dist")), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val merged = graft.spark.Checkpoints.cut(
+        dist.unionByName(relax)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")),
+        checkpointDir)
+      dist.unpersist(blocking = false)
+      dist = merged
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** gr10: weighted reach cost from the nation-0 supplier cohort over
+    * the interaction graph, edge cost = the order-count multiplicity
+    * `w` — the weighted twin of gr8 on the same seeds (gr8 counts
+    * hops; gr10 accumulates edge weights — the generic
+    * positive-integer-cost SSSP surface, 4 relaxation rounds). Seeds
+    * are every 5th supplier (NOT gr8's nation-0 cohort: that set is
+    * empty at sf0.001 — 10 suppliers, none in nation 0 — which would
+    * make this gate vacuous there; the modulo rule is non-empty at
+    * every SF). */
+  def gr10WeightedSssp(s: SparkSession, dir: String): DataFrame = {
+    val seeds = graft.Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 5 === 0)
+      .select((col("s_suppkey").cast("long") * 2 + 1).as("id"))
+    minPlusSssp(weightedInteractionEdges(s, dir), seeds, rounds = 4)
+      .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
+        col("dist"))
+      .orderBy(col("node_id"))
+  }
+
   /** Neighborhood Jaccard similarity over a simple undirected pair
     * frame `(a, b)` with `a < b`: for every node pair sharing at least
     * `minCommon` neighbors, |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — the
@@ -622,7 +679,8 @@ object GraphOps {
     "gr6_kcore" -> (gr6Kcore _),
     "gr7_label_prop" -> (gr7LabelProp _),
     "gr8_bfs_reach" -> (gr8BfsReach _),
-    "gr9_jaccard_similarity" -> (gr9JaccardSimilarity _)
+    "gr9_jaccard_similarity" -> (gr9JaccardSimilarity _),
+    "gr10_weighted_sssp" -> (gr10WeightedSssp _)
   )
 
   // gr5's co-purchase pair derivation as a shared CTE prefix (ends at
@@ -727,6 +785,18 @@ object GraphOps {
            FROM edges e JOIN d$prev d ON d.id = e.src)
          GROUP BY id)"""
 
+  /** One unrolled WEIGHTED min-plus round `d$prev → d$i` — the twin of
+    * one [[minPlusSssp]] loop body (edge cost `e.w` instead of 1).
+    * MATERIALIZED for the same double-reference reason as [[bfsCte]]. */
+  private def ssspCte(i: Int, prev: Int): String =
+    s"""d$i AS MATERIALIZED (
+         SELECT id, min(dist) AS dist FROM (
+           SELECT id, dist FROM d$prev
+           UNION ALL
+           SELECT e.dst AS id, d.dist + e.w AS dist
+           FROM edges e JOIN d$prev d ON d.id = e.src)
+         GROUP BY id)"""
+
   val oracles: Map[String, String] = Map(
     // neighborhood Jaccard over the hub-pruned co-purchase profiles;
     // the similarity is ONE IEEE division of exact integers, so it is
@@ -777,6 +847,24 @@ object GraphOps {
                 CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
                 count(*) AS core_deg
          FROM e8 GROUP BY 1, 2 ORDER BY node_id""",
+    // 4 unrolled WEIGHTED min-plus rounds on the order-count-weighted
+    // edges — exact integer costs (BIGINT sums of BIGINT weights)
+    "gr10_weighted_sssp" ->
+      s"""WITH cw AS (
+           SELECT CAST(o_custkey AS BIGINT) * 2 AS a,
+                  CAST(l_suppkey AS BIGINT) * 2 + 1 AS b,
+                  count(DISTINCT o_orderkey) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         edges AS (SELECT a AS src, b AS dst, w FROM cw
+                   UNION ALL SELECT b, a, w FROM cw),
+         d0 AS MATERIALIZED (
+           SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS id,
+                  CAST(0 AS BIGINT) AS dist
+           FROM supplier WHERE s_suppkey % 5 = 0),
+         ${(1 to 4).map(i => ssspCte(i, i - 1)).mkString(",\n         ")}
+         SELECT id AS node_id, $kindSql AS kind, dist
+         FROM d4 ORDER BY node_id""",
     // 4 unrolled min-plus rounds ≡ 4 frontier-BFS hops (exact integer
     // distances; seeds with no edges keep dist 0 on both sides)
     "gr8_bfs_reach" ->

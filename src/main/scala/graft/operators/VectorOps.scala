@@ -326,6 +326,43 @@ object VectorOps {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** ann18: RECALL@k evaluation of the IVF search as a driver-gated
+    * fact — per query, how many of the exact brute-force top-k the
+    * ann5 probe path actually returned. Quality metrics as data (the
+    * pr11 pattern applied to ANN): the standard way an embedding
+    * platform signs off an index configuration before serving it.
+    * Output per query: (q_id, k, n_hits, recall); n_hits is an exact
+    * integer (set intersection of two deterministic top-k lists) and
+    * recall is one IEEE division, so the gate is hash-exact.
+    *
+    * Scale: the IVF arm is the bounded ann5 path; the brute arm is an
+    * exact scan BY DEFINITION of the metric (you cannot measure recall
+    * without ground truth) and scales by query-set size — on a real
+    * corpus the query sample is fixed (here every 50th vector), so the
+    * brute side is a broadcast of the sample against one corpus scan,
+    * the ann1 whitelisted shape. */
+  def ann18RecallEval(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ivf = ann5IvfScaled(s, dir, k)
+      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
+    val emb = embVectors(s, dir)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val brute = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosine(col("q_v"), col("v")), 9).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
+    brute.join(ivf, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), lit(k).as("k"), col("n_hits"),
+        (col("n_hits") / lit(k)).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
     * exceeds a data-calibrated threshold (this synthetic corpus tops
     * out near 0.51, so 0.45 marks its "near-duplicate" tail; rounded
@@ -854,6 +891,8 @@ object VectorOps {
       ann15IvfLearned(s, dir)),
     "ann17_knn_graph" -> ((s: SparkSession, dir: String) =>
       ann17KnnGraph(s, dir)),
+    "ann18_recall_eval" -> ((s: SparkSession, dir: String) =>
+      ann18RecallEval(s, dir)),
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
@@ -1050,6 +1089,68 @@ object VectorOps {
                   sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
                c.cell ASC) AS crk
            FROM emb e, cv3 c)"""
+
+  // The full ann5 one-step-IVF oracle chain (seeds -> one Lloyd
+  // step -> cells -> probe -> exact rerank), ending at `ranked` --
+  // shared by the ann5 gate and the ann18 recall evaluation.
+  private val ann5RankedCtes: String =
+    """emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         params AS (
+           SELECT greatest(CAST(1 AS BIGINT),
+             CAST(count(*) AS BIGINT) //
+               greatest(CAST(2 AS BIGINT),
+                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+           FROM emb),
+         seeds AS (
+           SELECT vec_id AS cell, v AS c_v FROM emb, params
+           WHERE vec_id % step = 0),
+         asgn0 AS (
+           SELECT e.vec_id, e.v, s.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, s.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
+               s.cell ASC) AS crk
+           FROM emb e, seeds s),
+         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
+         cent AS (
+           SELECT cell, dim, avg(val) AS m
+           FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+           GROUP BY 1, 2),
+         cvec AS (
+           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
+           FROM cent GROUP BY cell),
+         asgn AS (
+           SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c),
+         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
+         probe AS (
+           SELECT e.vec_id AS q_id, e.v AS q_v, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_dot_product(e.v, c.c_v) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
+         probed AS (SELECT q_id, q_v, cell FROM probe WHERE crk <= 4),
+         sims AS (
+           SELECT p.q_id, m.vec_id AS n_id,
+             round(list_dot_product(p.q_v, m.v) /
+               (sqrt(list_dot_product(p.q_v, p.q_v)) *
+                sqrt(list_dot_product(m.v, m.v))), 9) AS sim
+           FROM probed p JOIN cells m
+             ON p.cell = m.cell AND m.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, n_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
+           FROM sims)"""
 
   val oracles: Map[String, String] = Map(
     // kNN-graph: per-corpus-vector top-k within its OWN final Lloyd
@@ -1505,65 +1606,35 @@ object VectorOps {
          SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
          ORDER BY q_id, rank""",
     "ann5_ivf_scaled" ->
-      """WITH emb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         params AS (
-           SELECT greatest(CAST(1 AS BIGINT),
-             CAST(count(*) AS BIGINT) //
-               greatest(CAST(2 AS BIGINT),
-                 CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
-           FROM emb),
-         seeds AS (
-           SELECT vec_id AS cell, v AS c_v FROM emb, params
-           WHERE vec_id % step = 0),
-         asgn0 AS (
-           SELECT e.vec_id, e.v, s.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.v, s.c_v) /
-                 (sqrt(list_dot_product(e.v, e.v)) *
-                  sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
-               s.cell ASC) AS crk
-           FROM emb e, seeds s),
-         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
-         cent AS (
-           SELECT cell, dim, avg(val) AS m
-           FROM (SELECT cell, unnest(v) AS val,
-                   generate_subscripts(v, 1) - 1 AS dim FROM members)
-           GROUP BY 1, 2),
-         cvec AS (
-           SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
-           FROM cent GROUP BY cell),
-         asgn AS (
-           SELECT e.vec_id, e.v, c.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.v, c.c_v) /
-                 (sqrt(list_dot_product(e.v, e.v)) *
-                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
-               c.cell ASC) AS crk
-           FROM emb e, cvec c),
-         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
-         probe AS (
-           SELECT e.vec_id AS q_id, e.v AS q_v, c.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               round(list_dot_product(e.v, c.c_v) /
-                 (sqrt(list_dot_product(e.v, e.v)) *
-                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
-               c.cell ASC) AS crk
-           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
-         probed AS (SELECT q_id, q_v, cell FROM probe WHERE crk <= 4),
-         sims AS (
-           SELECT p.q_id, m.vec_id AS n_id,
-             round(list_dot_product(p.q_v, m.v) /
-               (sqrt(list_dot_product(p.q_v, p.q_v)) *
-                sqrt(list_dot_product(m.v, m.v))), 9) AS sim
-           FROM probed p JOIN cells m
-             ON p.cell = m.cell AND m.vec_id <> p.q_id),
-         ranked AS (
-           SELECT q_id, n_id, sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
-           FROM sims)
+      s"""WITH $ann5RankedCtes
          SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
          ORDER BY q_id, rank""",
+    // ann18: recall@k of the ann5 probe path against the exact
+    // brute-force top-k -- same chain, plus a brute arm and an
+    // intersection count; recall is one IEEE division of exact ints
+    "ann18_recall_eval" ->
+      s"""WITH $ann5RankedCtes,
+         ivf AS (SELECT q_id, n_id FROM ranked WHERE rank <= 3),
+         bsims AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+           FROM emb q, emb e
+           WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id),
+         branked AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, n_id ASC) AS rank
+           FROM bsims),
+         brute AS (SELECT q_id, n_id FROM branked WHERE rank <= 3),
+         hits AS (
+           SELECT b.q_id, count(ivf.n_id) AS n_hits
+           FROM brute b LEFT JOIN ivf
+             ON ivf.q_id = b.q_id AND ivf.n_id = b.n_id
+           GROUP BY 1)
+         SELECT q_id, 3 AS k, n_hits, n_hits / 3 AS recall
+         FROM hits ORDER BY q_id""",
     // ann5's probe/rank tail served from ann14's trained codebook —
     // the two proven CTE chains composed verbatim.
     "ann15_ivf_learned" ->

@@ -313,6 +313,42 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("minPlusSssp: weighted triangle hand-checked — the cheap 2-edge " +
+       "path beats the direct heavy edge") {
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, 5L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (1L, 3L, 10L), (3L, 1L, 10L)).toDF("src", "dst", "w")
+    val d = GraphOps.minPlusSssp(edges, Seq(1L).toDF("id"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+  }
+
+  test("minPlusSssp differential: random weighted graphs match a " +
+       "driver-side round-limited Bellman-Ford") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 5) {
+      val n = 20 + rnd.nextInt(30)
+      val pairs = (0 until n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(9))
+      }.filter(p => p._1 != p._2).distinctBy(p => (p._1, p._2))
+      val sym = pairs ++ pairs.map(p => (p._2, p._1, p._3))
+      val seeds = (0 until 3).map(_ => rnd.nextInt(n).toLong).distinct
+      val rounds = 1 + rnd.nextInt(4)
+      // reference: synchronous round-limited relaxation
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = sym.flatMap { case (u, v, w) =>
+          dist.get(u).map(du => v -> (du + w))
+        }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      }
+      val got = GraphOps.minPlusSssp(sym.toDF("src", "dst", "w"),
+          seeds.toDF("id"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === dist, s"n=$n rounds=$rounds")
+    }
+  }
+
   test("neighborhoodJaccard on a hand graph: exact commons, degrees, ratios") {
     // square 1-2-3-4 with chord 1-3: N(1)={2,3,4} N(2)={1,3}
     // N(3)={1,2,4} N(4)={1,3}
