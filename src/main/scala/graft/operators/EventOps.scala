@@ -71,7 +71,11 @@ object EventOps {
     * data volume — the standard bucketed-range-join decomposition —
     * and each true pair joins exactly once (the click's bucket is
     * unique), so no distinct pass is needed. */
-  def tj2IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+  /** The (error, click) pairs within ±HalfWindowUs per user — tj2's
+    * bucketed candidate generation (each error probes its bucket ± 1;
+    * the equality key bounds the join, the range filter exacts it),
+    * shared by tj2 (all pairs) and tj4 (nearest pair). */
+  private def errorClickPairs(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     def side(tpe: String, idName: String) =
       ev.filter(col("event_type") === tpe)
@@ -87,7 +91,29 @@ object EventOps {
       .filter(abs(col("click_id_us") - col("err_id_us")) <= HalfWindowUs)
       .select(col("err_id"), col("click_id"),
         (col("click_id_us") - col("err_id_us")).as("gap_us"))
-      .orderBy(col("err_id"), col("click_id"))
+  }
+
+  def tj2IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    errorClickPairs(s, dir).orderBy(col("err_id"), col("click_id"))
+
+  /** tj4: NEAREST-event join — for every error, THE closest click by
+    * |Δt| within the tolerance window (ties → smaller click_id),
+    * errors with no candidate absent. The feature/label attachment
+    * primitive of ML event pipelines (sensor reading ↔ nearest
+    * calibration, impression ↔ nearest conversion): where tj1's as-of
+    * looks only backward and tj2 keeps every pair, tj4 keeps the
+    * argmin over both directions. Same bounded candidate generation
+    * as tj2; the argmin is a window over the candidate list keyed by
+    * err_id (cardinality grows with the corpus — never a low-NDV
+    * partition). */
+  def tj4NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    errorClickPairs(s, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("err_id"))
+          .orderBy(abs(col("gap_us")), col("click_id"))))
+      .filter(col("rk") === 1)
+      .select(col("err_id"), col("click_id"), col("gap_us"))
+      .orderBy(col("err_id"))
   }
 
   /** tj3: ordered event funnel — completed view → click → purchase
@@ -162,6 +188,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tj1_asof_join" -> (tj1AsofJoin _),
     "tj2_interval_join" -> (tj2IntervalJoin _),
+    "tj4_nearest_event" -> (tj4NearestEvent _),
     "tj3_funnel" -> (tj3Funnel _),
     "se1_json_extract" -> (se1JsonExtract _)
   )
@@ -198,6 +225,26 @@ object EventOps {
          FROM e JOIN c ON e.user_id = c.user_id
            AND abs(c.click_id_us - e.err_id_us) <= CAST(1800 AS BIGINT) * 1000000
          ORDER BY e.err_id, c.click_id""",
+    // tj4: tj2's pair space reduced to the per-error argmin by
+    // (|gap|, click_id) — exact integer ordering, no arithmetic drift
+    "tj4_nearest_event" ->
+      """WITH e AS (
+           SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_us
+           FROM events WHERE event_type = 'error'),
+         c AS (
+           SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click'),
+         cand AS (
+           SELECT e.err_id, c.click_id, c.click_us - e.err_us AS gap_us
+           FROM e JOIN c ON e.user_id = c.user_id
+             AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000),
+         ranked AS (
+           SELECT err_id, click_id, gap_us,
+             row_number() OVER (PARTITION BY err_id
+               ORDER BY abs(gap_us), click_id) AS rk
+           FROM cand)
+         SELECT err_id, click_id, gap_us FROM ranked WHERE rk = 1
+         ORDER BY err_id""",
     "tj3_funnel" ->
       """WITH s1 AS (
            SELECT user_id, epoch_us(ts) AS us, 0 AS side, event_id AS eid

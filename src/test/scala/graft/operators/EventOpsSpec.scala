@@ -62,6 +62,24 @@ class EventOpsSpec extends AnyFunSuite {
     assert(rows.toSet == expected)
   }
 
+  test("tj4 nearest-event join equals the per-error argmin of the naive " +
+       "pair space (|gap| then click_id tie-break, both directions)") {
+    val errors = ev.filter(_._4 == "error")
+    val clicks = ev.filter(_._4 == "click")
+    val expected = errors.flatMap { e =>
+      val cand = clicks.filter(c =>
+        c._2 == e._2 && math.abs(c._3 - e._3) <= 1800L * 1000000L)
+      if (cand.isEmpty) None
+      else {
+        val best = cand.minBy(c => (math.abs(c._3 - e._3), c._1))
+        Some((e._1, best._1, best._3 - e._3))
+      }
+    }.toSet
+    val rows = EventOps.tj4NearestEvent(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.nonEmpty && rows == expected)
+  }
+
   test("se1 JSON extraction aggregates exactly the embedded props.k") {
     val K = """"k"\s*:\s*(-?\d+)""".r
     val props = graft.Tables.events(spark, dir)
