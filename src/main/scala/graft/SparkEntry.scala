@@ -71,7 +71,11 @@ object SparkEntry {
         // RocksDB-backed — TWS is RocksDB-only), same q14 oracle as
         // st1/st10: three engines, one hash
         "st14_tws_sessionize" -> ((s: SparkSession, dir: String) =>
-          graft.streaming.EventStream.sessionizeTwsGate(s, dir)))
+          graft.streaming.EventStream.sessionizeTwsGate(s, dir)),
+        // FULL OUTER completes the stream-stream join matrix
+        // (inner st2 / left st9 / semi st12 / full st15)
+        "st15_stream_full_outer" -> ((s: SparkSession, dir: String) =>
+          graft.streaming.EventStream.fullOuterGate(s, dir)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -144,6 +148,22 @@ object SparkEntry {
                coalesce(c.click_id, -1) AS click_id,
                coalesce(c.click_us - e.err_us, 0) AS gap_us
              FROM e LEFT JOIN c ON e.user_id = c.user_id
+               AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000
+             ORDER BY 1, 2""",
+        // st15: FULL OUTER twin of st9 — both unmatched sides emit on
+        // eviction (sentinels flush both buffers), so the oracle is
+        // the plain batch FULL JOIN, null sides coalesced as in st9
+        "st15_stream_full_outer" ->
+          """WITH e AS (SELECT event_id AS err_id, user_id,
+                 epoch_us(ts) AS err_us
+               FROM events WHERE event_type = 'error'),
+             c AS (SELECT event_id AS click_id, user_id,
+                 epoch_us(ts) AS click_us
+               FROM events WHERE event_type = 'click')
+             SELECT coalesce(e.err_id, -1) AS err_id,
+               coalesce(c.click_id, -1) AS click_id,
+               coalesce(c.click_us - e.err_us, 0) AS gap_us
+             FROM e FULL JOIN c ON e.user_id = c.user_id
                AND abs(c.click_us - e.err_us) <= CAST(1800 AS BIGINT) * 1000000
              ORDER BY 1, 2""",
         // streaming funnel == batch funnel (tj3's own oracle verbatim)

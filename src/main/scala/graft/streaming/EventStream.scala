@@ -561,6 +561,88 @@ object EventStream {
       .orderBy(col("err_id"), col("click_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join — completes the streaming
+    * join matrix (inner st2, left-outer st9, left-semi st12): every
+    * matched (error, click) pair eagerly, every unmatched row of
+    * EITHER side exactly once when the watermark proves its window
+    * closed. The reconciliation shape — "which errors saw no click AND
+    * which clicks followed no error" in one continuous query. State
+    * and eviction are the st2 bound on both sides; the only new
+    * mechanics over st9 is that eviction emission happens on both
+    * buffers. */
+  def intervalJoinFullOuter(errors: DataFrame, clicks: DataFrame,
+                            halfWindowMinutes: Int = 30,
+                            lateness: String = "2 hours"): DataFrame = {
+    val e = errors.withWatermark("ts", lateness)
+      .select(col("event_id").as("err_id"), col("user_id").as("e_user"),
+        col("ts").as("err_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $halfWindowMinutes MINUTES") &&
+        col("click_ts") <= col("err_ts") + expr(s"INTERVAL $halfWindowMinutes MINUTES"),
+      "fullOuter")
+      .select(
+        coalesce(col("err_id"), lit(-1L)).as("err_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("click_ts")) - unix_micros(col("err_ts")),
+          lit(0L)).as("gap_us"))
+  }
+
+  /** st15 driver gate: [[intervalJoinFullOuter]] replayed exactly like
+    * st9 (two ts-ordered chunks + two both-side far-future sentinels
+    * flushing BOTH buffers past every real row's window). Sentinel
+    * deliveries share user/ts so they match EACH OTHER — the joined
+    * sentinel rows carry two negative ids and filter out; real
+    * unmatched rows keep one non-negative id, so the filter is
+    * "either id real". Oracle = the plain batch FULL JOIN. */
+  def fullOuterGate(spark: SparkSession, dir: String,
+                    stats: Option[ReplayStats] = None): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val rows = memoRows(s"ec#$dir") {
+      graft.Tables.events(spark, dir)
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+        .as[(Long, Long, Long, String)].collect()
+    }
+    val sess = gateSession(spark, noDataBatches = false)
+    implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
+    val memE = MemoryStream[(Long, Long, Long)]
+    val memC = MemoryStream[(Long, Long, Long)]
+    def toEvents(m: MemoryStream[(Long, Long, Long)]): DataFrame =
+      m.toDF().toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val name = s"st15_gate_${gateRuns.incrementAndGet()}"
+    val q = intervalJoinFullOuter(toEvents(memE), toEvents(memC))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      val chunk = math.max(1, (rows.length + 1) / 2)
+      rows.grouped(chunk).foreach { batch =>
+        val (es, cs) = batch.partition(_._4 == "error")
+        memE.addData(es.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        memC.addData(cs.map(r => (r._1, r._2, r._3)).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val maxUs = rows.iterator.map(_._3).max
+      val day = 24L * 3600L * 1000000L
+      for (i <- 1 to 2) {
+        memE.addData((-i.toLong, -999L, maxUs + i * day))
+        memC.addData((-i.toLong, -999L, maxUs + i * day))
+        q.processAllAvailable()
+      }
+      recordState(q, stats)
+    } finally q.stop()
+    sess.table(name)
+      .filter(col("err_id") >= 0 || col("click_id") >= 0)
+      .orderBy(col("err_id"), col("click_id"))
+  }
+
   /** Stream-stream LEFT SEMI interval join — "did at least one click
     * correlate with this error?", continuously, emitting each error at
     * most once with NO click payload. The third streaming join shape

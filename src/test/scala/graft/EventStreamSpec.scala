@@ -240,6 +240,21 @@ class EventStreamSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == custom)
   }
 
+  test("full-outer gate (st15) restricted to the error side equals the " +
+       "left-outer gate (st9); the rest are exactly the unmatched clicks") {
+    val dir = "/root/testdata/sf0.001"
+    val full = EventStream.fullOuterGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val left = EventStream.intervalJoinOuterGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.filter(_._1 >= 0).toSet == left.toSet)
+    val rightOnly = full.filter(_._1 < 0)
+    assert(rightOnly.forall(r => r._2 >= 0 && r._3 == 0L))
+    // a click is right-only iff it matched no error in the left gate
+    val matchedClicks = left.map(_._2).filter(_ >= 0).toSet
+    assert(rightOnly.map(_._2).toSet.intersect(matchedClicks).isEmpty)
+  }
+
   test("transformWithState gate (st14) equals the flatMapGroupsWithState " +
        "gate (st1) row for row — three sessionizer engines, one answer") {
     val dir = "/root/testdata/sf0.001"
