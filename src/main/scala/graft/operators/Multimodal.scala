@@ -130,6 +130,38 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** mm10: BOX downsample (average pooling) — the thumbnailing /
+    * patch-embedding resize a vision-data pipeline actually runs
+    * (mm3's nearest-neighbor is the cheap variant; box filtering is
+    * the anti-aliased one). Each aligned f×f block becomes one output
+    * pixel = floor(block mean) — INTEGER floor division, so the gate
+    * is exact in any engine. Same batch-decode contract as mm3. */
+  def mm10BoxDownsample(s: SparkSession, dir: String, f: Int = 2): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .flatMap { r =>
+        parseBmp(r.payload).toSeq.flatMap { case (w, h, lum) =>
+          val ow = w / f
+          val oh = h / f
+          for (i <- 0 until oh; j <- 0 until ow) yield {
+            var sum = 0
+            var di = 0
+            while (di < f) {
+              var dj = 0
+              while (dj < f) {
+                sum += lum((i * f + di) * w + (j * f + dj))
+                dj += 1
+              }
+              di += 1
+            }
+            ResizedPixel(r.doc_id, ow, oh, i * ow + j, sum / (f * f))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("px_index"))
+  }
+
   /** Decoded WAV features; rms_e4 = floor(rms·10⁴) keeps the column
     * integer-exact across engines (sum of 8 squared 16-bit samples is
     * < 2^33 — exact in a double — so the sqrt input is bit-identical). */
@@ -773,7 +805,9 @@ object Multimodal {
     "mm7_jpeg_decode" -> (mm7JpegDecode _),
     "mm8_image_neardup" -> (mm8ImageNearDup _),
     "mm9_audio_frames" -> ((s: SparkSession, dir: String) =>
-      mm9AudioFrames(s, dir))
+      mm9AudioFrames(s, dir)),
+    "mm10_box_downsample" -> ((s: SparkSession, dir: String) =>
+      mm10BoxDownsample(s, dir))
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -816,6 +850,23 @@ object Multimodal {
            list_max(list_transform(fs, x -> abs(x))) AS peak
          FROM fr ORDER BY doc_id, frame_idx""",
     "mm6_png_decode" -> mm5OracleSql,
+    // mm10: floor block means of the md5-byte image, 1-based list
+    // positions of the 2x2 block at output (i, j): 8i+2j+{1,2,5,6}
+    "mm10_box_downsample" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents),
+         px AS (
+           SELECT doc_id, i, j,
+             (b[8*i + 2*j + 1] + b[8*i + 2*j + 2]
+              + b[8*i + 2*j + 5] + b[8*i + 2*j + 6]) // 4 AS value
+           FROM bytes, unnest(range(0, 2)) AS t1(i),
+             unnest(range(0, 2)) AS t2(j))
+         SELECT doc_id, 2 AS out_w, 2 AS out_h,
+           (i * 2 + j) AS px_index, value
+         FROM px ORDER BY doc_id, px_index""",
     // dHash recomputed bit-for-bit from the md5 bytes (12 gradient
     // signs, row-major MSB-first — the dHashBits layout); exact-pixel
     // groups ≡ md5 groups because the lake's pixels ARE the md5 bytes
