@@ -1387,6 +1387,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** dd22: dedup-threshold calibration sweep — for each candidate
+    * Jaccard threshold, how many verified near-dup pairs qualify and
+    * how many documents a keep-smallest-id policy would drop. The
+    * knob-sweep-as-data pattern (ann18 recall, pr11 progressive
+    * quality) applied to the dedup family: the table a data engineer
+    * reads before committing a threshold to a 100 TB dedup pass,
+    * produced in ONE pass over the dd3-verified pair list (bounded
+    * explode by |thresholds|, one aggregation — no per-threshold
+    * rescan of the corpus). */
+  def dd22ThresholdSweep(s: SparkSession, dir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val pairs = dd3JaccardPairs(s, dir)
+    pairs
+      .select(col("id_b"), col("jaccard"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_dropped"))
+      .orderBy(col("threshold"))
+  }
+
   // ---- Winnowing fingerprints (ta15) ----
 
   /** ta15: WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
@@ -1567,6 +1589,8 @@ object TextOps {
     "dd21_url_dedup" -> (dd21UrlDedup _),
     "ta15_winnow_fingerprints" -> ((s: SparkSession, dir: String) =>
       winnowFingerprints(s, dir)),
+    "dd22_threshold_sweep" -> ((s: SparkSession, dir: String) =>
+      dd22ThresholdSweep(s, dir)),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1770,6 +1794,19 @@ object TextOps {
            FROM reb)
          SELECT url, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM canon GROUP BY 1 HAVING count(*) > 1 ORDER BY url""",
+    // dd22: the dd3 pair chain swept against the threshold list —
+    // each (pair, threshold) qualification is one exact double
+    // comparison, counts are integers
+    "dd22_threshold_sweep" ->
+      s"""WITH $dd3PairsCtes,
+         sweep AS (
+           SELECT t.threshold, p.id_b
+           FROM p3 p CROSS JOIN (
+             SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold) t
+           WHERE p.jaccard >= t.threshold)
+         SELECT threshold, count(*) AS n_pairs,
+           count(DISTINCT id_b) AS n_dropped
+         FROM sweep GROUP BY 1 ORDER BY 1""",
     // ta15: k-gram Horner hashes by positional self-join, complete
     // windows only (j <= m-4), rightmost-min via (g ASC, pos DESC)
     // row_number — the exact twin of min(struct(g, -pos))
