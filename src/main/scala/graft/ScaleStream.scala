@@ -64,6 +64,9 @@ object ScaleStream {
         }
       pair("st1", p => es.sessionizeFileStats(spark, dataDir, p))
       pair("st2", p => es.intervalJoinFileStats(spark, dataDir, p))
+      // st15 (round 11): the full-outer twin — both buffers evict with
+      // emission, the second join shape measured under state format v3
+      pair("st15", p => es.fullOuterFileStats(spark, dataDir, p))
       pair("st8", p => es.dailyRollupFileStats(spark, dataDir, p))
       pair("st10", p => es.sessionWindowFileStats(spark, dataDir, p))
       // st13 (round 11): the CDC-upsert snapshot — per-key overwrite

@@ -1475,6 +1475,24 @@ object EventStream {
     }
   }
 
+  /** Scale harness twin for st15 (full-outer interval join): matched
+    * rows emit eagerly; unmatched rows of BOTH sides emit as the
+    * moving watermark closes their windows — the trailing ~lateness of
+    * rows correctly stays buffered at end of input (steady-state
+    * behavior; the completeness twin is the sentinel-flushed st15
+    * gate). Row counts are watermark-deterministic under
+    * maxFilesPerTrigger=1, so the mem/rocks rows-equal check holds. */
+  def fullOuterFileStats(spark: SparkSession, dir: String,
+      stateProvider: Option[String] = None): (Double, Long, Long) = {
+    val sess = gateSession(spark, partitions = "8")
+    runFileSinkStats(sess, "graft_foj_scale", stateProvider) {
+      val src = readEvents(sess, dir, maxFilesPerTrigger = Some(1))
+      intervalJoinFullOuter(
+        src.filter(col("event_type") === "error"),
+        src.filter(col("event_type") === "click"))
+    }
+  }
+
   /** st8: CHAINED stateful aggregations in one streaming query — an
     * hourly per-(type, user) pre-aggregation feeding a daily per-type
     * rollup (Spark's multi-stateful-operator pipeline, append mode).
