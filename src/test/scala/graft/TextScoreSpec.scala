@@ -189,6 +189,27 @@ class TextScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("dd22 threshold sweep: counts are non-increasing in the threshold " +
+       "and each row equals a direct filter of the dd3 pair list") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.operators.TextOps.dd3JaccardPairs(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val sweep = graft.operators.TextOps.dd22ThresholdSweep(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(sweep.nonEmpty)
+    sweep.foreach { case (t, np, nd) =>
+      val qual = pairs.filter(_._2 >= t)
+      assert(np === qual.length.toLong, s"t=$t pairs")
+      assert(nd === qual.map(_._1).distinct.length.toLong, s"t=$t dropped")
+    }
+    sweep.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 >= b._2 && a._3 >= b._3, "sweep not monotone")
+      case _ =>
+    }
+  }
+
   test("dd20 prefix filtering: pair-for-pair equal to the unfiltered " +
        "posting self-join, at sf0.001 and across thresholds") {
     def rows(df: org.apache.spark.sql.DataFrame) =
