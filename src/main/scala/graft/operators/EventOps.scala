@@ -185,12 +185,49 @@ object EventOps {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** se2: typed schema-on-read — `from_json` with an EXPLICIT schema
+    * (nested struct + array) over a derived semi-structured payload
+    * with deliberately corrupt rows (event_id % 13 — the
+    * corpus-is-fake/plumbing-is-real pattern). Where se1's
+    * get_json_object pulls one path per call, this is the production
+    * shape: one typed parse per row (Jackson, schema-pruned), nested
+    * field access as struct columns afterwards, and PERMISSIVE
+    * corrupt handling surfaced as an accounted metric (a silent-drop
+    * parse is how bad rows vanish unnoticed at 100 TB). Pure map +
+    * one aggregation — scan-bound at any scale. */
+  def se2SchemaOnRead(s: SparkSession, dir: String): DataFrame = {
+    val eid = col("event_id")
+    val j = when(eid % 13 === 0, lit("{broken"))
+      .otherwise(concat(
+        lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+        lit(", \"meta\": {\"src\": \""), col("event_type"),
+        lit("\", \"n\": "), (eid % 7).cast("string"),
+        lit("}, \"tags\": ["), (eid % 3).cast("string"),
+        lit(", "), (eid % 5).cast("string"), lit("]}")))
+    val schema =
+      "k BIGINT, meta STRUCT<src: STRING, n: BIGINT>, tags ARRAY<BIGINT>"
+    events(s, dir)
+      .select(col("event_type"),
+        from_json(j, org.apache.spark.sql.types.StructType.fromDDL(schema))
+          .as("p"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("p.k")).as("n_valid"),
+        (count(lit(1)) - count(col("p.k"))).as("n_corrupt"),
+        sum(col("p.k")).as("sum_k"),
+        sum(col("p.meta.n")).as("sum_meta_n"),
+        sum(element_at(col("p.tags"), 1) + element_at(col("p.tags"), 2))
+          .as("sum_tags"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tj1_asof_join" -> (tj1AsofJoin _),
     "tj2_interval_join" -> (tj2IntervalJoin _),
     "tj4_nearest_event" -> (tj4NearestEvent _),
     "tj3_funnel" -> (tj3Funnel _),
-    "se1_json_extract" -> (se1JsonExtract _)
+    "se1_json_extract" -> (se1JsonExtract _),
+    "se2_schema_on_read" -> (se2SchemaOnRead _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,6 +331,36 @@ object EventOps {
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // se2: the same derived payload rebuilt in SQL, parsed with
+    // json_valid gating the corrupt rows (DuckDB's twin of PERMISSIVE
+    // null-struct), nested paths and array elements extracted typed
+    "se2_schema_on_read" ->
+      """WITH raw AS (
+           SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN '{broken'
+             ELSE '{"k": ' || json_extract_string(props, '$.k')
+               || ', "meta": {"src": "' || event_type || '", "n": '
+               || CAST(event_id % 7 AS VARCHAR)
+               || '}, "tags": [' || CAST(event_id % 3 AS VARCHAR)
+               || ', ' || CAST(event_id % 5 AS VARCHAR) || ']}'
+             END AS j
+           FROM events),
+         parsed AS (
+           SELECT event_type,
+             CASE WHEN json_valid(j)
+               THEN CAST(json_extract(j, '$.k') AS BIGINT) END AS k,
+             CASE WHEN json_valid(j)
+               THEN CAST(json_extract(j, '$.meta.n') AS BIGINT) END AS mn,
+             CASE WHEN json_valid(j)
+               THEN CAST(json_extract(j, '$.tags[0]') AS BIGINT)
+                  + CAST(json_extract(j, '$.tags[1]') AS BIGINT) END AS tsum
+           FROM raw)
+         SELECT event_type, count(k) AS n_valid,
+           count(*) - count(k) AS n_corrupt,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(sum(mn) AS BIGINT) AS sum_meta_n,
+           CAST(sum(tsum) AS BIGINT) AS sum_tags
+         FROM parsed GROUP BY 1 ORDER BY 1"""
   )
 }
