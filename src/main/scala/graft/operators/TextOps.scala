@@ -1387,6 +1387,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** cp11: DECONTAMINATED split materialization — turn the dd10
+    * contamination verdicts into the split assignment a training run
+    * actually consumes: every doc labeled eval (the held-out slice),
+    * quarantined (a train doc whose fingerprint collides with any
+    * eval doc — the leak dd10 detects, here removed), or train.
+    * Emitted as the per-(split, source) audit table (doc and char
+    * volumes) — the artifact reviewed before a 100 TB training run is
+    * launched. Plan: the eval fingerprint set is eval-sized by design
+    * (held-out slices are small) → broadcast semi-join; one
+    * aggregation; fingerprints ride the shared dd10 memo. */
+  def cp11DecontaminatedSplit(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.spark.DfCache.memo(s, s"$dir#dd10fp") {
+      val norm = regexp_replace(trim(lower(substring(col("text"), 1, 512))), "\\s+", " ")
+      documents(s, dir)
+        .select(col("doc_id"), md5(substring(norm, 1, 64)).as("fp"))
+    }
+    val evalFp = fps.filter(col("doc_id") % 20 === 0)
+      .select(col("fp")).distinct()
+    val flagged = fps.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalFp), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1).as("q"))
+    documents(s, dir)
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .withColumn("split",
+        when(col("doc_id") % 20 === 0, lit("eval"))
+          .when(col("q").isNotNull, lit("quarantined"))
+          .otherwise(lit("train")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** dd22: dedup-threshold calibration sweep — for each candidate
     * Jaccard threshold, how many verified near-dup pairs qualify and
     * how many documents a keep-smallest-id policy would drop. The
@@ -1591,6 +1623,7 @@ object TextOps {
       winnowFingerprints(s, dir)),
     "dd22_threshold_sweep" -> ((s: SparkSession, dir: String) =>
       dd22ThresholdSweep(s, dir)),
+    "cp11_decontaminated_split" -> (cp11DecontaminatedSplit _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1794,6 +1827,23 @@ object TextOps {
            FROM reb)
          SELECT url, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM canon GROUP BY 1 HAVING count(*) > 1 ORDER BY url""",
+    // cp11: dd10's fp expression verbatim; split labels by the same
+    // eval-slice rule and fp-collision semi-join, then the audit agg
+    "cp11_decontaminated_split" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             md5(substr(regexp_replace(trim(lower(substr(text, 1, 512))), '\s+', ' ', 'g'), 1, 64)) AS fp
+           FROM documents),
+         ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 20 = 0),
+         lab AS (
+           SELECT d.doc_id, d.source, d.n_chars,
+             CASE WHEN d.doc_id % 20 = 0 THEN 'eval'
+                  WHEN f.fp IN (SELECT fp FROM ev) THEN 'quarantined'
+                  ELSE 'train' END AS split
+           FROM documents d JOIN fp f ON f.doc_id = d.doc_id)
+         SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
     // dd22: the dd3 pair chain swept against the threshold list —
     // each (pair, threshold) qualification is one exact double
     // comparison, counts are integers
