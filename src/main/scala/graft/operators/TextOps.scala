@@ -1387,6 +1387,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ta16: lexical-richness metrics — per doc: token count, type
+    * (distinct-token) count, hapax count (tokens occurring exactly
+    * once), type-token ratio and hapax share. The lexical-diversity
+    * quality signal next to ta2/ta7/ta11 (templated/boilerplate text
+    * scores low TTR, spam keyword-stuffing scores low hapax share);
+    * the ratios are single IEEE divisions of exact integers, so the
+    * gate is hash-exact. Plan: one explode + (doc, word) count + one
+    * doc-keyed agg — token-linear, the shingling bound. */
+  def ta16LexicalRichness(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types") / col("n_tokens")).as("ttr"),
+        (col("n_hapax") / col("n_types")).as("hapax_share"))
+      .orderBy(col("doc_id"))
+
   /** cp11: DECONTAMINATED split materialization — turn the dd10
     * contamination verdicts into the split assignment a training run
     * actually consumes: every doc labeled eval (the held-out slice),
@@ -1624,6 +1646,7 @@ object TextOps {
     "dd22_threshold_sweep" -> ((s: SparkSession, dir: String) =>
       dd22ThresholdSweep(s, dir)),
     "cp11_decontaminated_split" -> (cp11DecontaminatedSplit _),
+    "ta16_lexical_richness" -> (ta16LexicalRichness _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1827,6 +1850,25 @@ object TextOps {
            FROM reb)
          SELECT url, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM canon GROUP BY 1 HAVING count(*) > 1 ORDER BY url""",
+    // ta16: per-(doc, word) counts then one doc agg; both ratios are
+    // one exact-integer IEEE division each
+    "ta16_lexical_richness" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         wc AS (
+           SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM wc GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types, n_hapax,
+           n_types / n_tokens AS ttr,
+           n_hapax / n_types AS hapax_share
+         FROM agg ORDER BY doc_id""",
     // cp11: dd10's fp expression verbatim; split labels by the same
     // eval-slice rule and fp-collision semi-join, then the audit agg
     "cp11_decontaminated_split" ->
