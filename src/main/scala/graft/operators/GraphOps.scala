@@ -386,16 +386,97 @@ object GraphOps {
     * pipeline read "which parts cluster into baskets". 3 synchronous
     * rounds from singleton labels; output = every node with its
     * community label (integers end to end). */
-  def gr7LabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** The converged gr7 label frame `(id, lbl)`, session-memoized —
+    * shared by gr7 (the community listing) and gr12 (the modularity
+    * read over those communities) so the 3 LP rounds run once per
+    * session. */
+  private def gr7Labels(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#gr7labels") {
+      val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
+        gr5CopurchasePairs(s, dir)
+          .select(col("part_a").as("a"), col("part_b").as("b"))
+      }
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      labelPropagation(edges, rounds = 3)
+    }
+
+  def gr7LabelProp(s: SparkSession, dir: String): DataFrame =
+    gr7Labels(s, dir)
+      .select(col("id").as("part_id"), col("lbl").as("community"))
+      .orderBy(col("part_id"))
+
+  /** gr11: per-node LOCAL CLUSTERING COEFFICIENT of the co-purchase
+    * graph — 2·triangles / (deg·(deg−1)), the standard "how clique-like
+    * is this node's neighborhood" read (0 for degree < 2). On a
+    * curation pipeline this is the structural-confidence score for
+    * gr5's similarity edges: a part whose co-purchase neighbors also
+    * co-purchase each other sits in a real basket community, one with
+    * lcc 0 is a hub artifact.
+    *
+    * Determinism: degree and triangle counts are exact integers
+    * ([[triangleCounts]]'s oriented enumeration); the coefficient is a
+    * double-by-integer IEEE division of exact operands (numerator
+    * 2.0·tri, denominator deg·(deg−1) — both exact), so it is
+    * bit-identical across engines with no rounding. Scale shape is
+    * gr4's: orientation caps wedge volume at O(m^1.5). */
+  def gr11ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
       gr5CopurchasePairs(s, dir)
         .select(col("part_a").as("a"), col("part_b").as("b"))
     }
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    labelPropagation(edges, rounds = 3)
-      .select(col("id").as("part_id"), col("lbl").as("community"))
+    triangleCounts(pairs)
+      .select(col("id").as("part_id"), col("degree"), col("tri_cnt"),
+        when(col("degree") >= 2,
+          (lit(2.0) * col("tri_cnt")) / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
       .orderBy(col("part_id"))
+  }
+
+  /** gr12: MODULARITY decomposition of the gr7 communities — per
+    * community c: node count, intra-community edge count e_c, degree
+    * sum d_c, and the Newman modularity contribution
+    * e_c/m − (d_c/(2m))². The quality audit a pipeline runs on its own
+    * clustering output (gr7) before acting on it: communities with
+    * negative or ~0 contribution are no better than random and should
+    * not drive curation decisions.
+    *
+    * Determinism: e_c, d_c, m are exact integers; the contribution is
+    * a fixed sequence of IEEE ops on exact operands (two identical
+    * divisions, one multiply, one subtract — mirrored token-for-token
+    * in the oracle), so no rounding is needed.
+    *
+    * 100 TB shape: two node-sized label joins onto the edge frame +
+    * key-grouped aggregations; m arrives as a 1-row broadcast — no
+    * all-pairs, no driver loop, LP labels shared (memoized) with gr7. */
+  def gr12Modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
+      gr5CopurchasePairs(s, dir)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+    }
+    val lbl = gr7Labels(s, dir)
+    val mf = pairs.agg(count(lit(1)).as("m"))
+    val deg = pairs.select(col("a").as("id"))
+      .unionByName(pairs.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val dsum = deg.join(lbl, "id")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+    val intra = pairs
+      .join(lbl.select(col("id").as("a"), col("lbl").as("ca")), "a")
+      .join(lbl.select(col("id").as("b"), col("lbl").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val halfDeg = col("deg_sum") / (lit(2) * col("m"))
+    dsum.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mf))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_sum"),
+        ((coalesce(col("intra_edges"), lit(0L)) / col("m")) -
+          halfDeg * halfDeg).as("q_contrib"))
+      .orderBy(col("community"))
   }
 
   /** k-core of a SYMMETRIC simple edge frame `(src, dst)`: iteratively
@@ -680,7 +761,9 @@ object GraphOps {
     "gr7_label_prop" -> (gr7LabelProp _),
     "gr8_bfs_reach" -> (gr8BfsReach _),
     "gr9_jaccard_similarity" -> (gr9JaccardSimilarity _),
-    "gr10_weighted_sssp" -> (gr10WeightedSssp _)
+    "gr10_weighted_sssp" -> (gr10WeightedSssp _),
+    "gr11_clustering_coeff" -> (gr11ClusteringCoeff _),
+    "gr12_modularity" -> (gr12Modularity _)
   )
 
   // gr5's co-purchase pair derivation as a shared CTE prefix (ends at
@@ -943,6 +1026,61 @@ object GraphOps {
                 coalesce(c.tc, CAST(0 AS BIGINT)) AS tri_cnt
          FROM deg d LEFT JOIN cnt c ON c.id = d.id
          ORDER BY doc_id""",
+    // triangle enumeration over the canonical (pa < pb) co-purchase
+    // pairs (the gr4 pattern on the gr5 graph); the coefficient is a
+    // single IEEE division of exact operands — no rounding
+    "gr11_clustering_coeff" ->
+      s"""WITH $copurchaseCtes,
+         pr AS (SELECT pa AS a, pb AS b FROM cop),
+         und AS (SELECT a AS id FROM pr UNION ALL SELECT b FROM pr),
+         deg AS (SELECT id, count(*) AS degree FROM und GROUP BY id),
+         tri AS (
+           SELECT e1.a AS u, e1.b AS x, e2.b AS y
+           FROM pr e1 JOIN pr e2 ON e2.a = e1.b
+                      JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+         inc AS (SELECT u AS id FROM tri UNION ALL SELECT x FROM tri
+                 UNION ALL SELECT y FROM tri),
+         cnt AS (SELECT id, count(*) AS tc FROM inc GROUP BY id)
+         SELECT d.id AS part_id, d.degree,
+                coalesce(c.tc, CAST(0 AS BIGINT)) AS tri_cnt,
+                CASE WHEN d.degree >= 2
+                     THEN (2.0 * coalesce(c.tc, CAST(0 AS BIGINT)))
+                          / (d.degree * (d.degree - 1))
+                     ELSE 0.0 END AS lcc
+         FROM deg d LEFT JOIN cnt c ON c.id = d.id
+         ORDER BY part_id""",
+    // gr7's unrolled LP rounds feed the per-community aggregation; the
+    // contribution mirrors the Spark op sequence token-for-token (two
+    // identical divisions, multiply, subtract — all operands exact
+    // integers, so no rounding)
+    "gr12_modularity" ->
+      s"""WITH $copurchaseCtes,
+         ledges AS MATERIALIZED (
+           SELECT pa AS src, pb AS dst FROM cop
+           UNION ALL SELECT pb, pa FROM cop),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS id, src AS lbl FROM ledges),
+         ${lpaCte(1, 0)},
+         ${lpaCte(2, 1)},
+         ${lpaCte(3, 2)},
+         mm AS (SELECT count(*) AS m FROM cop),
+         deg AS (SELECT src AS id, count(*) AS d FROM ledges GROUP BY src),
+         dsum AS (
+           SELECT l.lbl AS community, count(*) AS n_nodes,
+                  CAST(sum(d.d) AS BIGINT) AS deg_sum
+           FROM deg d JOIN l3 l ON l.id = d.id GROUP BY 1),
+         intra AS (
+           SELECT la.lbl AS community, count(*) AS intra_edges
+           FROM cop e JOIN l3 la ON la.id = e.pa JOIN l3 lb ON lb.id = e.pb
+           WHERE la.lbl = lb.lbl GROUP BY 1)
+         SELECT ds.community, ds.n_nodes,
+           coalesce(i.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+           ds.deg_sum,
+           (coalesce(i.intra_edges, CAST(0 AS BIGINT)) / mm.m)
+             - (ds.deg_sum / (2 * mm.m)) * (ds.deg_sum / (2 * mm.m)) AS q_contrib
+         FROM dsum ds CROSS JOIN mm
+         LEFT JOIN intra i ON i.community = ds.community
+         ORDER BY ds.community""",
     "gr5_copurchase_pairs" ->
       """WITH op AS (
            SELECT DISTINCT l_orderkey AS k, l_partkey AS v FROM lineitem),

