@@ -199,11 +199,20 @@ object Scale {
                     // candidates at n·√n)
                     "cp10_pii_redact", "dd21_url_dedup",
                     "ann17_knn_graph", "ta15_winnow_fingerprints",
-                    // ann18 rides ann5's bounded probe path plus the
-                    // by-definition-exact brute ground-truth arm
-                    // (broadcast query sample × one corpus scan)
-                    "ann18_recall_eval"))
+                    // ann19 rides the memoized PQ codebook/codes frames;
+                    // the error join is code-keyed vs a 128-row broadcast
+                    "ann19_pq_distortion"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+      // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
+      // query sample (stride 50·n keeps |Q| at the sf-base ~count while
+      // the corpus grows n×), so the by-definition-exact brute
+      // ground-truth arm is a constant broadcast sample × one corpus
+      // scan — linear in n, not |Q|·n quadratic. The gate keeps the
+      // oracle-pinned stride 50; this row measures the same operator
+      // at the deployment contract (documented in SCALING.md r11).
+      run("ann18_recall_eval", 2) {
+        graft.operators.VectorOps.ann18RecallEval(spark, dataDir,
+          qStride = 50L * n).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier
       // edges — the scaled dirs carry no TPC-H tables). Per-iteration

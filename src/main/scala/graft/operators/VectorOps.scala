@@ -237,10 +237,12 @@ object VectorOps {
     ivfCodebook(s, dir, "ann5cents",
       n => math.max(2, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** Top-nprobe cells per query vector (every 50th vec_id). */
+  /** Top-nprobe cells per query vector (every `qStride`th vec_id —
+    * 50 is the gate contract; Scale passes 50·n so the query SAMPLE
+    * stays fixed-size while the corpus grows, the production shape). */
   private def ivfProbe(emb: DataFrame, trained: DataFrame,
-                       nprobe: Int): DataFrame =
-    emb.filter(col("vec_id") % 50 === 0)
+                       nprobe: Int, qStride: Long = 50L): DataFrame =
+    emb.filter(col("vec_id") % qStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
       .crossJoin(broadcast(trained))
       .withColumn("csim", round(cosine(col("q_v"), col("c_v")), 9))
@@ -255,8 +257,9 @@ object VectorOps {
     * fix lands in both gates (and both oracles mirror this exact
     * sequence). */
   private def ivfSearch(emb: DataFrame, trained: DataFrame,
-                        assigned: DataFrame, k: Int, nprobe: Int): DataFrame =
-    ivfProbe(emb, trained, nprobe)
+                        assigned: DataFrame, k: Int, nprobe: Int,
+                        qStride: Long = 50L): DataFrame =
+    ivfProbe(emb, trained, nprobe, qStride)
       .join(assigned.select(col("cell"), col("vec_id").as("n_id"),
         col("v").as("n_v")), "cell")
       .filter(col("q_id") =!= col("n_id"))
@@ -268,10 +271,10 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
 
   def ann5IvfScaled(s: SparkSession, dir: String, k: Int = 3,
-                    nprobe: Int = 4): DataFrame = {
+                    nprobe: Int = 4, qStride: Long = 50L): DataFrame = {
     val emb = embVectors(s, dir)
     val trained = ivfTrained(s, dir)
-    ivfSearch(emb, trained, ivfAssign(emb, trained), k, nprobe)
+    ivfSearch(emb, trained, ivfAssign(emb, trained), k, nprobe, qStride)
   }
 
   /** ann15: IVF search over the LEARNED codebook — ann5's sampled-probe
@@ -341,11 +344,12 @@ object VectorOps {
     * corpus the query sample is fixed (here every 50th vector), so the
     * brute side is a broadcast of the sample against one corpus scan,
     * the ann1 whitelisted shape. */
-  def ann18RecallEval(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val ivf = ann5IvfScaled(s, dir, k)
+  def ann18RecallEval(s: SparkSession, dir: String, k: Int = 3,
+                      qStride: Long = 50L): DataFrame = {
+    val ivf = ann5IvfScaled(s, dir, k, qStride = qStride)
       .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
     val emb = embVectors(s, dir)
-    val q = emb.filter(col("vec_id") % 50 === 0)
+    val q = emb.filter(col("vec_id") % qStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val brute = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -670,7 +674,7 @@ object VectorOps {
 
   /** The per-subspace 16-codeword codebooks (deterministic seeds + one
     * Lloyd step), session-memoized. */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pqCodebook(s: SparkSession, dir: String): DataFrame =
     graft.spark.DfCache.memo(s, s"$dir#pqcw") {
       val sub = pqSub(s, dir)
       val seeds = sub.filter(col("vec_id") < 16)
@@ -695,6 +699,43 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
           p => p("code")).as("codes"))
     }
+
+  /** ann19: PQ DISTORTION evaluation — per-subspace reconstruction
+    * error of the ann7 codebook over the whole corpus, the index-
+    * quality audit that pairs with ann18's recall: recall grades the
+    * probe path, distortion grades the compression itself (how much
+    * geometry the 8-byte codes destroy). Sign-off data an embedding
+    * platform records before serving a codebook.
+    *
+    * Determinism: each per-row squared error is the 9-dp-rounded L2
+    * ([[pqL2]], the value the code assignment already sorts by), which
+    * is k/1e9 by construction — so ×1e9 and round(0) yields an exact
+    * integer both engines agree on bit-for-bit. The sum is then exact
+    * BIGINT arithmetic (order-free), and the mean is two fixed-order
+    * IEEE divisions of exact operands. No float aggregation anywhere.
+    *
+    * 100 TB shape: rides the memoized pqCodes/pqCodebook frames (built
+    * once, shared with ann7/ann8/ann11); the error join is code-keyed
+    * against the 128-row broadcast codebook and reduces map-side to 8
+    * rows — one corpus scan, no shuffle wider than the final 8-group
+    * aggregate. */
+  def ann19PqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSub(s, dir)
+    val cb = pqCodebook(s, dir)
+    val perSub = pqCodes(s, dir)
+      .select(col("n_id").as("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("code"))
+    perSub.join(sub, Seq("vec_id", "m"))
+      .join(broadcast(cb), Seq("m", "code"))
+      .withColumn("e_nano",
+        round(pqL2(col("s"), col("c")) * lit(1000000000.0), 0).cast("long"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("e_nano")).as("sse_nano"))
+      .select(col("m"), col("n_vectors"), col("sse_nano"),
+        ((col("sse_nano").cast("double") / lit(1000000000.0)) /
+          col("n_vectors")).as("mse"))
+      .orderBy(col("m"))
+  }
 
   /** Per-query ADC lookup table: 8 subspaces × 16 codewords = 128
     * partial dots dot(q_m, codeword[m, c]), flattened to one
@@ -891,6 +932,8 @@ object VectorOps {
       ann15IvfLearned(s, dir)),
     "ann17_knn_graph" -> ((s: SparkSession, dir: String) =>
       ann17KnnGraph(s, dir)),
+    "ann19_pq_distortion" -> ((s: SparkSession, dir: String) =>
+      ann19PqDistortion(s, dir)),
     "ann18_recall_eval" -> ((s: SparkSession, dir: String) =>
       ann18RecallEval(s, dir)),
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
@@ -1152,7 +1195,67 @@ object VectorOps {
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
            FROM sims)"""
 
+  // The PQ training + encoding chain (8×16 codebooks via deterministic
+  // seeds + one Lloyd step, then per-(vector, subspace) code
+  // assignment) as a shared CTE prefix ending at `cw (m, code, c)` and
+  // `codes (vec_id, m, code)` — the SQL twin of pqCodebook/pqCodes,
+  // shared by ann7 (ADC search) and ann19 (distortion eval) so the
+  // twins cannot drift.
+  private val pqCodesCtes: String =
+    """emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sub AS (
+           SELECT vec_id, mm.m, v[mm.m*8+1 : mm.m*8+8] AS s
+           FROM emb, (SELECT unnest(range(0, 8)) AS m) mm),
+         seeds AS (SELECT m, vec_id AS code, s AS c FROM sub WHERE vec_id < 16),
+         a0 AS (
+           SELECT sub.vec_id, sub.m, seeds.code,
+             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+               round(list_dot_product(sub.s, sub.s)
+                 - 2*list_dot_product(sub.s, seeds.c)
+                 + list_dot_product(seeds.c, seeds.c), 9) ASC,
+               seeds.code ASC) AS rk
+           FROM sub JOIN seeds ON sub.m = seeds.m),
+         members AS (SELECT vec_id, m, code FROM a0 WHERE rk = 1),
+         cw AS (
+           SELECT m, code, list(round(mu, 9) ORDER BY dim) AS c FROM (
+             SELECT mem.m, mem.code, d.dim, avg(s.s[d.dim + 1]) AS mu
+             FROM members mem
+             JOIN sub s ON s.vec_id = mem.vec_id AND s.m = mem.m,
+                  (SELECT unnest(range(0, 8)) AS dim) d
+             GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         codes AS (
+           SELECT vec_id, m, code FROM (
+             SELECT sub.vec_id, sub.m, cw.code,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
+                 round(list_dot_product(sub.s, sub.s)
+                   - 2*list_dot_product(sub.s, cw.c)
+                   + list_dot_product(cw.c, cw.c), 9) ASC,
+                 cw.code ASC) AS rk
+             FROM sub JOIN cw ON sub.m = cw.m) WHERE rk = 1)"""
+
   val oracles: Map[String, String] = Map(
+    // ann19: the same training/encoding chain as ann7, read as a
+    // QUALITY metric — per-subspace reconstruction error. Each
+    // per-row error is integer-ized at nano precision (the 9-dp
+    // rounded L2 is k/1e9 by construction, so ×1e9 + round(0) is an
+    // exact integer both engines agree on) and the sum/mean come out
+    // of exact BIGINT arithmetic + two fixed-order IEEE divisions.
+    "ann19_pq_distortion" ->
+      s"""WITH $pqCodesCtes,
+         err AS (
+           SELECT codes.m,
+             CAST(round(round(list_dot_product(sub.s, sub.s)
+                 - 2*list_dot_product(sub.s, cw.c)
+                 + list_dot_product(cw.c, cw.c), 9) * 1000000000.0, 0)
+               AS BIGINT) AS e_nano
+           FROM codes
+           JOIN sub ON sub.vec_id = codes.vec_id AND sub.m = codes.m
+           JOIN cw ON cw.m = codes.m AND cw.code = codes.code)
+         SELECT m, count(*) AS n_vectors,
+           CAST(sum(e_nano) AS BIGINT) AS sse_nano,
+           (CAST(sum(e_nano) AS BIGINT) / 1000000000.0) / count(*) AS mse
+         FROM err GROUP BY m ORDER BY m""",
     // kNN-graph: per-corpus-vector top-k within its OWN final Lloyd
     // cell — the lloydChain's asgnF reused, vectors re-joined from emb
     "ann17_knn_graph" ->
@@ -1537,37 +1640,7 @@ object VectorOps {
          SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3
          ORDER BY q_id, rank""",
     "ann7_pq_topk" ->
-      """WITH emb AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         sub AS (
-           SELECT vec_id, mm.m, v[mm.m*8+1 : mm.m*8+8] AS s
-           FROM emb, (SELECT unnest(range(0, 8)) AS m) mm),
-         seeds AS (SELECT m, vec_id AS code, s AS c FROM sub WHERE vec_id < 16),
-         a0 AS (
-           SELECT sub.vec_id, sub.m, seeds.code,
-             row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
-               round(list_dot_product(sub.s, sub.s)
-                 - 2*list_dot_product(sub.s, seeds.c)
-                 + list_dot_product(seeds.c, seeds.c), 9) ASC,
-               seeds.code ASC) AS rk
-           FROM sub JOIN seeds ON sub.m = seeds.m),
-         members AS (SELECT vec_id, m, code FROM a0 WHERE rk = 1),
-         cw AS (
-           SELECT m, code, list(round(mu, 9) ORDER BY dim) AS c FROM (
-             SELECT mem.m, mem.code, d.dim, avg(s.s[d.dim + 1]) AS mu
-             FROM members mem
-             JOIN sub s ON s.vec_id = mem.vec_id AND s.m = mem.m,
-                  (SELECT unnest(range(0, 8)) AS dim) d
-             GROUP BY 1, 2, 3) GROUP BY 1, 2),
-         codes AS (
-           SELECT vec_id, m, code FROM (
-             SELECT sub.vec_id, sub.m, cw.code,
-               row_number() OVER (PARTITION BY sub.vec_id, sub.m ORDER BY
-                 round(list_dot_product(sub.s, sub.s)
-                   - 2*list_dot_product(sub.s, cw.c)
-                   + list_dot_product(cw.c, cw.c), 9) ASC,
-                 cw.code ASC) AS rk
-             FROM sub JOIN cw ON sub.m = cw.m) WHERE rk = 1),
+      s"""WITH $pqCodesCtes,
          qsub AS (SELECT vec_id AS q_id, m, s AS qs FROM sub WHERE vec_id % 50 = 0),
          partial AS (
            SELECT q.q_id, c.vec_id AS n_id, q.m,

@@ -190,4 +190,54 @@ class IvfSpec extends AnyFunSuite {
       assert(ids.size === sorted.length, s"$src: duplicate neighbor")
     }
   }
+
+  test("ann19 distortion: sse equals a driver-side min-over-codewords " +
+       "recompute against the collected codebook, bit-for-bit") {
+    // independent of pqNearest/pqCodes join logic: for each (vector,
+    // subspace) take the MIN nano-ized L2 over all 16 codewords — the
+    // assignment is argmin by construction, so the per-subspace sums
+    // must agree exactly (the codebook itself is oracle-verified
+    // through the ann7 gate at every SF)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cb = VectorOps.pqCodebook(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getSeq[Double](2).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Array.fill(8)(0L)
+    val nPerM = emb.size.toLong
+    emb.values.foreach { v =>
+      for (m <- 0 until 8) {
+        val s = v.slice(m * 8, m * 8 + 8)
+        val eMin = (0L until 16L).map { code =>
+          val c = cb((m.toLong, code))
+          val e = round9(dot(s, s) - 2.0 * dot(s, c) + dot(c, c))
+          math.round(e * 1000000000.0)
+        }.min
+        expect(m) += eMin
+      }
+    }
+    val got = VectorOps.ann19PqDistortion(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 8)
+    got.foreach { case (m, n, sse, mse) =>
+      assert(n === nPerM, s"subspace $m: n_vectors")
+      assert(sse === expect(m.toInt), s"subspace $m: sse_nano")
+      assert(mse === (sse.toDouble / 1000000000.0) / n, s"subspace $m: mse")
+    }
+  }
+
+  test("ann18 qStride: a sparser query sample returns exactly the " +
+       "stride-50 rows whose q_id matches — per-query independence") {
+    val dense = VectorOps.ann18RecallEval(spark, dir, k = 3, qStride = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val sparse = VectorOps.ann18RecallEval(spark, dir, k = 3, qStride = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(sparse === dense.filter(_._1 % 100 == 0))
+    assert(sparse.nonEmpty && sparse.size < dense.size)
+  }
 }
