@@ -1409,6 +1409,63 @@ object TextOps {
         (col("n_hapax") / col("n_types")).as("hapax_share"))
       .orderBy(col("doc_id"))
 
+  /** ta17: READABILITY scoring — per doc: word, syllable-proxy and
+    * sentence counts plus the Flesch reading-ease score
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    * (Flesch 1948, the standard curation-side complexity signal next
+    * to ta2/ta11/ta16: training mixes are often stratified by
+    * readability band). Syllables use the classic vowel-run proxy
+    * (maximal [aeiou]+ runs — word-local because token boundaries
+    * break runs), sentences the [.!?]+ terminator runs.
+    *
+    * Determinism: all three counts are exact integers (regex counts);
+    * the score is a fixed left-associated sequence of IEEE ops on
+    * exact operands, mirrored token-for-token in the oracle — no
+    * rounding. Plan: pure per-row map over one scan, no shuffle at
+    * all before the output sort. */
+  def ta17Readability(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(t, lit("[a-z]+")).cast("long").as("n_words"),
+        regexp_count(t, lit("[aeiou]+")).cast("long").as("n_syllables"),
+        regexp_count(t, lit("[.!?]+")).cast("long").as("n_sentences"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        col("n_sentences"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words") / greatest(col("n_sentences"), lit(1L)))
+          - lit(84.6) * (col("n_syllables") / greatest(col("n_words"), lit(1L))))
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd23: SOFT-dedup training weights — instead of dropping near-dup
+    * cluster members (dd15's keeper selection), keep every document
+    * and down-weight it by 1/cluster_size so each near-dup cluster
+    * contributes one document's worth of gradient mass (the
+    * repetition-penalty alternative to hard dedup; unclustered docs
+    * keep weight 1). Composes dd9's proven clustering verbatim — the
+    * weight is one IEEE division of exact integers, hash-exact.
+    * Plan: cluster sizes are |clusters|-sized (tiny); the corpus-sized
+    * side is one broadcast left join over the doc_id scan. */
+  def dd23SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.spark.DfCache.memo(s, s"$dir#dd9clusters") {
+      Components.connectedComponents(
+        dd5LshPairs(s, dir).select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    }
+    val sized = clusters
+      .join(clusters.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members")), "cluster_id")
+      .select(col("doc_id"), col("n_members"))
+    documents(s, dir).select(col("doc_id"))
+      .join(broadcast(sized), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_members"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("n_members"), lit(1L))).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** cp11: DECONTAMINATED split materialization — turn the dd10
     * contamination verdicts into the split assignment a training run
     * actually consumes: every doc labeled eval (the held-out slice),
@@ -1647,6 +1704,8 @@ object TextOps {
       dd22ThresholdSweep(s, dir)),
     "cp11_decontaminated_split" -> (cp11DecontaminatedSplit _),
     "ta16_lexical_richness" -> (ta16LexicalRichness _),
+    "ta17_readability" -> (ta17Readability _),
+    "dd23_softdedup_weights" -> (dd23SoftDedupWeights _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1850,6 +1909,43 @@ object TextOps {
            FROM reb)
          SELECT url, min(doc_id) AS keep_id, count(*) AS n_docs
          FROM canon GROUP BY 1 HAVING count(*) > 1 ORDER BY url""",
+    // ta17: three regex counts per row; the score is a fixed
+    // left-associated IEEE sequence over exact integers (no rounding)
+    "ta17_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS n_syllables,
+             CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT)
+               AS n_sentences
+           FROM documents)
+         SELECT doc_id, n_words, n_syllables, n_sentences,
+           206.835 - 1.015 * (n_words / greatest(n_sentences, 1))
+                   - 84.6 * (n_syllables / greatest(n_words, 1)) AS flesch
+         FROM c ORDER BY doc_id""",
+    // dd23: dd9's transitive closure + cluster sizes; weight is one
+    // exact-integer IEEE division (unclustered docs default to 1)
+    "dd23_softdedup_weights" ->
+      s"""WITH RECURSIVE $dd5PairCtes,
+          pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          verts AS (SELECT DISTINCT a AS id FROM und),
+          reach AS (
+            SELECT id, id AS r FROM verts
+            UNION
+            SELECT e.b AS id, reach.r FROM reach JOIN und e ON reach.id = e.a),
+          clusters AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY 1),
+          cz AS (SELECT c.doc_id, s.n FROM clusters c JOIN sizes s USING (cluster_id))
+          SELECT d.doc_id,
+            coalesce(cz.n, CAST(1 AS BIGINT)) AS cluster_size,
+            1.0 / coalesce(cz.n, CAST(1 AS BIGINT)) AS weight
+          FROM documents d LEFT JOIN cz ON cz.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
     // ta16: per-(doc, word) counts then one doc agg; both ratios are
     // one exact-integer IEEE division each
     "ta16_lexical_richness" ->

@@ -269,4 +269,71 @@ class TextScoreSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ta17 readability: hand-computed counts and Flesch score on a " +
+       "micro corpus, including the zero-sentence guard") {
+    // doc 1: "The cat sat. It ran!" -> words 6, vowel runs: e,a,a,i,a = 6
+    //   (the/cat/sat/it/ran each 1 + ... count carefully below),
+    //   sentences 2. doc 2: no terminator -> greatest(0,1) guard.
+    val dir = microCorpus(Seq(1L -> "The cat sat. It ran!", 2L -> "word"))
+    val got = graft.operators.TextOps.ta17Readability(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // lower("The cat sat. It ran!") word runs: the,cat,sat,it,ran = 5
+    // vowel runs: e,a,a,i,a = 5; terminator runs: ".", "!" = 2
+    assert(got(1L)._1 === 5L && got(1L)._2 === 5L && got(1L)._3 === 2L)
+    assert(got(1L)._4 === 206.835 - 1.015 * (5.0 / 2) - 84.6 * (5.0 / 5))
+    // "word": 1 word, 1 vowel run, 0 sentences -> denominator guard 1
+    assert(got(2L)._1 === 1L && got(2L)._2 === 1L && got(2L)._3 === 0L)
+    assert(got(2L)._4 === 206.835 - 1.015 * (1.0 / 1) - 84.6 * (1.0 / 1))
+  }
+
+  test("ta17 at sf0.001: counts match an independent Java-regex " +
+       "driver-side recompute for every doc") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cnt(t: String, p: String): Long =
+      java.util.regex.Pattern.compile(p).matcher(t).results().count()
+    val got = graft.operators.TextOps.ta17Readability(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet === texts.keySet)
+    got.foreach { case (id, (w, y, sn)) =>
+      val t = texts(id).toLowerCase
+      assert(w === cnt(t, "[a-z]+"), s"doc $id words")
+      assert(y === cnt(t, "[aeiou]+"), s"doc $id syllables")
+      assert(sn === cnt(t, "[.!?]+"), s"doc $id sentences")
+    }
+  }
+
+  test("dd23 soft-dedup weights: every doc present, cluster mass sums " +
+       "to ~1 per cluster, singletons weigh exactly 1.0, sizes match dd9") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.dd23SoftDedupWeights(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = Tables.documents(spark, dir).count()
+    assert(rows.length.toLong === n)
+    val clusters = graft.operators.TextOps.dd9NearDupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = clusters.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    rows.foreach { case (id, size, w) =>
+      clusters.get(id) match {
+        case Some(c) =>
+          assert(size === sizes(c), s"doc $id cluster size")
+          assert(w === 1.0 / size, s"doc $id weight")
+        case None =>
+          assert(size === 1L && w === 1.0, s"unclustered doc $id")
+      }
+    }
+    // per-cluster mass: k * (1/k) within IEEE accumulation error
+    rows.filter(r => clusters.contains(r._1)).groupBy(r => clusters(r._1))
+      .foreach { case (c, members) =>
+        assert(math.abs(members.map(_._3).sum - 1.0) < 1e-9, s"cluster $c mass")
+      }
+    assert(clusters.nonEmpty, "vacuous: no near-dup clusters at sf0.001")
+  }
 }
