@@ -221,7 +221,41 @@ object EventOps {
       .orderBy(col("event_type"))
   }
 
+  /** se3: CSV SCHEMA-ON-READ — the delimited twin of se2: a raw CSV
+    * line per event (every 13th synthesized corrupt: wrong arity AND a
+    * non-numeric leading field) parsed through `from_csv` in
+    * PERMISSIVE mode against a typed schema, then aggregated with
+    * corrupt-row accounting. A 100 TB lake's landing zone is mostly
+    * delimited text; this gates that the typed-projection path counts
+    * and excludes malformed lines instead of failing the job or
+    * silently coercing. The synthesized line derives every field from
+    * event columns, so the oracle recomputes the aggregates exactly
+    * from the same arithmetic. Plan: per-row parse + one key agg —
+    * scan-linear, no extra shuffle. */
+  def se3CsvParse(s: SparkSession, dir: String): DataFrame = {
+    val eid = col("event_id")
+    val line = when(eid % 13 === 0,
+      concat(lit("x"), eid.cast("string"), lit(",oops")))
+      .otherwise(concat(
+        (eid % 7).cast("string"), lit(","),
+        col("event_type"), lit(","),
+        (eid % 100).cast("string")))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("a BIGINT, b STRING, c BIGINT")
+    events(s, dir)
+      .select(col("event_type"),
+        from_csv(line, schema, Map.empty[String, String]).as("p"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("p.a")).as("n_valid"),
+        (count(lit(1)) - count(col("p.a"))).as("n_corrupt"),
+        sum(col("p.a")).as("sum_a"),
+        sum(col("p.c")).as("sum_c"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "se3_csv_parse" -> (se3CsvParse _),
     "tj1_asof_join" -> (tj1AsofJoin _),
     "tj2_interval_join" -> (tj2IntervalJoin _),
     "tj4_nearest_event" -> (tj4NearestEvent _),
@@ -231,6 +265,18 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // se3: the synthesized line's fields are pure functions of event
+    // columns, so the aggregates recompute exactly; the %13 corrupt
+    // rows contribute only to n_corrupt
+    "se3_csv_parse" ->
+      """SELECT event_type,
+           count(CASE WHEN event_id % 13 <> 0 THEN 1 END) AS n_valid,
+           count(CASE WHEN event_id % 13 = 0 THEN 1 END) AS n_corrupt,
+           CAST(sum(CASE WHEN event_id % 13 <> 0 THEN event_id % 7 END)
+             AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN event_id % 13 <> 0 THEN event_id % 100 END)
+             AS BIGINT) AS sum_c
+         FROM events GROUP BY 1 ORDER BY 1""",
     // Window-union form mirrors the distributed plan; correlated
     // subqueries would be O(n) scans per click in any engine.
     "tj1_asof_join" ->

@@ -354,6 +354,46 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** One output sample of a decimated PCM clip. */
+  case class ResampledAudio(doc_id: Long, in_rate: Int, out_rate: Int,
+                            sample_idx: Int, value: Long)
+
+  /** The mm11 kernel (separated for direct spec coverage): decimate by
+    * integer factor `d` with a box (moving-average) anti-alias
+    * prefilter — out[j] = floor(mean(smp[j·d .. j·d+d−1])). Trailing
+    * partial windows are dropped (an output sample must average a full
+    * window). The sum of d 16-bit samples is exact in a double, and
+    * floor of an exact-operand IEEE division is engine-independent, so
+    * the output is exact integers. */
+  def decimate(smp: Array[Short], d: Int): Array[Long] =
+    smp.grouped(d).filter(_.length == d)
+      .map(g => math.floor(g.iterator.map(_.toInt).sum / d.toDouble).toLong)
+      .toArray
+
+  /** mm11: AUDIO DOWNSAMPLING — the audio twin of mm10's image box
+    * downsample and the rate-normalization step every speech pipeline
+    * runs before feature extraction (48 kHz field recordings → the
+    * model's 16 kHz, here 16 kHz → 8 kHz at d=2). Same file-source →
+    * parseWav batch-decode contract as mm4/mm9; per-clip loop is
+    * executor-side imperative code on a decoded clip (the documented
+    * codec exception to expressions-first). 100 TB shape: pure flatMap
+    * over the binaryFile scan — rows out = clips × out-samples, no
+    * shuffle before the gate's orderBy. */
+  def mm11AudioResample(s: SparkSession, dir: String, d: Int = 2): DataFrame = {
+    import s.implicits._
+    mediaFiles(s, dir, "wav")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseWav(bytes).iterator.flatMap { case (rate, smp) =>
+          decimate(smp, d).iterator.zipWithIndex.map { case (v, j) =>
+            ResampledAudio(id, rate, rate / d, j, v)
+          }
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("sample_idx"))
+  }
+
   /** Build a VALID 24-bit uncompressed BMP: BITMAPFILEHEADER +
     * 40-byte BITMAPINFOHEADER + BGR pixel rows stored BOTTOM-UP with
     * 4-byte row stride padding (both real BMP quirks). Pixel (x,y) of
@@ -807,7 +847,9 @@ object Multimodal {
     "mm9_audio_frames" -> ((s: SparkSession, dir: String) =>
       mm9AudioFrames(s, dir)),
     "mm10_box_downsample" -> ((s: SparkSession, dir: String) =>
-      mm10BoxDownsample(s, dir))
+      mm10BoxDownsample(s, dir)),
+    "mm11_audio_resample" -> ((s: SparkSession, dir: String) =>
+      mm11AudioResample(s, dir))
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -960,6 +1002,25 @@ object Multimodal {
              x -> CAST(x AS DOUBLE) * x)) AS DOUBLE) / len(s)) * 10000) AS BIGINT)
              AS rms_e4
          FROM smp ORDER BY doc_id""",
+    // mm11: recompute the WAV samples from the md5 bytes (the mm4
+    // derivation), then box-decimate by 2 — sums of two 16-bit samples
+    // are exact, and floor((s0+s1)/2.0) is engine-independent on exact
+    // operands. 8 in-samples -> 4 out rows per doc at 8 kHz.
+    "mm11_audio_resample" ->
+      """WITH bytes AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(text), 2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents),
+         smp AS (
+           SELECT doc_id,
+             [b[2*i - 1] * 256 + b[2*i] - 32768 FOR i IN range(1, 9)] AS s
+           FROM bytes)
+         SELECT doc_id, 16000 AS in_rate, 8000 AS out_rate,
+           (j - 1) AS sample_idx,
+           CAST(floor((s[2*j - 1] + s[2*j]) / 2.0) AS BIGINT) AS value
+         FROM smp, unnest(range(1, 5)) AS t(j)
+         ORDER BY doc_id, sample_idx""",
     // A correct BMP round-trip recovers the md5 bytes in image order
     // (grayscale B=G=R → lum = byte), so the oracle recomputes every
     // feature from the raw bytes; `moment` is order-sensitive and

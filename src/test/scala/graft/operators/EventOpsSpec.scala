@@ -95,6 +95,36 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("se3 CSV schema-on-read: corrupt-line accounting matches a " +
+       "driver-side recompute and PERMISSIVE parsing nulls bad fields") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, rs) =>
+      val ok = rs.filter(_._2 % 13 != 0).map(_._2)
+      t -> ((ok.length.toLong, (rs.length - ok.length).toLong,
+        ok.map(_ % 7).sum, ok.map(_ % 100).sum))
+    }
+    val got = EventOps.se3CsvParse(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum > 0L, "vacuous: no corrupt lines")
+    // engine-behavior pin: a malformed BIGINT field parses to null
+    // (PERMISSIVE), never an exception or a coerced value
+    import spark.implicits._
+    val p = Seq("x5,oops", "1,click,2").toDF("line")
+      .select(from_csv(col("line"),
+        org.apache.spark.sql.types.StructType
+          .fromDDL("a BIGINT, b STRING, c BIGINT"),
+        Map.empty[String, String]).as("p"))
+      .select(col("p.a"), col("p.b"), col("p.c"))
+      .collect()
+    assert(p(0).isNullAt(0) && p(0).getString(1) == "oops" && p(0).isNullAt(2))
+    assert(p(1).getLong(0) == 1L && p(1).getString(1) == "click" &&
+      p(1).getLong(2) == 2L)
+  }
+
   private def docsWords: Seq[(Long, Array[String])] =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()

@@ -78,4 +78,19 @@ class WavCodecSpec extends AnyFunSuite {
       Seq((0, 4, 3, 5), (1, 4, 2, 7), (2, 1, 0, 4)))
     assert(f2.map(_.energy) === Seq(25L + 9 + 4 + 1, 0L + 49 + 49 + 49, 16L))
   }
+
+  test("mm11 decimate: box means floor toward -inf, partial trailing " +
+       "window dropped, d=1 is identity") {
+    // (-3,-4) -> floor(-3.5) = -4 (NOT truncation toward zero = -3);
+    // (3,4) -> 3; trailing 9th sample dropped at d=2
+    val smp = Array[Short](3, 4, -3, -4, 0, 0, 32767, 32767, 9)
+    assert(Multimodal.decimate(smp, 2).toSeq === Seq(3L, -4L, 0L, 32767L))
+    assert(Multimodal.decimate(smp, 1).toSeq === smp.map(_.toLong).toSeq)
+    // d=4: two full windows; means floor
+    assert(Multimodal.decimate(smp, 4).toSeq ===
+      Seq(math.floor((3 + 4 - 3 - 4) / 4.0).toLong,
+        math.floor((0 + 0 + 32767 + 32767) / 4.0).toLong))
+    // clip shorter than one window -> empty output
+    assert(Multimodal.decimate(Array[Short](1, 2), 4).isEmpty)
+  }
 }
