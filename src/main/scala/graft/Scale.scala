@@ -201,7 +201,14 @@ object Scale {
                     "ann17_knn_graph", "ta15_winnow_fingerprints",
                     // ann19 rides the memoized PQ codebook/codes frames;
                     // the error join is code-keyed vs a 128-row broadcast
-                    "ann19_pq_distortion"))
+                    "ann19_pq_distortion",
+                    // round-11 wave 4: readability (pure per-row regex
+                    // map — must be scan-linear) and soft-dedup weights
+                    // (dd5 pairs + CC + one broadcast left join)
+                    "ta17_readability", "dd23_softdedup_weights",
+                    // se3 CSV parse over the scaled events (per-row
+                    // from_csv + one key agg — scan-linear)
+                    "se3_csv_parse"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while
@@ -292,6 +299,57 @@ object Scale {
         }
         graft.operators.GraphOps.neighborhoodJaccard(
           pairs, minCommon = 1L, maxHubDeg = 64).count()
+      }
+      // round-11 wave 4: triangle counts + local clustering coefficient
+      // over the SAME dd5 near-dup pair graph as gr9 (sparse similarity
+      // graph — the target regime; orientation caps wedges at O(m^1.5))
+      run("gr11_clustering", 2) {
+        val pairs = graft.spark.DfCache.memo(spark,
+          s"scale#gr9pairs#$dataDir") {
+          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+        }
+        graft.operators.GraphOps.triangleCounts(pairs)
+          .select(col("id"), col("degree"), col("tri_cnt"),
+            when(col("degree") >= 2, (lit(2.0) * col("tri_cnt")) /
+              (col("degree") * (col("degree") - 1)))
+              .otherwise(lit(0.0)).as("lcc"))
+          .count()
+      }
+      // modularity over the same pair graph: 3 LP rounds + two label
+      // joins + community aggregation (the LP cost dominates; gr7's
+      // interaction-graph row isolates LP itself)
+      run("gr12_modularity", 2) {
+        val pairs = graft.spark.DfCache.memo(spark,
+          s"scale#gr9pairs#$dataDir") {
+          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+            .select(col("id_a").as("a"), col("id_b").as("b"))
+        }
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        val lbl = graft.operators.GraphOps.labelPropagation(edges, rounds = 3)
+        val mf = pairs.agg(count(lit(1)).as("m"))
+        val deg = pairs.select(col("a").as("id"))
+          .unionByName(pairs.select(col("b").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        val dsum = deg.join(lbl, "id")
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+        val intra = pairs
+          .join(lbl.select(col("id").as("a"), col("lbl").as("ca")), "a")
+          .join(lbl.select(col("id").as("b"), col("lbl").as("cb")), "b")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("community"))
+          .agg(count(lit(1)).as("intra_edges"))
+        dsum.join(intra, Seq("community"), "left").crossJoin(broadcast(mf))
+          .count()
+      }
+      // round-11 wave 4: decimation over in-flight WAV bytes (synth +
+      // decode + box mean are constant per clip — doc-linear, the mm9
+      // exclusion argument for the gate's file lake applies unchanged)
+      run("mm11_audio_resample", 2) {
+        graft.operators.Multimodal.inlineAudioResample(spark,
+          Tables.documents(spark, dataDir)).toDF().count()
       }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)

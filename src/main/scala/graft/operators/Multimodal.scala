@@ -835,6 +835,23 @@ object Multimodal {
       })
   }
 
+  /** In-flight WAV synth → decode → decimate chain (the mm11 compute
+    * path without the gate's one-file-per-clip lake — the Scale twin,
+    * same exclusion argument as [[inlineImageHashes]]). */
+  def inlineAudioResample(s: SparkSession, docs: DataFrame,
+                          d: Int = 2): Dataset[ResampledAudio] = {
+    import s.implicits._
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        parseWav(wavBytes(raw)).iterator.flatMap { case (rate, smp) =>
+          decimate(smp, d).iterator.zipWithIndex.map { case (v, j) =>
+            ResampledAudio(id, rate, rate / d, j, v)
+          }
+        }
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
