@@ -208,7 +208,11 @@ object Scale {
                     "ta17_readability", "dd23_softdedup_weights",
                     // se3 CSV parse over the scaled events (per-row
                     // from_csv + one key agg — scan-linear)
-                    "se3_csv_parse"))
+                    "se3_csv_parse",
+                    // ta18 rides dd19's memoized span frame (one
+                    // span-keyed min + doc rollup on top); q23 is one
+                    // key-hashed full-outer shuffle over scaled events
+                    "ta18_span_novelty", "q23_snapshot_diff"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while

@@ -211,6 +211,39 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_k"))
   }
 
+  /** q23: SNAPSHOT DIFF — the incremental-ingestion audit: full-outer
+    * join two snapshots of the event stream on the unique event_id and
+    * classify every key as added / removed / changed / unchanged, then
+    * count per (type, class). This is the table a 100 TB pipeline
+    * reviews before promoting a new snapshot: unexplained removed or
+    * changed volume is the first corruption signal. Snapshots are
+    * synthesized deterministically from one table (old drops %11 keys,
+    * new drops %7 keys and bumps %5 values by exactly 1.0 — far above
+    * any representation noise), so the oracle can classify per-row
+    * with pure modular arithmetic while the OPERATOR pays the real
+    * symmetric-diff cost: one key-hashed full-outer shuffle, counts
+    * reduced map-side. */
+  def q23SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val old = ev.filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"), col("event_type").as("t_old"),
+        col("value").as("v_old"))
+    val nw = ev.filter(col("event_id") % 7 =!= 0)
+      .select(col("event_id"), col("event_type").as("t_new"),
+        (col("value") + when(col("event_id") % 5 === 0, lit(1.0))
+          .otherwise(lit(0.0))).as("v_new"))
+    old.join(nw, Seq("event_id"), "full_outer")
+      .select(coalesce(col("t_new"), col("t_old")).as("event_type"),
+        when(col("t_old").isNull, lit("added"))
+          .when(col("t_new").isNull, lit("removed"))
+          .when(col("v_new") =!= col("v_old"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .groupBy(col("event_type"), col("change"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("change"))
+  }
+
   /** q16: trailing-window rate anomaly detection — hourly event counts
     * whose z-score against the PRECEDING 24 hours (per type) exceeds
     * |2|, with at least 12 trailing samples. The streaming-adjacent
@@ -585,10 +618,27 @@ object Analytics {
     "q11_high_value_customers" -> (q11HighValueCustomers _),
     "q12_nation_setops"   -> (q12NationSetOps _),
     "q13_status_priority_cube" -> (q13StatusPriorityCube _),
-    "q14_sessionize"      -> (q14Sessionize _)
+    "q14_sessionize"      -> (q14Sessionize _),
+    "q23_snapshot_diff"   -> (q23SnapshotDiff _)
   )
 
   val oracles: Map[String, String] = Map(
+    // q23: both snapshots derive from one table, so the per-key class
+    // is pure modular arithmetic — keys in neither snapshot (%77) are
+    // absent, %5 value bumps are exactly 1.0 above representation
+    // noise so changed-vs-unchanged is decidable without tolerance
+    "q23_snapshot_diff" ->
+      """WITH cls AS (
+           SELECT event_type,
+             CASE WHEN event_id % 11 = 0 AND event_id % 7 = 0 THEN NULL
+                  WHEN event_id % 11 = 0 THEN 'added'
+                  WHEN event_id % 7 = 0 THEN 'removed'
+                  WHEN event_id % 5 = 0 THEN 'changed'
+                  ELSE 'unchanged' END AS change
+           FROM events)
+         SELECT event_type, change, count(*) AS n
+         FROM cls WHERE change IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q17_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
          TRUE AS within_bounds

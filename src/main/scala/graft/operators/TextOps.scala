@@ -1207,6 +1207,38 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ta18: SPAN NOVELTY scoring — per document, the fraction of its
+    * token-8-gram spans whose FIRST owner (minimum doc_id over every
+    * document containing the span verbatim) is the document itself:
+    * the "how much new content does this doc contribute" read of the
+    * dd19 span table, used to rank ingestion batches by marginal value
+    * and to drop trailing near-copies that document-level dedup keeps.
+    * Shares dd19's memoized span frame; the owner table is one
+    * span-keyed min; novelty = n_novel/n_spans is an int/int IEEE
+    * division — hash-exact, no rounding. Scale shape: everything
+    * span-keyed or doc-keyed after the one explode, never all-pairs. */
+  def ta18SpanNovelty(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    val spans = graft.spark.DfCache.memo(s, s"$dir#dd19spans#$n") {
+      documents(s, dir)
+        .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("span"))
+    }
+    val owner = spans.groupBy(col("span"))
+      .agg(min(col("doc_id")).as("first_owner"))
+    spans.join(owner, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("first_owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_spans"), col("n_novel"),
+        (col("n_novel") / col("n_spans")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dd20: DIRECTED containment near-dup detection — "document A's
     * shingles are (mostly) inside document B's", the asymmetric
     * relation Jaccard dedup (dd3/dd5) misses by construction: a short
@@ -1705,6 +1737,8 @@ object TextOps {
     "cp11_decontaminated_split" -> (cp11DecontaminatedSplit _),
     "ta16_lexical_richness" -> (ta16LexicalRichness _),
     "ta17_readability" -> (ta17Readability _),
+    "ta18_span_novelty" -> ((s: SparkSession, dir: String) =>
+      ta18SpanNovelty(s, dir)),
     "dd23_softdedup_weights" -> (dd23SoftDedupWeights _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
@@ -2130,6 +2164,25 @@ object TextOps {
          FROM sh2 JOIN sz ON sz.doc_id = id_a
          WHERE CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.8
          ORDER BY id_a, id_b""",
+    // ta18: dd19's span CTE verbatim + a span-keyed min; novelty is
+    // one exact-integer IEEE division
+    "ta18_span_novelty" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         spans AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+             i -> array_to_string(w[i:i+7], ' '))) AS span
+           FROM words WHERE len(w) >= 8),
+         owner AS (SELECT span, min(doc_id) AS first_owner FROM spans GROUP BY span),
+         agg AS (
+           SELECT s.doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN o.first_owner = s.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+           FROM spans s JOIN owner o ON o.span = s.span
+           GROUP BY s.doc_id)
+         SELECT doc_id, n_spans, n_novel, n_novel / n_spans AS novelty
+         FROM agg ORDER BY doc_id""",
     "dd19_span_dedup" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w

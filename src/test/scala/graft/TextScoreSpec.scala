@@ -310,6 +310,45 @@ class TextScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ta18 span novelty: hand-computed on a micro corpus — first " +
+       "owner wins, copies score the copied fraction") {
+    // doc 1: 9 tokens -> 2 spans, all first-owned -> novelty 1.0
+    // doc 2: copies doc 1's first 8 tokens (1 span, owned by doc 1)
+    //        + fresh tail -> 3 spans, 2 novel
+    val d1 = "a b c d e f g h i"
+    val d2 = "a b c d e f g h x y"
+    val dir = microCorpus(Seq(1L -> d1, 2L -> d2))
+    val got = graft.operators.TextOps.ta18SpanNovelty(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((3L, 2L, 2.0 / 3)))
+  }
+
+  test("ta18 at sf0.001: novelty matches a driver-side recompute; the " +
+       "lowest doc_id with spans is fully novel") {
+    val dir = "/root/testdata/sf0.001"
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val w = r.getString(1).trim.toLowerCase.split("\\s+")
+        if (w.length < 8) Seq.empty
+        else w.sliding(8).map(g => r.getLong(0) -> g.mkString(" ")).toSeq
+      }
+    val owner = spans.groupBy(_._2).map { case (sp, o) => sp -> o.map(_._1).min }
+    val expect = spans.groupBy(_._1).map { case (id, ss) =>
+      val novel = ss.count(s => owner(s._2) == id).toLong
+      id -> ((ss.length.toLong, novel, novel.toDouble / ss.length))
+    }
+    val got = graft.operators.TextOps.ta18SpanNovelty(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+    assert(got(got.keySet.min)._3 === 1.0)
+  }
+
   test("dd23 soft-dedup weights: every doc present, cluster mass sums " +
        "to ~1 per cluster, singletons weigh exactly 1.0, sizes match dd9") {
     val dir = "/root/testdata/sf0.001"

@@ -125,6 +125,29 @@ class EventOpsSpec extends AnyFunSuite {
       p(1).getLong(2) == 2L)
   }
 
+  test("q23 snapshot diff: the full-outer-join classification equals " +
+       "the per-key modular arithmetic the snapshots were built from") {
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = ev.flatMap { case (id, t) =>
+      val cls =
+        if (id % 11 == 0 && id % 7 == 0) None
+        else if (id % 11 == 0) Some("added")
+        else if (id % 7 == 0) Some("removed")
+        else if (id % 5 == 0) Some("changed")
+        else Some("unchanged")
+      cls.map(c => (t, c))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.operators.Analytics.q23SnapshotDiff(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // non-vacuous: all four classes appear somewhere
+    assert(got.keySet.map(_._2) ===
+      Set("added", "removed", "changed", "unchanged"))
+  }
+
   private def docsWords: Seq[(Long, Array[String])] =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
