@@ -212,7 +212,10 @@ object Scale {
                     // ta18 rides dd19's memoized span frame (one
                     // span-keyed min + doc rollup on top); q23 is one
                     // key-hashed full-outer shuffle over scaled events
-                    "ta18_span_novelty", "q23_snapshot_diff"))
+                    "ta18_span_novelty", "q23_snapshot_diff",
+                    // cp12 is one source agg + 1-row broadcast; dd24
+                    // composes the memoized dd9/dd15 chain + one scan
+                    "cp12_mixture_weights", "dd24_dedup_impact"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while

@@ -1498,6 +1498,59 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** cp12: MIXTURE REWEIGHTING — per-source token shares and the
+    * repeat factor (epoch multiplier) that moves each source to the
+    * uniform target share: repeat = (T/k)/T_s, the static mixing
+    * arithmetic behind SlimPajama/DoReMi-style source re-balancing
+    * (a factor > 1 up-samples an under-represented source, < 1
+    * subsamples an over-represented one). All counts are exact
+    * integers; both ratios are fixed-order IEEE divisions of exact
+    * operands — hash-exact, no rounding. Plan: one source-keyed agg +
+    * a 1-row broadcast total; the corpus is scanned once. */
+  def cp12MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("t"), count(lit(1)).as("k"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("t")).as("actual_share"),
+        ((col("t") / col("k")) / col("n_tokens")).as("repeat_factor"))
+      .orderBy(col("source"))
+  }
+
+  /** dd24: DEDUP IMPACT report — the per-source audit a pipeline
+    * reviews before committing a keeper-only dedup policy: for each
+    * source, document/token totals, how many docs and tokens the
+    * dd15 keeper selection would drop (cluster members that are not
+    * the keeper), and the dropped-token share. Composes dd9's
+    * clustering and dd15's keeper selection verbatim; the share is
+    * one exact-integer IEEE division. Plan: the dropped set is
+    * |clustered docs|-sized (tiny) → broadcast left join onto the
+    * one corpus scan; one source-keyed agg. */
+  def dd24DedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val dropped = dd9NearDupClusters(s, dir).select(col("doc_id"))
+      .join(dd15ClusterKeeper(s, dir).select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .withColumn("is_dropped", lit(1L))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("is_dropped").isNotNull, 1L).otherwise(0L))
+          .as("docs_dropped"),
+        sum(when(col("is_dropped").isNotNull, col("tok")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("docs_dropped"), col("tokens_dropped"),
+        (col("tokens_dropped") / col("n_tokens")).as("drop_share"))
+      .orderBy(col("source"))
+  }
+
   /** cp11: DECONTAMINATED split materialization — turn the dd10
     * contamination verdicts into the split assignment a training run
     * actually consumes: every doc labeled eval (the held-out slice),
@@ -1740,6 +1793,8 @@ object TextOps {
     "ta18_span_novelty" -> ((s: SparkSession, dir: String) =>
       ta18SpanNovelty(s, dir)),
     "dd23_softdedup_weights" -> (dd23SoftDedupWeights _),
+    "dd24_dedup_impact" -> (dd24DedupImpact _),
+    "cp12_mixture_weights" -> (cp12MixtureWeights _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
@@ -1980,6 +2035,59 @@ object TextOps {
             1.0 / coalesce(cz.n, CAST(1 AS BIGINT)) AS weight
           FROM documents d LEFT JOIN cz ON cz.doc_id = d.doc_id
           ORDER BY d.doc_id""",
+    // cp12: one source agg + a 1-row total; both ratios fixed-order
+    // IEEE divisions of exact integers
+    "cp12_mixture_weights" ->
+      """WITH words AS (
+           SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         per AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS n_tokens
+           FROM words GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS k
+                 FROM per)
+         SELECT source, n_docs, n_tokens,
+           n_tokens / t AS actual_share,
+           (t / k) / n_tokens AS repeat_factor
+         FROM per, tot ORDER BY source""",
+    // dd24: dd15's keeper chain; dropped = clustered minus keepers;
+    // the share is one exact-integer IEEE division
+    "dd24_dedup_impact" ->
+      s"""WITH RECURSIVE $dd5PairCtes,
+          pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+          und AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+          verts AS (SELECT DISTINCT a AS id FROM und),
+          reach AS (
+            SELECT id, id AS r FROM verts
+            UNION
+            SELECT e.b AS id, reach.r FROM reach JOIN und e ON reach.id = e.a),
+          clusters AS (
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          deg AS (SELECT a AS doc_id, count(*) AS degree FROM und GROUP BY a),
+          ranked AS (
+            SELECT c.cluster_id, c.doc_id,
+              row_number() OVER (PARTITION BY c.cluster_id
+                ORDER BY d.degree DESC, c.doc_id ASC) AS rk
+            FROM clusters c JOIN deg d USING (doc_id)),
+          dropped AS (SELECT doc_id FROM ranked WHERE rk > 1),
+          wtok AS (
+            SELECT doc_id, source,
+              len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+            FROM documents),
+          agg AS (
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(tok) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_dropped,
+              CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN tok ELSE 0 END)
+                AS BIGINT) AS tokens_dropped
+            FROM wtok w LEFT JOIN dropped dr ON dr.doc_id = w.doc_id
+            GROUP BY source)
+          SELECT source, n_docs, n_tokens, docs_dropped, tokens_dropped,
+            tokens_dropped / n_tokens AS drop_share
+          FROM agg ORDER BY source""",
     // ta16: per-(doc, word) counts then one doc agg; both ratios are
     // one exact-integer IEEE division each
     "ta16_lexical_richness" ->

@@ -175,4 +175,50 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(got(in) === want, s"canonicalizeUrl($in)")
     }
   }
+
+  test("cp12 mixture weights: shares sum to 1, repeat factors invert " +
+       "the share ratio, and a uniform-share source gets factor ~1") {
+    val rows = graft.operators.TextOps.cp12MixtureWeights(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val k = rows.length
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    val t = rows.map(_._3).sum
+    rows.foreach { case (src, _, tok, share, rf) =>
+      assert(share === tok.toDouble / t, s"$src share")
+      // repeat factor is the uniform target over the actual share,
+      // computed in the operator's exact op order
+      assert(rf === (t.toDouble / k) / tok, s"$src repeat")
+      // weighted token mass after repeating: rf * tok == t/k for all
+      assert(math.abs(rf * tok - t.toDouble / k) < 1e-6, s"$src mass")
+    }
+  }
+
+  test("dd24 dedup impact: totals match the corpus, dropped = clustered " +
+       "minus keepers per source, share is the exact division") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").length.toLong))
+    val clustered = graft.operators.TextOps.dd9NearDupClusters(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val keepers = graft.operators.TextOps.dd15ClusterKeeper(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    val droppedIds = clustered -- keepers
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val dropped = ds.filter(d => droppedIds(d._1))
+      val nt = ds.map(_._3).sum
+      val td = dropped.map(_._3).sum
+      src -> ((ds.length.toLong, nt, dropped.length.toLong, td,
+        td.toDouble / nt))
+    }
+    val got = graft.operators.TextOps.dd24DedupImpact(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expect)
+    assert(got.values.map(_._3).sum > 0L, "vacuous: nothing dropped")
+  }
 }
