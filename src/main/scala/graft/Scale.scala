@@ -215,7 +215,10 @@ object Scale {
                     "ta18_span_novelty", "q23_snapshot_diff",
                     // cp12 is one source agg + 1-row broadcast; dd24
                     // composes the memoized dd9/dd15 chain + one scan
-                    "cp12_mixture_weights", "dd24_dedup_impact"))
+                    "cp12_mixture_weights", "dd24_dedup_impact",
+                    // dd25 rolls the dd5 pair list up by source pair;
+                    // q24 is two partial aggs + a state-sized re-agg
+                    "dd25_source_matrix", "q24_incremental_merge"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while

@@ -244,6 +244,37 @@ object Analytics {
       .orderBy(col("event_type"), col("change"))
   }
 
+  /** q24: INCREMENTAL MERGE identity — maintain a pre-aggregated state
+    * table and fold a delta batch into it, driver-verifying that
+    * merge(partialAgg(A), partialAgg(B)) == agg(A ∪ B): the algebraic
+    * contract every incremental / merge-on-read / compaction pipeline
+    * relies on (counts and sums are commutative monoids; the oracle is
+    * the plain one-shot aggregation over the full table). The state
+    * split is deterministic (event_id % 3); the merge is a re-agg of
+    * the two partial frames — exactly how a production job folds
+    * yesterday's state and today's delta. Sums of doubles are rounded
+    * to 2 dp at the END only (the q6 contract — partial order inside
+    * Spark is already arbitrary, so the two-stage fold adds no new
+    * nondeterminism class). Plan: two key-grouped partial aggs + one
+    * same-key re-agg — the state is (type, hour)-sized, never
+    * event-sized, and on a cluster the re-agg co-partitions with the
+    * state's existing hash layout. */
+  def q24IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"), col("value"))
+    def partial(f: DataFrame): DataFrame =
+      f.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val state = partial(ev.filter(col("event_id") % 3 =!= 0))
+    val delta = partial(ev.filter(col("event_id") % 3 === 0))
+    state.unionByName(delta)
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("v")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** q16: trailing-window rate anomaly detection — hourly event counts
     * whose z-score against the PRECEDING 24 hours (per type) exceeds
     * |2|, with at least 12 trailing samples. The streaming-adjacent
@@ -619,10 +650,18 @@ object Analytics {
     "q12_nation_setops"   -> (q12NationSetOps _),
     "q13_status_priority_cube" -> (q13StatusPriorityCube _),
     "q14_sessionize"      -> (q14Sessionize _),
-    "q23_snapshot_diff"   -> (q23SnapshotDiff _)
+    "q23_snapshot_diff"   -> (q23SnapshotDiff _),
+    "q24_incremental_merge" -> (q24IncrementalMerge _)
   )
 
   val oracles: Map[String, String] = Map(
+    // q24: the oracle IS the identity being verified — the plain
+    // one-shot aggregation; a broken merge (double counting, dropped
+    // state keys) hash-fails against it
+    "q24_incremental_merge" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // q23: both snapshots derive from one table, so the per-key class
     // is pure modular arithmetic — keys in neither snapshot (%77) are
     // absent, %5 value bumps are exactly 1.0 above representation

@@ -1498,6 +1498,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** dd25: CROSS-SOURCE DUPLICATION MATRIX — dd5's verified near-dup
+    * pairs rolled up by the (unordered) source pair: the audit that
+    * tells a curation team WHERE duplication comes from (mirror sites
+    * duplicating each other, a crawl re-ingesting a curated dump)
+    * rather than just how much of it there is. Within-source cells sit
+    * on the diagonal (source_a = source_b). Pure composition of the
+    * proven dd5 chain + two doc-keyed source lookups; counts are exact
+    * integers. Scale shape: the pair list is the small side — two
+    * broadcast-friendly joins and one low-NDV agg. */
+  def dd25SourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dd5LshPairs(s, dir).select(col("id_a"), col("id_b"))
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** cp12: MIXTURE REWEIGHTING — per-source token shares and the
     * repeat factor (epoch multiplier) that moves each source to the
     * uniform target share: repeat = (T/k)/T_s, the static mixing
@@ -1794,6 +1816,7 @@ object TextOps {
       ta18SpanNovelty(s, dir)),
     "dd23_softdedup_weights" -> (dd23SoftDedupWeights _),
     "dd24_dedup_impact" -> (dd24DedupImpact _),
+    "dd25_source_matrix" -> (dd25SourceMatrix _),
     "cp12_mixture_weights" -> (cp12MixtureWeights _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
@@ -2035,6 +2058,18 @@ object TextOps {
             1.0 / coalesce(cz.n, CAST(1 AS BIGINT)) AS weight
           FROM documents d LEFT JOIN cz ON cz.doc_id = d.doc_id
           ORDER BY d.doc_id""",
+    // dd25: dd5's pair chain + two source lookups; least/greatest on
+    // ASCII source labels is binary-collation-identical in both engines
+    "dd25_source_matrix" ->
+      s"""WITH $dd5PairCtes,
+          pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+          lab AS (
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b
+            FROM pairs p JOIN documents da ON da.doc_id = p.id_a
+                         JOIN documents db ON db.doc_id = p.id_b)
+          SELECT source_a, source_b, count(*) AS n_pairs
+          FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
     // cp12: one source agg + a 1-row total; both ratios fixed-order
     // IEEE divisions of exact integers
     "cp12_mixture_weights" ->

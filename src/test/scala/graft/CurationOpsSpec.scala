@@ -196,6 +196,27 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd25 source matrix: cells match a driver-side rollup of the " +
+       "dd5 pairs by unordered source pair; totals conserve") {
+    val srcs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = graft.operators.TextOps.dd5LshPairs(spark, dir)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.operators.TextOps.dd25SourceMatrix(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // every verified pair lands in exactly one cell
+    assert(got.values.sum === pairs.length.toLong)
+    assert(got.nonEmpty)
+  }
+
   test("dd24 dedup impact: totals match the corpus, dropped = clustered " +
        "minus keepers per source, share is the exact division") {
     val docs = Tables.documents(spark, dir)

@@ -148,6 +148,33 @@ class EventOpsSpec extends AnyFunSuite {
       Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("q24 incremental merge: folding partial states equals the " +
+       "one-shot aggregation bit-for-bit (the monoid identity)") {
+    import org.apache.spark.sql.functions.{date_trunc, round => sround}
+    val oneShot = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sround(sum(col("value")), 2).as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val merged = graft.operators.Analytics.q24IncrementalMerge(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(merged.keySet === oneShot.keySet)
+    merged.foreach { case (k, (n, v)) =>
+      assert(n === oneShot(k)._1, s"$k count")
+      // the two-stage fold reorders the double sum; the 2-dp contract
+      // absorbs it (same contract the q6/st3 gates rely on)
+      assert(math.abs(v - oneShot(k)._2) <= 0.011, s"$k sum")
+    }
+    // the state/delta split actually partitions the table (non-vacuous)
+    val ids = graft.Tables.events(spark, dir)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    assert(ids.exists(_ % 3 == 0) && ids.exists(_ % 3 != 0))
+  }
+
   private def docsWords: Seq[(Long, Array[String])] =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
