@@ -361,6 +361,13 @@ object Scale {
         graft.operators.Multimodal.inlineAudioResample(spark,
           Tables.documents(spark, dataDir)).toDF().count()
       }
+      // round-11 wave 5: full transcode chain over in-flight bytes
+      // (BMP decode + PNG deflate encode + PNG inflate decode per doc —
+      // constant per clip, so the curve should be doc-linear)
+      run("mm12_transcode", 2) {
+        graft.operators.Multimodal.inlineTranscode(spark,
+          Tables.documents(spark, dataDir)).toDF().count()
+      }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)
       run("sp19_overlay_area", 2) {

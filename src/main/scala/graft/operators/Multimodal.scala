@@ -658,6 +658,32 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** mm12: TRANSCODE round trip — the format-migration job a media
+    * lake actually runs (decode the legacy format, re-encode the
+    * target, verify): BMP files stream through `binaryFile`, decode
+    * ([[parseBmp]]), re-encode as PNG ([[pngBytes]] — DEFLATE + the
+    * per-row filter cycle, so EVERY encoder filter path is on this
+    * hash-gated path, not just spec-covered), decode again
+    * ([[parsePng]]), and emit the final pixels. A correct round trip
+    * is lossless, so the mm5 oracle gates it verbatim; any defect in
+    * either codec direction moves a pixel off the md5 byte. Pure
+    * per-file flatMap — no shuffle before the gate's orderBy. */
+  def mm12Transcode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFiles(s, dir, "bmp")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseBmp(bytes).toSeq.flatMap { case (w, h, lum) =>
+          parsePng(pngBytes(lum.map(_.toByte), w, h)).toSeq.flatMap {
+            case (w2, h2, lum2) =>
+              lum2.indices.map(i => DecodedPixel(id, w2, h2, i, lum2(i)))
+          }
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("px_index"))
+  }
+
   /** 8× block upscale: payload byte (y, x) of the bw×bh grid becomes a
     * FLAT 8×8 pixel block of the (8bw)×(8bh) image — the construction
     * that makes baseline JPEG exact: a flat block's DCT is DC-only,
@@ -852,6 +878,23 @@ object Multimodal {
       })
   }
 
+  /** In-flight BMP synth → decode → PNG encode → decode chain (the
+    * mm12 compute path without the file lake — the Scale twin, same
+    * exclusion argument as [[inlineImageHashes]]). */
+  def inlineTranscode(s: SparkSession, docs: DataFrame): Dataset[DecodedPixel] = {
+    import s.implicits._
+    docs.select(col("doc_id"), unhex(md5(col("text"))).as("raw"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        parseBmp(bmpBytes(raw)).iterator.flatMap { case (w, h, lum) =>
+          parsePng(pngBytes(lum.map(_.toByte), w, h)).iterator.flatMap {
+            case (w2, h2, lum2) =>
+              lum2.indices.map(i => DecodedPixel(id, w2, h2, i, lum2(i)))
+          }
+        }
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -866,7 +909,8 @@ object Multimodal {
     "mm10_box_downsample" -> ((s: SparkSession, dir: String) =>
       mm10BoxDownsample(s, dir)),
     "mm11_audio_resample" -> ((s: SparkSession, dir: String) =>
-      mm11AudioResample(s, dir))
+      mm11AudioResample(s, dir)),
+    "mm12_transcode_roundtrip" -> (mm12Transcode _)
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -909,6 +953,9 @@ object Multimodal {
            list_max(list_transform(fs, x -> abs(x))) AS peak
          FROM fr ORDER BY doc_id, frame_idx""",
     "mm6_png_decode" -> mm5OracleSql,
+    // mm12: lossless round trip ⇒ the same truth again — BMP decode →
+    // PNG encode → PNG decode must still recover the md5 bytes
+    "mm12_transcode_roundtrip" -> mm5OracleSql,
     // mm10: floor block means of the md5-byte image, 1-based list
     // positions of the 2x2 block at output (i, j): 8i+2j+{1,2,5,6}
     "mm10_box_downsample" ->

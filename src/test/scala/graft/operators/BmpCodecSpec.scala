@@ -99,4 +99,21 @@ class BmpCodecSpec extends AnyFunSuite {
       Multimodal.dHashBits(10, 8, Array.fill(80)(0))
     }
   }
+
+  test("mm12 transcode kernel: BMP -> PNG -> pixels is lossless on " +
+       "random images, including sizes far beyond one deflate call") {
+    val rnd = new scala.util.Random(11)
+    // (w, h) cases: the gate's 4x4, odd strides, and a 64x48 image
+    // whose compressed stream exceeds the old single-deflate buffer
+    // assumption (the r10 advisory's drain-loop fix stays covered)
+    for ((w, h) <- Seq((4, 4), (5, 3), (7, 9), (64, 48))) {
+      val p = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val viaBmp = Multimodal.parseBmp(Multimodal.bmpBytes(p, w, h)).get
+      assert(viaBmp._1 == w && viaBmp._2 == h)
+      val png = Multimodal.pngBytes(viaBmp._3.map(_.toByte), w, h)
+      val (w2, h2, lum2) = Multimodal.parsePng(png).get
+      assert(w2 == w && h2 == h, s"$w x $h dims")
+      assert(lum2.toSeq == p.map(_ & 0xFF).toSeq, s"$w x $h pixels")
+    }
+  }
 }
