@@ -319,12 +319,9 @@ object Scale {
           graft.operators.TextOps.dd5LshPairs(spark, dataDir)
             .select(col("id_a").as("a"), col("id_b").as("b"))
         }
-        graft.operators.GraphOps.triangleCounts(pairs)
-          .select(col("id"), col("degree"), col("tri_cnt"),
-            when(col("degree") >= 2, (lit(2.0) * col("tri_cnt")) /
-              (col("degree") * (col("degree") - 1)))
-              .otherwise(lit(0.0)).as("lcc"))
-          .count()
+        // the GATE's own plan (shared helper), different corpus — a
+        // change to the gated operator is what this row measures
+        graft.operators.GraphOps.clusteringCoeff(pairs).count()
       }
       // modularity over the same pair graph: 3 LP rounds + two label
       // joins + community aggregation (the LP cost dominates; gr7's
@@ -337,21 +334,8 @@ object Scale {
         }
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-        val lbl = graft.operators.GraphOps.labelPropagation(edges, rounds = 3)
-        val mf = pairs.agg(count(lit(1)).as("m"))
-        val deg = pairs.select(col("a").as("id"))
-          .unionByName(pairs.select(col("b").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("d"))
-        val dsum = deg.join(lbl, "id")
-          .groupBy(col("lbl").as("community"))
-          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
-        val intra = pairs
-          .join(lbl.select(col("id").as("a"), col("lbl").as("ca")), "a")
-          .join(lbl.select(col("id").as("b"), col("lbl").as("cb")), "b")
-          .filter(col("ca") === col("cb"))
-          .groupBy(col("ca").as("community"))
-          .agg(count(lit(1)).as("intra_edges"))
-        dsum.join(intra, Seq("community"), "left").crossJoin(broadcast(mf))
+        graft.operators.GraphOps.modularity(pairs,
+          graft.operators.GraphOps.labelPropagation(edges, rounds = 3))
           .count()
       }
       // round-11 wave 4: decimation over in-flight WAV bytes (synth +

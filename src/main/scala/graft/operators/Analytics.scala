@@ -252,26 +252,31 @@ object Analytics {
     * the plain one-shot aggregation over the full table). The state
     * split is deterministic (event_id % 3); the merge is a re-agg of
     * the two partial frames — exactly how a production job folds
-    * yesterday's state and today's delta. Sums of doubles are rounded
-    * to 2 dp at the END only (the q6 contract — partial order inside
-    * Spark is already arbitrary, so the two-stage fold adds no new
-    * nondeterminism class). Plan: two key-grouped partial aggs + one
-    * same-key re-agg — the state is (type, hour)-sized, never
+    * yesterday's state and today's delta. The value payload is
+    * CENT-QUANTIZED per row (round(value·100) as BIGINT — the ann19
+    * integer-ization recipe), so every sum is exact integer arithmetic
+    * and the merge identity holds EXACTLY, not just to rounding: a
+    * float sum is only approximately associative, an integer sum is a
+    * true monoid, which is why real incremental pipelines store money
+    * and counters in integers. Plan: two key-grouped partial aggs +
+    * one same-key re-agg — the state is (type, hour)-sized, never
     * event-sized, and on a cluster the re-agg co-partitions with the
     * state's existing hash layout. */
   def q24IncrementalMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
       .select(col("event_id"), col("event_type"),
-        date_trunc("hour", col("ts")).as("hour"), col("value"))
+        date_trunc("hour", col("ts")).as("hour"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
     def partial(f: DataFrame): DataFrame =
       f.groupBy(col("event_type"), col("hour"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
     val state = partial(ev.filter(col("event_id") % 3 =!= 0))
     val delta = partial(ev.filter(col("event_id") % 3 === 0))
     state.unionByName(delta)
       .groupBy(col("event_type"), col("hour"))
-      .agg(sum(col("n")).as("n_events"),
-        round(sum(col("v")), 2).as("sum_value"))
+      .agg(sum(col("n")).as("n_events"), sum(col("c")).as("sum_cents"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("sum_cents"), (col("sum_cents") / lit(100.0)).as("sum_value"))
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -656,11 +661,17 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     // q24: the oracle IS the identity being verified — the plain
-    // one-shot aggregation; a broken merge (double counting, dropped
-    // state keys) hash-fails against it
+    // one-shot aggregation over the same cent-quantized payload; a
+    // broken merge (double counting, dropped state keys) hash-fails
+    // against it. Integer sums are exactly associative, so the
+    // two-stage fold cannot diverge from the one-shot by even an ulp.
     "q24_incremental_merge" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // q23: both snapshots derive from one table, so the per-key class
     // is pure modular arithmetic — keys in neither snapshot (%77) are

@@ -420,16 +420,22 @@ object GraphOps {
     * 2.0·tri, denominator deg·(deg−1) — both exact), so it is
     * bit-identical across engines with no rounding. Scale shape is
     * gr4's: orientation caps wedge volume at O(m^1.5). */
+  /** The LCC projection over any canonical (a < b) pair frame — shared
+    * by the gr11 gate and the Scale row (one plan, two corpora). */
+  def clusteringCoeff(pairs: DataFrame): DataFrame =
+    triangleCounts(pairs)
+      .select(col("id"), col("degree"), col("tri_cnt"),
+        when(col("degree") >= 2,
+          (lit(2.0) * col("tri_cnt")) / (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("lcc"))
+
   def gr11ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
       gr5CopurchasePairs(s, dir)
         .select(col("part_a").as("a"), col("part_b").as("b"))
     }
-    triangleCounts(pairs)
-      .select(col("id").as("part_id"), col("degree"), col("tri_cnt"),
-        when(col("degree") >= 2,
-          (lit(2.0) * col("tri_cnt")) / (col("degree") * (col("degree") - 1)))
-          .otherwise(lit(0.0)).as("lcc"))
+    clusteringCoeff(pairs)
+      .select(col("id").as("part_id"), col("degree"), col("tri_cnt"), col("lcc"))
       .orderBy(col("part_id"))
   }
 
@@ -449,12 +455,10 @@ object GraphOps {
     * 100 TB shape: two node-sized label joins onto the edge frame +
     * key-grouped aggregations; m arrives as a 1-row broadcast — no
     * all-pairs, no driver loop, LP labels shared (memoized) with gr7. */
-  def gr12Modularity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
-      gr5CopurchasePairs(s, dir)
-        .select(col("part_a").as("a"), col("part_b").as("b"))
-    }
-    val lbl = gr7Labels(s, dir)
+  /** Modularity decomposition over any canonical (a < b) pair frame
+    * and a label frame `(id, lbl)` — shared by the gr12 gate and the
+    * Scale row (one plan, two corpora). */
+  def modularity(pairs: DataFrame, lbl: DataFrame): DataFrame = {
     val mf = pairs.agg(count(lit(1)).as("m"))
     val deg = pairs.select(col("a").as("id"))
       .unionByName(pairs.select(col("b").as("id")))
@@ -476,7 +480,14 @@ object GraphOps {
         col("deg_sum"),
         ((coalesce(col("intra_edges"), lit(0L)) / col("m")) -
           halfDeg * halfDeg).as("q_contrib"))
-      .orderBy(col("community"))
+  }
+
+  def gr12Modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
+      gr5CopurchasePairs(s, dir)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+    }
+    modularity(pairs, gr7Labels(s, dir)).orderBy(col("community"))
   }
 
   /** k-core of a SYMMETRIC simple edge frame `(src, dst)`: iteratively

@@ -1481,11 +1481,9 @@ object TextOps {
     * Plan: cluster sizes are |clusters|-sized (tiny); the corpus-sized
     * side is one broadcast left join over the doc_id scan. */
   def dd23SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
-    val clusters = graft.spark.DfCache.memo(s, s"$dir#dd9clusters") {
-      Components.connectedComponents(
-        dd5LshPairs(s, dir).select(col("id_a").as("src"), col("id_b").as("dst")))
-        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
-    }
+    // the dd9 operator itself (memoized inside it) — never a re-inline
+    // of its body, so a clustering change cannot drift the twins apart
+    val clusters = dd9NearDupClusters(s, dir)
     val sized = clusters
       .join(clusters.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members")), "cluster_id")

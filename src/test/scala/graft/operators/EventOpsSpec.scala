@@ -149,25 +149,25 @@ class EventOpsSpec extends AnyFunSuite {
   }
 
   test("q24 incremental merge: folding partial states equals the " +
-       "one-shot aggregation bit-for-bit (the monoid identity)") {
+       "one-shot aggregation EXACTLY (integer sums are a true monoid)") {
     import org.apache.spark.sql.functions.{date_trunc, round => sround}
     val oneShot = graft.Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n_events"),
-        sround(sum(col("value")), 2).as("sum_value"))
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        sround(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1)) ->
-        ((r.getLong(2), r.getDouble(3)))).toMap
+        ((r.getLong(2), r.getLong(3)))).toMap
     val merged = graft.operators.Analytics.q24IncrementalMerge(spark, dir)
       .collect()
       .map(r => (r.getString(0), r.getTimestamp(1)) ->
-        ((r.getLong(2), r.getDouble(3)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(merged.keySet === oneShot.keySet)
-    merged.foreach { case (k, (n, v)) =>
+    merged.foreach { case (k, (n, c, v)) =>
       assert(n === oneShot(k)._1, s"$k count")
-      // the two-stage fold reorders the double sum; the 2-dp contract
-      // absorbs it (same contract the q6/st3 gates rely on)
-      assert(math.abs(v - oneShot(k)._2) <= 0.011, s"$k sum")
+      assert(c === oneShot(k)._2, s"$k cents — the merge identity is EXACT")
+      assert(v === c / 100.0, s"$k derived sum")
     }
     // the state/delta split actually partitions the table (non-vacuous)
     val ids = graft.Tables.events(spark, dir)
