@@ -218,7 +218,9 @@ object Scale {
                     "cp12_mixture_weights", "dd24_dedup_impact",
                     // dd25 rolls the dd5 pair list up by source pair;
                     // q24 is two partial aggs + a state-sized re-agg
-                    "dd25_source_matrix", "q24_incremental_merge"))
+                    "dd25_source_matrix", "q24_incremental_merge",
+                    // ta19 is ta3's per-row score + two low-NDV aggs
+                    "ta19_langid_confusion"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while

@@ -558,6 +558,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** ta19: LANGUAGE-ID CONFUSION MATRIX — ta3's marker-frequency
+    * classifier evaluated against the corpus's `lang` ground-truth
+    * column: per (actual, predicted) cell the document count and the
+    * within-actual share. Classifier quality as driver-verified data —
+    * the ta twin of pr11 (progressive recall/precision) and ann18
+    * (ANN recall@k): the table a pipeline reviews before trusting a
+    * cheap classifier to route 100 TB. The share is one exact-integer
+    * IEEE division. Plan: ta3's per-row score + one low-NDV agg; the
+    * totals join is cell-sized. */
+  def ta19LangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = documents(s, dir)
+      .select(col("doc_id"), col("lang").as("lang_actual"))
+      .join(ta3LangId(s, dir), "doc_id")
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang_actual")).agg(sum(col("n")).as("t"))
+    cells.join(broadcast(totals), "lang_actual")
+      .select(col("lang_actual"), col("lang_pred"), col("n"),
+        (col("n") / col("t")).as("share"))
+      .orderBy(col("lang_actual"), col("lang_pred"))
+  }
+
   /** ta4: BPE-ish token counting — words, digit runs, and individual
     * punctuation marks count as separate tokens (the cheap proxy for
     * subword tokenizer budgeting in data pipelines). Regex class
@@ -1810,6 +1832,7 @@ object TextOps {
     "cp11_decontaminated_split" -> (cp11DecontaminatedSplit _),
     "ta16_lexical_richness" -> (ta16LexicalRichness _),
     "ta17_readability" -> (ta17Readability _),
+    "ta19_langid_confusion" -> (ta19LangidConfusion _),
     "ta18_span_novelty" -> ((s: SparkSession, dir: String) =>
       ta18SpanNovelty(s, dir)),
     "dd23_softdedup_weights" -> (dd23SoftDedupWeights _),
@@ -2785,22 +2808,43 @@ object TextOps {
              / CAST(length(text) AS DOUBLE) AS alpha_ratio
          FROM base ORDER BY doc_id"""
     },
-    "ta3_langid" -> {
-      val scoreExprs = langMarkers.map { case (lang, ms) =>
-        val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
-        s"len(list_filter(w, x -> list_contains($lst, x))) AS s_$lang"
-      }.mkString(", ")
-      val bestExpr = langMarkers.map { case (l, _) => s"s_$l" }
-        .reduce((a, b) => s"greatest($a, $b)")
-      val caseExpr = langMarkers.map { case (l, _) =>
-        s"WHEN s_$l = best AND best > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
-      s"""WITH words AS (
+    "ta3_langid" ->
+      s"""WITH $langidPredCtes
+          SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""",
+    // ta19: ta3's prediction chain verbatim (shared CTE prefix — the
+    // twins cannot drift) + the ground-truth join and cell rollup;
+    // share is one exact-integer IEEE division
+    "ta19_langid_confusion" ->
+      s"""WITH $langidPredCtes,
+          cells AS (
+            SELECT d.lang AS lang_actual, p.lang_pred, count(*) AS n
+            FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+            GROUP BY 1, 2),
+          tot AS (SELECT lang_actual, CAST(sum(n) AS BIGINT) AS t
+                  FROM cells GROUP BY 1)
+          SELECT c.lang_actual, c.lang_pred, c.n, c.n / t.t AS share
+          FROM cells c JOIN tot t USING (lang_actual)
+          ORDER BY 1, 2"""
+  )
+
+  /** ta3's marker-frequency prediction as a shared CTE prefix ending
+    * at `pred (doc_id, lang_pred)` — the SQL twin of [[ta3LangId]],
+    * shared by the ta3 gate and the ta19 confusion matrix. */
+  private lazy val langidPredCtes: String = {
+    val scoreExprs = langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($lst, x))) AS s_$lang"
+    }.mkString(", ")
+    val bestExpr = langMarkers.map { case (l, _) => s"s_$l" }
+      .reduce((a, b) => s"greatest($a, $b)")
+    val caseExpr = langMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""words AS (
            SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
            FROM documents),
           scored AS (SELECT doc_id, $scoreExprs FROM words),
-          best AS (SELECT doc_id, *, $bestExpr AS best FROM scored)
-          SELECT doc_id, $caseExpr AS lang_pred FROM best ORDER BY doc_id"""
-    }
-  )
+          best AS (SELECT doc_id, *, $bestExpr AS best FROM scored),
+          pred AS (SELECT doc_id, $caseExpr AS lang_pred FROM best)"""
+  }
 }

@@ -349,6 +349,35 @@ class TextScoreSpec extends AnyFunSuite {
     assert(got(got.keySet.min)._3 === 1.0)
   }
 
+  test("ta19 langid confusion: cells match a driver-side crosstab of " +
+       "ta3 predictions vs ground truth; shares sum to 1 per actual") {
+    val dir = "/root/testdata/sf0.001"
+    val truth = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pred = graft.operators.TextOps.ta3LangId(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectCells = truth.keys.toSeq
+      .map(id => (truth(id), pred(id)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = graft.operators.TextOps.ta19LangidConfusion(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.map { case (k, v) => k -> v._1 } === expectCells)
+    // shares within each actual language sum to ~1 and each equals n/t
+    rows.groupBy(_._1._1).foreach { case (actual, cells) =>
+      val t = cells.values.map(_._1).sum
+      cells.foreach { case ((_, p), (n, share)) =>
+        assert(share === n.toDouble / t, s"$actual->$p share")
+      }
+      assert(math.abs(cells.values.map(_._2).sum - 1.0) < 1e-9,
+        s"$actual shares don't sum to 1")
+    }
+    // confusion is non-trivial: more than one predicted class appears
+    assert(rows.keySet.map(_._2).size > 1)
+  }
+
   test("dd23 soft-dedup weights: every doc present, cluster mass sums " +
        "to ~1 per cluster, singletons weigh exactly 1.0, sizes match dd9") {
     val dir = "/root/testdata/sf0.001"
