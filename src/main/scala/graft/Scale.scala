@@ -359,6 +359,17 @@ object Scale {
       run("sp19_overlay_area", 2) {
         SpatialJoin.overlayArea(partS, suppS).count()
       }
+      // sp20 tile-occupancy histogram over the scaled part corpus —
+      // the join's own explode + key agg, measured standalone (the
+      // scaled domain grows with n, so tiles multiply with area while
+      // per-tile work stays flat)
+      run("sp20_tile_density", 2) {
+        import graft.functions.GeomFunctions.tile_cover
+        partS.select(explode(tile_cover(col("minx"), col("miny"),
+            col("maxx"), col("maxy"), 10.0, 10.0)).as("tile"))
+          .groupBy(col("tile")).agg(count(lit(1)).as("n_geoms"))
+          .count()
+      }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
       // BOTH engines (pointer jumping and the alternating-star form)

@@ -456,7 +456,33 @@ object GeoQueries {
       "intersects")
       .orderBy(col("s_id"), col("t_id"))
 
+  /** sp20: θ-TILE DENSITY — the spatial exchange's replication
+    * primitive ([[graft.functions.TileCover]], the expression under
+    * every candidatePairs explode) driver-gated DIRECTLY: explode each
+    * part box's tile cover at a fixed θ=(10,10) and count geometries
+    * per tile — the occupancy histogram a partitioner reads to choose
+    * grids, and the first skew diagnostic run on a new corpus. The
+    * oracle re-derives the cover with an independent range-unnest per
+    * axis (integer floor-division — coordinates are non-negative
+    * integers, so floor(x/10.0) ≡ x//10), so a boundary error in
+    * either the expression's floor arithmetic or its codegen moves a
+    * count. Plan: one explode + one key agg — the exact shape of the
+    * join's own exchange. */
+  def sp20TileDensity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GeomFunctions.tile_cover
+    partBoxes(s, dir)
+      .select(explode(tile_cover(col("minx"), col("miny"),
+        col("maxx"), col("maxy"), 10.0, 10.0)).as("tile"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_geoms"))
+      .select(shiftright(col("tile"), 32).as("tx"),
+        col("tile").bitwiseAND(lit(0xFFFFFFFFL)).as("ty"),
+        col("n_geoms"))
+      .orderBy(col("tx"), col("ty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp20_tile_density"  -> (sp20TileDensity _),
     "sp14_zorder"        -> (sp14Zorder _),
     "sp15_knn_join"      -> (sp15KnnJoin _),
     "sp16_distance_join" -> (sp16DistanceJoin _),
@@ -500,6 +526,26 @@ object GeoQueries {
     s"($sqlStrictOverlap) AND NOT ($sqlContains) AND NOT ($sqlWithin)"
 
   private val oraclesBase: Map[String, String] = Map(
+    // sp20: independent per-axis range unnest over the re-derived part
+    // boxes; integer floor division ≡ the expression's floor(c/θ) on
+    // this non-negative integer corpus
+    "sp20_tile_density" ->
+      """WITH b AS (
+           SELECT p_partkey AS id,
+             (p_partkey * 13) % 980 AS xmin,
+             (p_partkey * 29) % 980 AS ymin,
+             (p_partkey * 13) % 980 + 1 + p_size % 19 AS xmax,
+             (p_partkey * 29) % 980 + 1 + p_partkey % 17 AS ymax
+           FROM part),
+         tx AS (
+           SELECT id, ymin, ymax,
+             unnest(range(xmin // 10, xmax // 10 + 1)) AS tx
+           FROM b),
+         txy AS (
+           SELECT id, tx, unnest(range(ymin // 10, ymax // 10 + 1)) AS ty
+           FROM tx)
+         SELECT tx, ty, count(*) AS n_geoms
+         FROM txy GROUP BY 1, 2 ORDER BY 1, 2""",
     "sp15_knn_join" ->
       """WITH src AS (
            SELECT c_custkey AS src_id,

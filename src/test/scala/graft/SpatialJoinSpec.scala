@@ -333,4 +333,25 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(!plan.output.map(_.name).contains("s_geom"))
     assert(!plan.toString.contains("s_geom"))
   }
+
+  test("sp20 tile density equals a driver-side floor-range recompute " +
+       "over the collected boxes (incl. the packed-id decode)") {
+    val dir = "/root/testdata/sf0.001"
+    val boxes = graft.operators.GeoQueries.partBoxes(spark, dir)
+      .select(col("minx"), col("miny"), col("maxx"), col("maxy"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val expect = boxes.flatMap { case (x0, y0, x1, y1) =>
+      for {
+        tx <- math.floor(x0 / 10).toLong to math.floor(x1 / 10).toLong
+        ty <- math.floor(y0 / 10).toLong to math.floor(y1 / 10).toLong
+      } yield (tx, ty)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.operators.GeoQueries.sp20TileDensity(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // total tile rows == sum of per-box cover sizes (no dedup, by design)
+    assert(got.values.sum === expect.values.sum)
+  }
 }
