@@ -670,8 +670,7 @@ object Analytics {
            count(*) AS n_events,
            CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
              AS sum_cents,
-           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-             / 100.0 AS sum_value
+           sum_cents / 100.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // q23: both snapshots derive from one table, so the per-key class
     // is pure modular arithmetic — keys in neither snapshot (%77) are

@@ -526,24 +526,19 @@ object GeoQueries {
     s"($sqlStrictOverlap) AND NOT ($sqlContains) AND NOT ($sqlWithin)"
 
   private val oraclesBase: Map[String, String] = Map(
-    // sp20: independent per-axis range unnest over the re-derived part
-    // boxes; integer floor division ≡ the expression's floor(c/θ) on
-    // this non-negative integer corpus
+    // sp20: independent per-axis range unnest over the SHARED box CTE
+    // (geomCtes.sb — one derivation, no twin-drift surface); integer
+    // floor division ≡ the expression's floor(c/θ) on this
+    // non-negative integer corpus
     "sp20_tile_density" ->
-      """WITH b AS (
-           SELECT p_partkey AS id,
-             (p_partkey * 13) % 980 AS xmin,
-             (p_partkey * 29) % 980 AS ymin,
-             (p_partkey * 13) % 980 + 1 + p_size % 19 AS xmax,
-             (p_partkey * 29) % 980 + 1 + p_partkey % 17 AS ymax
-           FROM part),
-         tx AS (
+      s"""$geomCtes,
+         tcx AS (
            SELECT id, ymin, ymax,
              unnest(range(xmin // 10, xmax // 10 + 1)) AS tx
-           FROM b),
+           FROM sb),
          txy AS (
            SELECT id, tx, unnest(range(ymin // 10, ymax // 10 + 1)) AS ty
-           FROM tx)
+           FROM tcx)
          SELECT tx, ty, count(*) AS n_geoms
          FROM txy GROUP BY 1, 2 ORDER BY 1, 2""",
     "sp15_knn_join" ->

@@ -406,13 +406,10 @@ object GraphOps {
       .select(col("id").as("part_id"), col("lbl").as("community"))
       .orderBy(col("part_id"))
 
-  /** gr11: per-node LOCAL CLUSTERING COEFFICIENT of the co-purchase
-    * graph — 2·triangles / (deg·(deg−1)), the standard "how clique-like
-    * is this node's neighborhood" read (0 for degree < 2). On a
-    * curation pipeline this is the structural-confidence score for
-    * gr5's similarity edges: a part whose co-purchase neighbors also
-    * co-purchase each other sits in a real basket community, one with
-    * lcc 0 is a hub artifact.
+  /** The LCC projection — 2·triangles / (deg·(deg−1)), the standard
+    * "how clique-like is this node's neighborhood" read (0 for
+    * degree < 2) — over any canonical (a < b) pair frame; shared by
+    * the gr11 gate and the Scale row (one plan, two corpora).
     *
     * Determinism: degree and triangle counts are exact integers
     * ([[triangleCounts]]'s oriented enumeration); the coefficient is a
@@ -420,8 +417,6 @@ object GraphOps {
     * 2.0·tri, denominator deg·(deg−1) — both exact), so it is
     * bit-identical across engines with no rounding. Scale shape is
     * gr4's: orientation caps wedge volume at O(m^1.5). */
-  /** The LCC projection over any canonical (a < b) pair frame — shared
-    * by the gr11 gate and the Scale row (one plan, two corpora). */
   def clusteringCoeff(pairs: DataFrame): DataFrame =
     triangleCounts(pairs)
       .select(col("id"), col("degree"), col("tri_cnt"),
@@ -429,6 +424,11 @@ object GraphOps {
           (lit(2.0) * col("tri_cnt")) / (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)).as("lcc"))
 
+  /** gr11: [[clusteringCoeff]] over the gr5 co-purchase graph. On a
+    * curation pipeline this is the structural-confidence score for
+    * gr5's similarity edges: a part whose co-purchase neighbors also
+    * co-purchase each other sits in a real basket community, one with
+    * lcc 0 is a hub artifact. */
   def gr11ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
       gr5CopurchasePairs(s, dir)
@@ -439,13 +439,11 @@ object GraphOps {
       .orderBy(col("part_id"))
   }
 
-  /** gr12: MODULARITY decomposition of the gr7 communities — per
-    * community c: node count, intra-community edge count e_c, degree
-    * sum d_c, and the Newman modularity contribution
-    * e_c/m − (d_c/(2m))². The quality audit a pipeline runs on its own
-    * clustering output (gr7) before acting on it: communities with
-    * negative or ~0 contribution are no better than random and should
-    * not drive curation decisions.
+  /** MODULARITY decomposition over any canonical (a < b) pair frame
+    * and a label frame `(id, lbl)` — per community c: node count,
+    * intra-community edge count e_c, degree sum d_c, and the Newman
+    * contribution e_c/m − (d_c/(2m))². Shared by the gr12 gate and
+    * the Scale row (one plan, two corpora).
     *
     * Determinism: e_c, d_c, m are exact integers; the contribution is
     * a fixed sequence of IEEE ops on exact operands (two identical
@@ -454,10 +452,7 @@ object GraphOps {
     *
     * 100 TB shape: two node-sized label joins onto the edge frame +
     * key-grouped aggregations; m arrives as a 1-row broadcast — no
-    * all-pairs, no driver loop, LP labels shared (memoized) with gr7. */
-  /** Modularity decomposition over any canonical (a < b) pair frame
-    * and a label frame `(id, lbl)` — shared by the gr12 gate and the
-    * Scale row (one plan, two corpora). */
+    * all-pairs, no driver loop. */
   def modularity(pairs: DataFrame, lbl: DataFrame): DataFrame = {
     val mf = pairs.agg(count(lit(1)).as("m"))
     val deg = pairs.select(col("a").as("id"))
@@ -482,6 +477,11 @@ object GraphOps {
           halfDeg * halfDeg).as("q_contrib"))
   }
 
+  /** gr12: [[modularity]] of the gr7 communities — the quality audit a
+    * pipeline runs on its own clustering output before acting on it:
+    * communities with negative or ~0 contribution are no better than
+    * random and should not drive curation decisions. LP labels shared
+    * (memoized) with gr7 so propagation runs once per session. */
   def gr12Modularity(s: SparkSession, dir: String): DataFrame = {
     val pairs = graft.spark.DfCache.memo(s, s"$dir#gr5pairs") {
       gr5CopurchasePairs(s, dir)

@@ -351,7 +351,12 @@ class SpatialJoinSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === expect)
-    // total tile rows == sum of per-box cover sizes (no dedup, by design)
-    assert(got.values.sum === expect.values.sum)
+    // no-dedup check, independent of `expect`: total tile rows equal
+    // the closed-form per-box cover sizes (nx * ny per box)
+    val coverSizes = boxes.map { case (x0, y0, x1, y1) =>
+      (math.floor(x1 / 10).toLong - math.floor(x0 / 10).toLong + 1) *
+        (math.floor(y1 / 10).toLong - math.floor(y0 / 10).toLong + 1)
+    }.sum
+    assert(got.values.sum === coverSizes)
   }
 }
