@@ -220,7 +220,10 @@ object Scale {
                     // q24 is two partial aggs + a state-sized re-agg
                     "dd25_source_matrix", "q24_incremental_merge",
                     // ta19 is ta3's per-row score + two low-NDV aggs
-                    "ta19_langid_confusion"))
+                    "ta19_langid_confusion",
+                    // ann20 joins two memoized frames + per-row cosine
+                    // + one low-NDV agg — scan-linear
+                    "ann20_sq_fidelity"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while

@@ -606,8 +606,11 @@ object VectorOps {
     * the candidate-bounded paths remain ann3/ann5/dd8 — quantization
     * composes with any of them, it changes bytes-per-vector, not the
     * plan. */
-  def ann6ScalarQuantTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val quant = graft.spark.DfCache.memo(s, s"$dir#sq8") {
+  /** The int8 scalar-quantized corpus (vec_id, q), session-memoized —
+    * shared by ann6 (search over quantized vectors) and ann20 (the
+    * fidelity audit of the same quantization). */
+  private def sq8(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#sq8") {
       // hoist the max-abs scale into its own column: inlining it in
       // the element lambda would re-scan the whole array per element
       // (O(d^2) per vector on the hot quantization path)
@@ -619,6 +622,31 @@ object VectorOps {
           transform(col("v"), x => floor(x * 127.0 / col("sc") + 0.5).cast("double")))
         .select(col("vec_id"), col("q"))
     }
+
+  /** ann20: SCALAR-QUANTIZATION FIDELITY — the per-vector round-trip
+    * cosine between each original vector and its int8 quantized form
+    * (ann6's exact quantization — scale cancels in cosine, so no
+    * dequantization step), rolled up as a fidelity histogram
+    * (1e-6-wide bands — int8 on this 64-dim corpus sits above 0.9999
+    * cosine, so micro-bands are what carries shape) with per-band
+    * exact min/max. Completes the index-quality
+    * trio (ann18 recall, ann19 PQ distortion, ann20 SQ fidelity): the
+    * sign-off table for "how much does int8 cost on THIS corpus".
+    * Determinism: sim is the 9-dp-rounded cosine of exact operands
+    * (bit-identical both engines); the band is floor of identical
+    * doubles; min/max are selections. Plan: one memoized-frame join +
+    * per-row math + a low-NDV agg — scan-linear. */
+  def ann20SqFidelity(s: SparkSession, dir: String): DataFrame =
+    embVectors(s, dir).join(sq8(s, dir), "vec_id")
+      .select(round(cosine(col("v"), col("q")), 9).as("sim"))
+      .select(floor(col("sim") * 1000000).cast("long").as("band"), col("sim"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("sim")).as("min_sim"), max(col("sim")).as("max_sim"))
+      .orderBy(col("band"))
+
+  def ann6ScalarQuantTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val quant = sq8(s, dir)
     val queries = quant.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"))
     val sim = round(cosine(col("q_q"), col("q")), 9)
@@ -934,6 +962,8 @@ object VectorOps {
       ann17KnnGraph(s, dir)),
     "ann19_pq_distortion" -> ((s: SparkSession, dir: String) =>
       ann19PqDistortion(s, dir)),
+    "ann20_sq_fidelity" -> ((s: SparkSession, dir: String) =>
+      ann20SqFidelity(s, dir)),
     "ann18_recall_eval" -> ((s: SparkSession, dir: String) =>
       ann18RecallEval(s, dir)),
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
@@ -1657,6 +1687,26 @@ object VectorOps {
            FROM adc)
          SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3
          ORDER BY q_id, rank""",
+    // ann20: ann6's quantization expression verbatim; sim is the
+    // 9-dp cosine of exact operands, band = floor of identical
+    // doubles, min/max selections — hash-exact with no aggregation
+    // of floats anywhere
+    "ann20_sq_fidelity" ->
+      """WITH emb AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q8 AS (
+           SELECT vec_id, v,
+             list_transform(v, x -> floor(x * 127.0 /
+               greatest(list_max(list_transform(v, y -> abs(y))), 1e-12) + 0.5)) AS q
+           FROM emb),
+         sims AS (
+           SELECT vec_id,
+             round(list_dot_product(v, q) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q))), 9) AS sim
+           FROM q8)
+         SELECT CAST(floor(sim * 1000000) AS BIGINT) AS band,
+           count(*) AS n_vectors, min(sim) AS min_sim, max(sim) AS max_sim
+         FROM sims GROUP BY 1 ORDER BY 1""",
     "ann6_sq_topk" ->
       """WITH emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -231,6 +231,32 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("ann20 SQ fidelity: histogram matches a driver-side recompute " +
+       "of round-trip cosines; counts cover the corpus") {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sims = emb.map { v =>
+      val sc = math.max(v.map(math.abs).max, 1e-12)
+      val q = v.map(x => math.floor(x * 127.0 / sc + 0.5))
+      val dot = v.indices.map(i => v(i) * q(i)).sum
+      val nv = math.sqrt(v.indices.map(i => v(i) * v(i)).sum)
+      val nq = math.sqrt(q.indices.map(i => q(i) * q(i)).sum)
+      round9(dot / (nv * nq))
+    }
+    val expect = sims.groupBy(s => math.floor(s * 1000000).toLong)
+      .map { case (b, ss) => b -> ((ss.length.toLong, ss.min, ss.max)) }
+    val got = VectorOps.ann20SqFidelity(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got === expect)
+    assert(got.values.map(_._1).sum === emb.length.toLong)
+    // int8 on 64 dims is high-fidelity: every vector above 0.999
+    assert(sims.forall(_ > 0.999))
+  }
+
   test("ann18 qStride: a sparser query sample returns exactly the " +
        "stride-50 rows whose q_id matches — per-query independence") {
     val dense = VectorOps.ann18RecallEval(spark, dir, k = 3, qStride = 50L)
