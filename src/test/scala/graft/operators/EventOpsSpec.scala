@@ -148,6 +148,19 @@ class EventOpsSpec extends AnyFunSuite {
       Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("q23 corpus assumptions: events.value is never NULL and small " +
+       "enough that +1.0 is never absorbed (oracle-agreement preconditions)") {
+    // q23 classifies 'changed' by a null-safe DOUBLE compare while the
+    // DuckDB oracle classifies by pure event_id%5 arithmetic; the two
+    // agree only while these corpus properties hold (round-12 advisory).
+    val bad = graft.Tables.events(spark, dir)
+      .select(col("value"))
+      .filter(col("value").isNull || abs(col("value")) >= lit(math.pow(2, 52)))
+      .count()
+    assert(bad === 0L, "events.value violates q23's non-null/small-" +
+      "magnitude assumption — the gate's oracle agreement is no longer pinned")
+  }
+
   test("q24 incremental merge: folding partial states equals the " +
        "one-shot aggregation EXACTLY (integer sums are a true monoid)") {
     import org.apache.spark.sql.functions.{date_trunc, round => sround}
