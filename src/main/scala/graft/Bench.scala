@@ -28,6 +28,10 @@ object Bench {
     * host was busy, and nothing in the artifact could say so. The
     * probe runs between gates while the Spark session is idle, so the
     * bench's own load doesn't pollute it. */
+  /** Public handle for the other measurement mains (Scale/ScaleStream
+    * record a probe+loadavg marker per output line). */
+  def contentionProbe(): Double = spinProbe()
+
   private def spinProbe(): Double = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0
@@ -40,7 +44,7 @@ object Bench {
     dt
   }
 
-  private def loadavg(): Double =
+  def loadavg(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }

@@ -354,6 +354,13 @@ object Scale {
         graft.operators.Multimodal.inlineTranscode(spark,
           Tables.documents(spark, dataDir)).toDF().count()
       }
+      // round-12: AVI synth + RIFF walk + 3 JPEG frame decodes per doc
+      // (constant per clip — doc-linear, the mm9/mm12 exclusion
+      // argument for the gate's one-file-per-clip lake applies)
+      run("mm13_video_frames", 2) {
+        graft.operators.Multimodal.inlineVideoFrames(spark,
+          Tables.documents(spark, dataDir)).toDF().count()
+      }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)
       run("sp19_overlay_area", 2) {
@@ -442,9 +449,15 @@ object Scale {
       val qjson = results.map { case (k, (s, _)) => f""""$k":$s%.3f""" }.mkString(",")
       val rjson = results.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")
       val cjson = corpus.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      // Host-contention markers (round 12, the Bench methodology): a
+      // scale row recorded on a busy host is indistinguishable from a
+      // regression without them (r11: identical code measured 3x apart
+      // across an hour on this box).
+      val (probe, load) = (graft.Bench.contentionProbe(), graft.Bench.loadavg())
       println(s"""{"scale":$n,"kind":"batch","base":"$baseDir",""" +
         s""""seg_intersects_diff":$segDiff,""" +
         s""""cc_rounds":$ccRounds,"cc_alt_rounds":$ccAltRounds,"events":$events,""" +
+        f""""probe_sec":$probe%.4f,"loadavg":$load%.2f,""" +
         s""""corpus":{$cjson},"sec":{$qjson},"rows":{$rjson},""" +
         s""""a6":{$a6}}""")
       graft.spark.DfCache.release(spark)

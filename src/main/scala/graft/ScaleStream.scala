@@ -109,7 +109,9 @@ object ScaleStream {
           s"replay at n=$events: driver-collect harness capped at 1M events")
       }
       val sjson = out.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val (probe, load) = (graft.Bench.contentionProbe(), graft.Bench.loadavg())
       println(s"""{"scale":$n,"kind":"stream","base":"$baseDir",""" +
+        f""""probe_sec":$probe%.4f,"loadavg":$load%.2f,""" +
         s""""events":$events,"stream":{$sjson}}""")
       graft.spark.DfCache.release(spark)
     }

@@ -92,24 +92,46 @@ object GraphOps {
     * lineage cut ([[graft.spark.Checkpoints.cut]] — localCheckpoint by
     * default, DFS-backed via `checkpointDir` for cluster deployments),
     * and both intermediates are unpersisted before returning — no
-    * cached frames outlive the call. */
+    * cached frames outlive the call.
+    *
+    * Per-round exchange plan (round 12, decided with data —
+    * GraphTune on the 100× interaction graph, 1.6M nodes / 3 iters):
+    * the DEFAULT stays the shuffle form, because the dst aggregation
+    * is a SUM with map-side partial aggregation — the per-round
+    * exchange is already node-sized after combine, so broadcasting
+    * the rank frame buys nothing and pays the per-round broadcast
+    * build (measured: shuffle 17.5 s vs broadcast 21.0 s warm).
+    * `broadcastRanksMax` > 0 enables the zero-shuffle plan (edge
+    * frame persisted DST-partitioned once, node-sized rank frame
+    * broadcast into the src join, every agg/join exchange-free) for
+    * callers whose aggregation doesn't combine — see
+    * [[labelPropagation]], where the same plan measured 26.6 s vs
+    * 35.1 s BECAUSE its (dst, lbl) keys defeat the partial agg. */
   def pagerankWeighted(edges: DataFrame, restart: DataFrame,
                        iters: Int = 3,
-                       checkpointDir: Option[String] = None): DataFrame = {
+                       checkpointDir: Option[String] = None,
+                       broadcastRanksMax: Long = 0L): DataFrame = {
     val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    // (src, dst, w, wsum): the one data-proportional frame, persisted;
-    // wsum derives from the same src partitioning, so this join is
-    // exchange-free on the edge side
-    val ewd = edges.join(wsum, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("id")).distinct()
     val rst = nodes.join(restart, Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node count decides the loop plan; this count also materializes
+    // the restart persist, so it is work the first round paid anyway
+    val bcast = rst.count() <= broadcastRanksMax
+    // (src, dst, w, wsum): the one data-proportional frame, persisted.
+    // Broadcast plan: repartition by dst ONCE (buys back `iters`
+    // per-round exchanges). Shuffle plan: the wsum join derives from
+    // the same src partitioning, so the build is exchange-free on the
+    // edge side and the per-round src join co-locates.
+    val ewd0 = edges.join(wsum, "src")
+    val ewd = (if (bcast) ewd0.repartition(col("dst")) else ewd0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = rst.select(col("id"), col("w").as("pr"))
     for (_ <- 1 to iters) {
+      val rsrc = ranks.select(col("id").as("src"), col("pr"))
       val contribs = ewd
-        .join(ranks.select(col("id").as("src"), col("pr")), "src")
+        .join(if (bcast) broadcast(rsrc) else rsrc, "src")
         .select(col("dst").as("id"),
           ((col("pr") * ewd("w")) / col("wsum")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
@@ -336,38 +358,53 @@ object GraphOps {
     * function of the previous labeling, so an unrolled SQL oracle
     * reproduces it exactly — integer labels, no float drift at all.
     *
-    * 100 TB shape (re-planned in round 11 — the r10 curve paid three
-    * edge-sized exchanges per round, 110.9 s at 100×): the edge frame
-    * is persisted SRC-PARTITIONED once, so the per-round label join is
-    * exchange-free on the edge side (the node-sized label frame
-    * arrives id-hashed from the previous round's aggregate and — both
-    * sides sharing the partition count — usually moves nothing
-    * either); the joined (dst, lbl) stream is then repartitioned by
-    * dst ONCE, and BOTH aggregations — the (dst, lbl) count and the
-    * node-keyed argmax, max(struct(cnt, -lbl)) rather than a window —
-    * run exchange-free on top of it (hash(dst) satisfies the
-    * clustered distribution of a (dst, lbl) grouping). Net: ONE
-    * edge-sized shuffle per round, the same bound as pagerank's rank
-    * move. Skipping the (dst, lbl) partial aggregate costs nothing in
-    * round 1 (singleton labels make every (dst, lbl) pair unique — a
-    * partial agg would reduce zero rows) and trades a second full
-    * exchange for at most some late-round combine. Per-round label
-    * frames are lineage-cut. */
+    * 100 TB shape (re-planned round 11: 3 edge exchanges/round → 1;
+    * round 12: → 0 for node-broadcastable graphs — see the inline
+    * plan note): the argmax is max(struct(cnt, -lbl)) rather than a
+    * window, so hash(dst) satisfies every aggregation's clustered
+    * distribution. Skipping the (dst, lbl) partial aggregate costs
+    * nothing in round 1 (singleton labels make every (dst, lbl) pair
+    * unique — a partial agg would reduce zero rows) and trades a
+    * second full exchange for at most some late-round combine.
+    * Per-round label frames are lineage-cut. */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
-                       checkpointDir: Option[String] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
+                       checkpointDir: Option[String] = None,
+                       broadcastLabelsMax: Long = 8000000L): DataFrame = {
+    // Round-12 re-plan (the r11 form paid ONE edge-sized dst exchange
+    // per round): when the node count fits `broadcastLabelsMax`, the
+    // edge frame persists DST-partitioned once and the node-sized
+    // label frame is BROADCAST into the src join — the joined
+    // (dst, lbl) stream then keeps hash(dst), which satisfies both the
+    // (dst, lbl) count and the node argmax, so the whole round is
+    // exchange-free (zero edge-sized shuffles; the per-round cost is
+    // the node-sized broadcast). Above the bound the shuffle form
+    // remains: src-partitioned edges, one dst exchange per round.
+    // Unlike pagerank, the exchange here is EDGE-sized either way —
+    // round-1 (dst, lbl) keys are all-distinct so partial aggregation
+    // reduces nothing — which is why broadcast pays for LP and not
+    // for pagerank (GraphTune, 100× interaction graph: 26.6 s vs
+    // 35.1 s warm). Round 1 skips the join entirely: labels round-0
+    // is the identity (lbl = id), so moved ≡ e.select(dst, src).
+    val nodes0 = edges.select(col("src").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    val bcast = nodes0.count() <= broadcastLabelsMax
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(if (bcast) col("dst") else col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes0.withColumn("lbl", col("id"))
     // free each round's node-sized checkpoint once the next round has
     // materialized (same lifecycle as [[kcore]]; round 0 is lineage,
     // not a checkpoint, so there is nothing to free the first time)
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
-      val moved = e.join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .select(col("dst"), col("lbl"))
-        .repartition(col("dst"))
+    for (round <- 1 to rounds) {
+      val moved0 =
+        if (round == 1) e.select(col("dst"), col("src").as("lbl"))
+        else {
+          val lsrc = labels.select(col("id").as("src"), col("lbl"))
+          e.join(if (bcast) broadcast(lsrc) else lsrc, "src")
+            .select(col("dst"), col("lbl"))
+        }
+      val moved = if (bcast) moved0 else moved0.repartition(col("dst"))
       labels = graft.spark.Checkpoints.cut(
         moved.groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst").as("id"))
@@ -377,6 +414,7 @@ object GraphOps {
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(labels)
     }
+    nodes0.unpersist(blocking = false)
     e.unpersist(blocking = false)
     labels
   }

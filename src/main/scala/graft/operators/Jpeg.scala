@@ -109,26 +109,46 @@ object Jpeg {
       if (nbits > 0) { val pad = 8 - nbits; put((1 << pad) - 1, pad) }
   }
 
+  /** cos((2i+1)·k·π/16) lookup (i spatial, k frequency) — the exact
+    * double values the transform loops previously computed per term
+    * with `math.cos`; hoisted after a 100× profile showed the
+    * transcendental calls dominating encode (36M blocks × 8k cos
+    * calls in the naive form — mm13's inline row read 139 s). */
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((i, k) => math.cos((2 * i + 1) * k * math.Pi / 16))
+
+  /** Separable FDCT (row pass then column pass, table cosines) —
+    * O(2·8³) multiplies per block instead of the naive O(8⁴) with two
+    * cos calls each. Summation order differs from the naive double
+    * loop only in AC rounding tails (JpegSpec's ±2 cross-codec bounds
+    * cover it); on the flat blocks every hash-pinned gate encodes, all
+    * ACs are exactly 0 and the DC is an order-independent sum of equal
+    * terms, so gate bytes are unchanged (mm7/mm13 stay hash-green). */
   private def fdct(block: Array[Double]): Array[Double] = {
+    val g = new Array[Double](64) // g(y·8+v) = Σ_x block(y,x)·CosT(x)(v)
+    var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(y * 8 + x) * CosT(x)(v); x += 1 }
+        g(y * 8 + v) = s
+        v += 1
+      }
+      y += 1
+    }
+    val c0 = 1.0 / math.sqrt(2.0)
     val out = new Array[Double](64)
-    val c = (k: Int) => if (k == 0) 1.0 / math.sqrt(2.0) else 1.0
     var u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += block(y * 8 + x) *
-              math.cos((2 * x + 1) * v * math.Pi / 16) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
-            x += 1
-          }
-          y += 1
-        }
-        out(u * 8 + v) = 0.25 * c(u) * c(v) * s
+        var yy = 0
+        while (yy < 8) { s += g(yy * 8 + v) * CosT(yy)(u); yy += 1 }
+        out(u * 8 + v) =
+          0.25 * (if (u == 0) c0 else 1.0) * (if (v == 0) c0 else 1.0) * s
         v += 1
       }
       u += 1
@@ -371,7 +391,10 @@ object Jpeg {
         var s = 0.0
         var v = 0
         while (v < 8) {
-          s += c(v) * d(u * 8 + v) * math.cos((2 * x + 1) * v * math.Pi / 16)
+          // table cosine: identical double to the inline math.cos it
+          // replaces (same argument expression), so the decode stays
+          // BIT-IDENTICAL — same summation order, same values
+          s += c(v) * d(u * 8 + v) * CosT(x)(v)
           v += 1
         }
         tmp(u * 8 + x) = s / 2.0
@@ -387,7 +410,7 @@ object Jpeg {
         var s = 0.0
         var uu = 0
         while (uu < 8) {
-          s += c(uu) * tmp(uu * 8 + x) * math.cos((2 * y + 1) * uu * math.Pi / 16)
+          s += c(uu) * tmp(uu * 8 + x) * CosT(y)(uu)
           uu += 1
         }
         val pix = math.round(s / 2.0 + 128.0).toInt

@@ -238,23 +238,31 @@ object Multimodal {
     * bytes conjured inside the query. The FILE BYTES are the same
     * md5-derived payloads as before, so the decode oracles are
     * unchanged and still exact. */
+  /** The number of MJPEG frames each synthesized .avi carries; frame
+    * f's 16-byte payload is md5(text ++ "#f") — per-frame distinct
+    * bytes so a frame-order bug in the RIFF walk moves the oracle
+    * values, mirrored exactly in the mm13 DuckDB oracle. */
+  val AviFrames: Int = 3
+
   def ensureMediaDir(s: SparkSession, dir: String): String = {
     import s.implicits._
-    // v3: the directory name is versioned BECAUSE of the _done marker —
+    // v4: the directory name is versioned BECAUSE of the _done marker —
     // a stale lake from an earlier round would otherwise short-circuit
-    // materialization and leave the round's new formats (.jpg) missing
+    // materialization and leave the round's new formats (.avi) missing
     val out = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_media_v3_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"graft_media_v4_${java.lang.Integer.toHexString(dir.hashCode)}")
     val done = new java.io.File(out, "_done")
     if (!done.exists()) {
       out.mkdirs()
       val outPath = out.getAbsolutePath
       documents(s, dir)
-        .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
-        .as[(Long, Array[Byte])]
-        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
-          it.foreach { case (id, p) =>
+        .select(col("doc_id"), unhex(md5(col("text"))).as("payload"),
+          array((0 until AviFrames).map(f =>
+            unhex(md5(concat(col("text"), lit(s"#$f"))))): _*).as("fpl"))
+        .as[(Long, Array[Byte], Seq[Array[Byte]])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte], Seq[Array[Byte]])] =>
+          it.foreach { case (id, p, fpl) =>
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outPath, f"doc_$id%010d.wav"), wavBytes(p))
             java.nio.file.Files.write(
@@ -264,6 +272,10 @@ object Multimodal {
             java.nio.file.Files.write(
               java.nio.file.Paths.get(outPath, f"doc_$id%010d.jpg"),
               Jpeg.encodeGray(blockUpscale(p, 4, 4), 32, 32))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(outPath, f"doc_$id%010d.avi"),
+              aviBytes(fpl.map(fp =>
+                Jpeg.encodeGray(blockUpscale(fp, 4, 4), 32, 32)), 32, 32))
           }
         }
       done.createNewFile()
@@ -399,6 +411,111 @@ object Multimodal {
     * 4-byte row stride padding (both real BMP quirks). Pixel (x,y) of
     * the w×h image is the grayscale byte payload(y*w+x) replicated
     * into B=G=R. */
+  /** Build a VALID minimal AVI/MJPEG container (RIFF 'AVI ': LIST
+    * hdrl{avih, LIST strl{strh 'vids'/'MJPG', strf BITMAPINFOHEADER}},
+    * LIST movi{'00dc' = one complete JPEG per frame}, idx1) — the
+    * video member of the synth-container family (wavBytes, bmpBytes,
+    * pngBytes). MJPEG-in-AVI is the composition codec: every frame
+    * chunk is a standalone baseline JPEG, so the decode path is the
+    * RIFF walk ([[parseAvi]]) + the existing [[Jpeg]] decoder.
+    * Layout from the public AVI RIFF form / VFW documentation; all
+    * integers little-endian. */
+  def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+               fps: Int = 10): Array[Byte] = {
+    val n = frames.length
+    val padded = frames.map(f => f.length + (f.length & 1))
+    val maxFrame = if (n == 0) 0 else frames.map(_.length).max
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviSize = 4 + padded.map(_ + 8).sum
+    val idx1Size = 16 * n
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); bb.putInt(riffSize); tag("AVI ")
+    tag("LIST"); bb.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); bb.putInt(56)
+    bb.putInt(1000000 / fps); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0x10) // AVIF_HASINDEX
+    bb.putInt(n); bb.putInt(0); bb.putInt(1); bb.putInt(maxFrame)
+    bb.putInt(w); bb.putInt(h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    tag("LIST"); bb.putInt(strlSize); tag("strl")
+    tag("strh"); bb.putInt(56)
+    tag("vids"); tag("MJPG")
+    bb.putInt(0); bb.putInt(0) // flags; priority+language
+    bb.putInt(0) // initial frames
+    bb.putInt(1); bb.putInt(fps) // scale, rate: fps frames/sec
+    bb.putInt(0); bb.putInt(n) // start, length
+    bb.putInt(maxFrame); bb.putInt(-1); bb.putInt(0) // sugbuf, quality, sampleSize
+    bb.putShort(0); bb.putShort(0) // rcFrame left, top
+    bb.putShort(w.toShort); bb.putShort(h.toShort)
+    tag("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h)
+    bb.putShort(1); bb.putShort(24)
+    tag("MJPG"); bb.putInt(w * h * 3)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    tag("LIST"); bb.putInt(moviSize); tag("movi")
+    // idx1 offsets are relative to the 'movi' fourcc data start, the
+    // canonical convention (first chunk header lands at offset 4)
+    val offsets = padded.scanLeft(4)((o, p) => o + 8 + p)
+    frames.foreach { f =>
+      tag("00dc"); bb.putInt(f.length); bb.put(f)
+      if ((f.length & 1) == 1) bb.put(0.toByte)
+    }
+    tag("idx1"); bb.putInt(idx1Size)
+    frames.indices.foreach { i =>
+      tag("00dc"); bb.putInt(0x10) // AVIIF_KEYFRAME
+      bb.putInt(offsets(i)); bb.putInt(frames(i).length)
+    }
+    bb.array()
+  }
+
+  /** AVI/MJPEG container parse — pure byte arithmetic like
+    * [[parseWav]]: RIFF/'AVI ' magic check, recursive LIST walk
+    * (skipping unknown chunks by declared size with word alignment),
+    * avih gives (declared frames, width, height), the movi list
+    * yields each '00dc'/'00db' frame chunk's bytes verbatim (each a
+    * standalone JPEG under MJPEG). Returns None, never throws, on
+    * malformed input. Frame DECODE is the caller's composition with
+    * [[Jpeg.decode]] — container walk and codec stay orthogonal. */
+  def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Seq[Array[Byte]])] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+      }
+      if (tag4() != "RIFF") return None
+      bb.getInt // declared riff size (unchecked: chunk walk governs)
+      if (tag4() != "AVI ") return None
+      var w = -1; var h = -1; var declared = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Unit =
+        while (bb.position() + 8 <= end) {
+          val id = tag4()
+          val sz = bb.getInt
+          val next = math.min(bb.position() + sz + (sz & 1), end)
+          id match {
+            case "LIST" =>
+              val lt = tag4()
+              if (lt == "hdrl" || lt == "strl" || lt == "movi")
+                walk(bb.position() + sz - 4)
+            case "avih" =>
+              val base = bb.position()
+              declared = bb.getInt(base + 16)
+              w = bb.getInt(base + 32); h = bb.getInt(base + 36)
+            case c if c == "00dc" || c == "00db" =>
+              val f = new Array[Byte](sz); bb.get(f); frames += f
+            case _ => () // skip unknown chunk (idx1, JUNK, vprp, ...)
+          }
+          bb.position(next)
+        }
+      walk(bytes.length)
+      if (w < 0 || declared < 0) None else Some((w, h, declared, frames.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def bmpBytes(payload: Array[Byte], w: Int = 4, h: Int = 4): Array[Byte] = {
     require(payload.length >= w * h)
     val stride = ((w * 3 + 3) / 4) * 4
@@ -744,6 +861,88 @@ object Multimodal {
       .orderBy(col("doc_id"), col("px_index"))
   }
 
+  /** One decoded MJPEG frame's luminance summary. sum_lum is an exact
+    * integer over all decoded pixels (≤ 1024·255 < 2^18); with the
+    * flat-block corpus the decode is bit-exact, so sum = 64·Σ payload
+    * bytes and min/max are the payload byte extremes. */
+  case class VideoFrame(doc_id: Long, frame_idx: Int, n_frames: Int,
+                        width: Int, height: Int, sum_lum: Long,
+                        min_lum: Int, max_lum: Int)
+
+  /** mm13: VIDEO frame extraction END TO END — the last multimodal
+    * column (video) as the composition of two components the engine
+    * already owns: the RIFF container walk ([[parseAvi]], the mm4
+    * chunk-walk family) and the from-scratch JPEG decoder ([[Jpeg]],
+    * mm7). Materialized .avi files (MJPEG: one standalone baseline
+    * JPEG per '00dc' chunk) stream through the `binaryFile` source;
+    * per frame the decoder yields the 32×32 luminance plane and the
+    * gate emits exact integer features. The container's declared
+    * frame count must equal the walked count — a drift means the walk
+    * lost a chunk, surfaced as a dropped row, not a silent skip.
+    *
+    * 100 TB shape: per-clip constant work inside `mapPartitions`
+    * batches — scan-linear, zero shuffle before the gate's output
+    * ordering; a production lake stores many clips per container
+    * file, which only changes the file listing, not this per-frame
+    * path (the mm8 exclusion argument). */
+  def mm13VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaFiles(s, dir, "avi")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseAvi(bytes).iterator
+          .filter { case (_, _, declared, fs) => declared == fs.length }
+          .flatMap { case (_, _, _, fs) =>
+            fs.iterator.zipWithIndex.flatMap { case (jb, fi) =>
+              Jpeg.decode(jb).map { case (jw, jh, lum) =>
+                var mn = 255; var mx = 0; var sm = 0L
+                var i = 0
+                while (i < lum.length) {
+                  val v = lum(i); sm += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                VideoFrame(id, fi, fs.length, jw, jh, sm, mn, mx)
+              }
+            }
+          }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** In-flight AVI synth → RIFF walk → per-frame JPEG decode chain
+    * (the mm13 compute path without the gate's one-file-per-clip lake
+    * — the Scale twin, same exclusion argument as
+    * [[inlineImageHashes]]). */
+  def inlineVideoFrames(s: SparkSession, docs: DataFrame): Dataset[VideoFrame] = {
+    import s.implicits._
+    docs.select(col("doc_id"),
+        array((0 until AviFrames).map(f =>
+          unhex(md5(concat(col("text"), lit(s"#$f"))))): _*).as("fpl"))
+      .as[(Long, Seq[Array[Byte]])]
+      .mapPartitions(_.flatMap { case (id, fpl) =>
+        val avi = aviBytes(fpl.map(fp =>
+          Jpeg.encodeGray(blockUpscale(fp, 4, 4), 32, 32)), 32, 32)
+        parseAvi(avi).iterator.flatMap { case (_, _, _, fs) =>
+          fs.iterator.zipWithIndex.flatMap { case (jb, fi) =>
+            Jpeg.decode(jb).map { case (jw, jh, lum) =>
+              var mn = 255; var mx = 0; var sm = 0L
+              var i = 0
+              while (i < lum.length) {
+                val v = lum(i); sm += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              VideoFrame(id, fi, fs.length, jw, jh, sm, mn, mx)
+            }
+          }
+        }
+      })
+  }
+
   /** One decoded image with its perceptual hash and the decoded pixel
     * payload (the exact-verification key). */
   case class HashedImage(doc_id: Long, dhash: Long, pix: Array[Byte])
@@ -910,7 +1109,8 @@ object Multimodal {
       mm10BoxDownsample(s, dir)),
     "mm11_audio_resample" -> ((s: SparkSession, dir: String) =>
       mm11AudioResample(s, dir)),
-    "mm12_transcode_roundtrip" -> (mm12Transcode _)
+    "mm12_transcode_roundtrip" -> (mm12Transcode _),
+    "mm13_video_frames" -> (mm13VideoFrames _)
   )
 
   /** mm6 shares mm5's oracle verbatim: both decoders must recover the
@@ -1017,6 +1217,22 @@ object Multimodal {
            b[i] AS min_lum, b[i] AS max_lum
          FROM bytes, unnest(range(1, 17)) AS t(i)
          ORDER BY doc_id, px_index""",
+    // mm13: a correct RIFF walk + JPEG decode recovers frame f's md5
+    // bytes as flat 8×8 blocks, so sum = 64·Σb, min/max = byte
+    // extremes; per-frame DISTINCT payloads (md5(text#f)) make a
+    // frame-order or frame-drop bug move the hashed values
+    "mm13_video_frames" ->
+      """WITH bytes AS (
+           SELECT doc_id, f,
+             [CAST('0x' || substr(md5(text || '#' || CAST(f AS VARCHAR)),
+                2*i - 1, 2) AS INT)
+              FOR i IN range(1, 17)] AS b
+           FROM documents, unnest(range(0, 3)) AS t(f))
+         SELECT doc_id, f AS frame_idx, 3 AS n_frames,
+           32 AS width, 32 AS height,
+           CAST(64 * list_sum(b) AS BIGINT) AS sum_lum,
+           list_min(b) AS min_lum, list_max(b) AS max_lum
+         FROM bytes ORDER BY doc_id, frame_idx""",
     "mm2_frame_sample" ->
       """WITH bytes AS (
            SELECT doc_id,

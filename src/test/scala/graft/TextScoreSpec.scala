@@ -189,6 +189,51 @@ class TextScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ta20/ta21 trained BPE: hand-computed merge table and token " +
+       "counts on a micro corpus (ties to the smallest pair)") {
+    // vocab: abab ×3, cd ×3. pairs r0: (a,b)=6 (b,a)=3 (c,d)=3 →
+    // merge (a,b); r1: (ab,ab)=3 ties (c,d)=3, 'ab' < 'c' → (ab,ab);
+    // r2: (c,d)=3; r3..: no pairs left → empty best rows.
+    val dir = microCorpus(Seq(
+      1L -> "abab abab cd", 2L -> "abab cd cd"))
+    val merges = graft.operators.TextOps.ta20BpeMerges(spark, dir, merges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (0, "a", "b", 6L), (1, "ab", "ab", 3L), (2, "c", "d", 3L)))
+    val applied = graft.operators.TextOps.ta21BpeApply(spark, dir, merges = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every word fully merged to ONE token by round 3
+    assert(applied.toSeq === Seq((1L, 3L, 10L, 3L), (2L, 3L, 8L, 3L)))
+  }
+
+  test("ta20 BPE same-symbol runs: replace-all IS greedy left-to-right " +
+       "(floor(run/2) merges), and ties break on the SECOND symbol too") {
+    // vocab: aaaa ×1, aaa ×1. r0: (a,a)=5 → aaaa→[aa,aa], aaa→[aa,a]
+    // (leftmost, non-overlapping). r1: (aa,aa)=1 ties (aa,a)=1 →
+    // y 'a' < 'aa' → (aa,a); r2: (aa,aa) → both words single-token.
+    val dir = microCorpus(Seq(1L -> "aaaa aaa"))
+    val merges = graft.operators.TextOps.ta20BpeMerges(spark, dir, merges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (0, "a", "a", 5L), (1, "aa", "a", 1L), (2, "aa", "aa", 1L)))
+    val applied = graft.operators.TextOps.ta21BpeApply(spark, dir, merges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(applied.toSeq === Seq((1L, 2L)))
+  }
+
+  test("ta15 array-side window-min equals the explode baseline " +
+       "row-for-row (Ta15WindowSpec contract)") {
+    val dir = "/root/testdata/sf0.001"
+    for (w <- Seq(3, 4, 6)) {
+      val fast = graft.operators.TextOps.winnowFingerprints(spark, dir, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val base = graft.operators.TextOps.winnowFingerprintsExplode(spark, dir, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(fast === base, s"w=$w: array form diverged from explode baseline")
+      assert(fast.nonEmpty)
+    }
+  }
+
   test("dd22 threshold sweep: counts are non-increasing in the threshold " +
        "and each row equals a direct filter of the dd3 pair list") {
     val dir = "/root/testdata/sf0.001"
