@@ -81,6 +81,24 @@ object ScaleStream {
         require(a._2 == b._2, s"st14 rows diverged (${a._2}/${b._2})")
         out("st14_file_rocksdb") =
           f"""{"sec":${math.min(a._1, b._1)}%.3f,"rows":${a._2},"state_rows":${a._3}}"""
+        // PROBE the in-memory pair: Spark pins transformWithState to
+        // the RocksDB provider, so the expected outcome is a refusal —
+        // recorded in the artifact (with the error class) so the
+        // missing st14_file row is evidence, not an assumption. If a
+        // future Spark accepts it, the row appears automatically.
+        try {
+          val m1 = es.sessionizeTwsFileStats(spark, dataDir, None)
+          val m2 = es.sessionizeTwsFileStats(spark, dataDir, None)
+          require(m1._2 == a._2, s"st14 rows diverged mem/rocks (${m1._2}/${a._2})")
+          out("st14_file") =
+            f"""{"sec":${math.min(m1._1, m2._1)}%.3f,"rows":${m1._2},"state_rows":${m1._3}}"""
+        } catch {
+          case e: Throwable =>
+            val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n]", " ")
+              .take(160).trim
+            out("st14_file") =
+              s"""{"unsupported":"${e.getClass.getSimpleName}: $msg"}"""
+        }
       }
       if (want("st5")) {
         val a = es.sketchFileStats(spark, dataDir)
