@@ -232,6 +232,10 @@ object Scale {
                     "dd25_source_matrix", "q24_incremental_merge",
                     // ta19 is ta3's per-row score + two low-NDV aggs
                     "ta19_langid_confusion",
+                    // ta20 training rounds are vocabulary-sized (one
+                    // corpus scan builds the weighted vocab); ta21
+                    // adds the corpus-linear broadcast-join rollup
+                    "ta20_bpe_merges", "ta21_bpe_apply",
                     // ann20 joins two memoized frames + per-row cosine
                     // + one low-NDV agg — scan-linear
                     "ann20_sq_fidelity"))

@@ -116,9 +116,11 @@ object GraphOps {
     val rst = nodes.join(restart, Seq("id"), "left")
       .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // node count decides the loop plan; this count also materializes
-    // the restart persist, so it is work the first round paid anyway
-    val bcast = rst.count() <= broadcastRanksMax
+    // node count decides the loop plan — only measured when the
+    // broadcast path is enabled at all (the eager count is an extra
+    // driver job per call; with the default shuffle plan it cost the
+    // small-graph gates ~2x at sf0.1 before this guard)
+    val bcast = broadcastRanksMax > 0L && rst.count() <= broadcastRanksMax
     // (src, dst, w, wsum): the one data-proportional frame, persisted.
     // Broadcast plan: repartition by dst ONCE (buys back `iters`
     // per-round exchanges). Shuffle plan: the wsum join derives from
