@@ -885,28 +885,38 @@ object Multimodal {
     * ordering; a production lake stores many clips per container
     * file, which only changes the file listing, not this per-frame
     * path (the mm8 exclusion argument). */
+  /** Decode every MJPEG frame of one parsed AVI into its summary rows
+    * — the ONE kernel of the mm13 gate and its inline Scale twin
+    * (never re-inlined: the dd23/dd19 twin-drift rule). Drops the
+    * whole clip when the container's declared frame count disagrees
+    * with the walked chunks (a lost chunk must surface as missing
+    * rows, not a silent skip). */
+  private def videoFrameRows(id: Long,
+      parsed: Option[(Int, Int, Int, Seq[Array[Byte]])]): Iterator[VideoFrame] =
+    parsed.iterator
+      .filter { case (_, _, declared, fs) => declared == fs.length }
+      .flatMap { case (_, _, _, fs) =>
+        fs.iterator.zipWithIndex.flatMap { case (jb, fi) =>
+          Jpeg.decode(jb).map { case (jw, jh, lum) =>
+            var mn = 255; var mx = 0; var sm = 0L
+            var i = 0
+            while (i < lum.length) {
+              val v = lum(i); sm += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            VideoFrame(id, fi, fs.length, jw, jh, sm, mn, mx)
+          }
+        }
+      }
+
   def mm13VideoFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaFiles(s, dir, "avi")
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseAvi(bytes).iterator
-          .filter { case (_, _, declared, fs) => declared == fs.length }
-          .flatMap { case (_, _, _, fs) =>
-            fs.iterator.zipWithIndex.flatMap { case (jb, fi) =>
-              Jpeg.decode(jb).map { case (jw, jh, lum) =>
-                var mn = 255; var mx = 0; var sm = 0L
-                var i = 0
-                while (i < lum.length) {
-                  val v = lum(i); sm += v
-                  if (v < mn) mn = v
-                  if (v > mx) mx = v
-                  i += 1
-                }
-                VideoFrame(id, fi, fs.length, jw, jh, sm, mn, mx)
-              }
-            }
-          }
+        videoFrameRows(id, parseAvi(bytes))
       })
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -925,21 +935,7 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, fpl) =>
         val avi = aviBytes(fpl.map(fp =>
           Jpeg.encodeGray(blockUpscale(fp, 4, 4), 32, 32)), 32, 32)
-        parseAvi(avi).iterator.flatMap { case (_, _, _, fs) =>
-          fs.iterator.zipWithIndex.flatMap { case (jb, fi) =>
-            Jpeg.decode(jb).map { case (jw, jh, lum) =>
-              var mn = 255; var mx = 0; var sm = 0L
-              var i = 0
-              while (i < lum.length) {
-                val v = lum(i); sm += v
-                if (v < mn) mn = v
-                if (v > mx) mx = v
-                i += 1
-              }
-              VideoFrame(id, fi, fs.length, jw, jh, sm, mn, mx)
-            }
-          }
-        }
+        videoFrameRows(id, parseAvi(avi))
       })
   }
 
