@@ -51,10 +51,15 @@ object GraphTune {
           broadcastLabelsMax = 0L).count())
     if (kernels("pr"))
       pair("pagerank(iters=3)", {
+        // broadcastRanksMax=MaxValue forces the broadcast plan — the
+        // default is 0 (shuffle), so going through pagerank() here
+        // would measure shuffle-vs-shuffle (round-12 advisory)
         val gn = ge.select(col("src").as("id")).distinct()
         val gc = gn.count()
-        graft.operators.GraphOps.pagerank(ge,
-          gn.select(col("id"), lit(1.0 / gc.toDouble).as("w"))).count()
+        graft.operators.GraphOps.pagerankWeighted(
+          ge.withColumn("w", lit(1L)),
+          gn.select(col("id"), lit(1.0 / gc.toDouble).as("w")),
+          broadcastRanksMax = Long.MaxValue).count()
       }, {
         val gn = ge.select(col("src").as("id")).distinct()
         val gc = gn.count()

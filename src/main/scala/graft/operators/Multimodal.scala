@@ -294,6 +294,113 @@ object Multimodal {
           .cast("long").as("doc_id"),
         col("content"))
 
+  /** Shard count of the PACKED media lake. 2× the bench core count so
+    * one task per shard keeps every core busy for two waves; at a real
+    * 100 TB lake this is "shards ≈ bytes / split-size", not a constant. */
+  val PackedShards: Int = 64
+
+  /** CONSOLIDATED (packed-container) media lake — round 13: the
+    * one-file-per-clip layout floors strong scaling on LISTING/OPEN IO,
+    * not decode (SPEEDUP_r12: mm13's gate form measured 163/73/58 s at
+    * 2/8/32 cores over 500k .avi files while the same decode inline
+    * measured 10.3 s) — exactly the wall a real media lake hits at
+    * 100 TB. The scale-safe shape is many clips per storage object:
+    * each shard file is a length-prefixed record stream
+    * `[doc_id: i64][len: i32][payload bytes]` (big-endian), one shard
+    * set per format (`media_<ext>_<shard>.gpk`) so a single-format scan
+    * never pays read amplification for the other formats. Written
+    * EXECUTOR-SIDE (one pass over documents, one shard per task —
+    * deterministic file name per partition id, so a task retry
+    * truncates and rewrites rather than duplicating) and memoized
+    * behind a `_done` marker like the per-file lake. */
+  def ensurePackedMediaDir(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_media_packed_v1_${java.lang.Integer.toHexString(dir.hashCode)}")
+    val done = new java.io.File(out, "_done")
+    if (!done.exists()) {
+      out.mkdirs()
+      val outPath = out.getAbsolutePath
+      documents(s, dir)
+        .select(col("doc_id"), unhex(md5(col("text"))).as("payload"),
+          array((0 until AviFrames).map(f =>
+            unhex(md5(concat(col("text"), lit(s"#$f"))))): _*).as("fpl"))
+        .repartition(PackedShards, col("doc_id"))
+        .as[(Long, Array[Byte], Seq[Array[Byte]])]
+        .foreachPartition { it: Iterator[(Long, Array[Byte], Seq[Array[Byte]])] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          def open(ext: String) = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(outPath, f"media_${ext}_$pid%04d.gpk"),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+              java.nio.file.StandardOpenOption.WRITE), 1 << 20))
+          val outs = Seq("wav", "bmp", "png", "avi").map(e => e -> open(e)).toMap
+          def rec(ext: String, id: Long, bytes: Array[Byte]): Unit = {
+            val o = outs(ext)
+            o.writeLong(id); o.writeInt(bytes.length); o.write(bytes)
+          }
+          try it.foreach { case (id, p, fpl) =>
+            rec("wav", id, wavBytes(p))
+            rec("bmp", id, bmpBytes(p))
+            rec("png", id, pngBytes(p))
+            rec("avi", id, aviBytes(fpl.map(fp =>
+              Jpeg.encodeGray(blockUpscale(fp, 4, 4), 32, 32)), 32, 32))
+          } finally outs.values.foreach(_.close())
+        }
+      done.createNewFile()
+    }
+    out.getAbsolutePath
+  }
+
+  /** The packed lake as a DataFrame of (doc_id, content) — IDENTICAL
+    * schema and rows to [[mediaFiles]], so a gate switching read paths
+    * keeps its hash. MANIFEST-DRIVEN read: the driver lists |shards|
+    * file NAMES (never |clips|), then exactly one task per shard
+    * stream-parses its record file — `binaryFile` would bin-pack the
+    * small shards into few partitions (maxPartitionBytes), strangling
+    * parallelism, and a one-row-per-file frame would cap shard size at
+    * the 2 GB array limit; the streaming record iterator has neither
+    * problem. On a real cluster the manifest is (object, offset, len)
+    * ranges over consolidated objects — same plan shape. */
+  def packedMediaFiles(s: SparkSession, dir: String, ext: String): DataFrame = {
+    import s.implicits._
+    val base = ensurePackedMediaDir(s, dir)
+    val paths = new java.io.File(base).listFiles()
+      .filter(f => f.getName.startsWith(s"media_${ext}_") &&
+        f.getName.endsWith(".gpk"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    s.createDataset(paths)
+      .repartition(math.max(paths.length, 1))
+      .mapPartitions(_.flatMap { path =>
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
+          1 << 20))
+        new Iterator[(Long, Array[Byte])] {
+          private var nextRec: (Long, Array[Byte]) = _
+          private var eof = false
+          private def advance(): Unit =
+            if (!eof && nextRec == null) {
+              val id = try in.readLong()
+                catch { case _: java.io.EOFException => in.close(); eof = true; 0L }
+              if (!eof) {
+                val len = in.readInt()
+                val buf = new Array[Byte](len)
+                in.readFully(buf)
+                nextRec = (id, buf)
+              }
+            }
+          def hasNext: Boolean = { advance(); !eof }
+          def next(): (Long, Array[Byte]) = {
+            advance()
+            val r = nextRec; nextRec = null; r
+          }
+        }
+      })
+      .toDF("doc_id", "content")
+  }
+
   /** mm4: audio decode END TO END from real files — the gate reads the
     * materialized .wav files through Spark's `binaryFile` source and
     * parses the container via [[parseWav]] inside `mapPartitions` (the
@@ -305,7 +412,10 @@ object Multimodal {
     * integer-derived (see [[WavFeatures]]). */
   def mm4AudioDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaFiles(s, dir, "wav")
+    // packed lake since round 13 (hash-unchanged — same (doc_id,
+    // content) rows), the consolidated-object layout a real audio lake
+    // needs; the per-file binaryFile coverage stays on mm6/mm7/mm8
+    packedMediaFiles(s, dir, "wav")
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         parseWav(bytes).map { case (rate, smp) =>
@@ -496,7 +606,13 @@ object Multimodal {
         while (bb.position() + 8 <= end) {
           val id = tag4()
           val sz = bb.getInt
-          val next = math.min(bb.position() + sz + (sz & 1), end)
+          // a corrupt container can declare any 32-bit size: a negative
+          // sz would walk backwards (loop forever), and a near-2^31 sz
+          // would allocate gigabytes below (OutOfMemoryError escapes
+          // NonFatal, breaking the never-throws contract) — clamp both
+          // to the remaining bytes and skip the malformed chunk
+          val next = if (sz < 0) end
+                     else math.min(bb.position() + sz + (sz & 1), end)
           id match {
             case "LIST" =>
               val lt = tag4()
@@ -506,9 +622,10 @@ object Multimodal {
               val base = bb.position()
               declared = bb.getInt(base + 16)
               w = bb.getInt(base + 32); h = bb.getInt(base + 36)
-            case c if c == "00dc" || c == "00db" =>
+            case c if (c == "00dc" || c == "00db") &&
+                sz >= 0 && bb.position() + sz <= end =>
               val f = new Array[Byte](sz); bb.get(f); frames += f
-            case _ => () // skip unknown chunk (idx1, JUNK, vprp, ...)
+            case _ => () // skip unknown/oversized chunk (idx1, JUNK, ...)
           }
           bb.position(next)
         }
@@ -743,7 +860,8 @@ object Multimodal {
     * handling are oracle-verified, not just exercised. */
   def mm5ImageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaFiles(s, dir, "bmp")
+    // packed lake since round 13 — see mm4's note
+    packedMediaFiles(s, dir, "bmp")
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         parseBmp(bytes).toSeq.flatMap { case (w, h, lum) =>
@@ -912,6 +1030,24 @@ object Multimodal {
       }
 
   def mm13VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // packed lake since round 13 (same rows/hash as the per-file form —
+    // [[packedMediaFiles]] keeps the (doc_id, content) contract): the
+    // one-file-per-clip layout floored the gate's strong scaling at
+    // 58 s of listing/open IO at 100× on 32 cores
+    packedMediaFiles(s, dir, "avi")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        videoFrameRows(id, parseAvi(bytes))
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** mm13's retired one-file-per-clip read path, kept for the Speedup
+    * harness's before/after comparison of the lake layouts (the gate
+    * itself reads packed — this form is the measured counterexample). */
+  def mm13VideoFramesPerFile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaFiles(s, dir, "avi")
       .as[(Long, Array[Byte])]
