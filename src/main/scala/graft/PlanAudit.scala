@@ -92,10 +92,11 @@ object PlanAudit {
         // dd14: same centroid-broadcast assignment as ann5/ann8; the
         // pair search itself is a cell-keyed equi-join, not unbounded
         "dd14_semantic_dedup",
-        // ann18: recall evaluation — the brute arm is the exact scan
-        // BY DEFINITION of the metric (ground truth for recall@k);
-        // the measured arm is ann5's bounded probe path
-        "ann18_recall_eval")
+        // ann18/ann21: recall evaluation — the brute arm is the exact
+        // scan BY DEFINITION of the metric (ground truth for recall@k);
+        // the measured arms (ann5's probe path / the beam rounds over
+        // the prebuilt graph) are bounded
+        "ann18_recall_eval", "ann21_beam_search")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val here = p match {

@@ -238,7 +238,14 @@ object Scale {
                     "ta20_bpe_merges", "ta21_bpe_apply",
                     // ann20 joins two memoized frames + per-row cosine
                     // + one low-NDV agg — scan-linear
-                    "ann20_sq_fidelity"))
+                    "ann20_sq_fidelity",
+                    // round-13: dd26 rides the positional span explode
+                    // (dd19's shape + one per-doc gaps-and-islands
+                    // window); ta22/ta23 are vocabulary-sized EM rounds
+                    // over the ta20-shared corpus scan; ann21 serves
+                    // the memoized ann17 graph with beam-sized rounds
+                    "dd26_dup_regions", "ta22_unigram_vocab",
+                    "ta23_unigram_apply", "ann21_beam_search"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while

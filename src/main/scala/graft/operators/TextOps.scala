@@ -1268,6 +1268,70 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Memoized POSITIONAL (doc_id, pos, span) token-n-gram frame for
+    * the suffix-family exact-substring ops (dd26) — dd19's span frame
+    * plus the 1-based start position (the region arithmetic needs it;
+    * dd19/ta18 stay on the narrower frame their oracles pin). ONE
+    * definition, shared by the gate and the scale row. */
+  private def dd26PosSpans(s: SparkSession, dir: String, n: Int): DataFrame = {
+    import graft.functions.GeomFunctions.barrier
+    graft.spark.DfCache.memo(s, s"$dir#dd26posspans#$n") {
+      documents(s, dir)
+        .select(col("doc_id"), barrier(tokens(col("text"))).as("w"))
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(n))))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("span"))
+    }
+  }
+
+  /** dd26: MAXIMAL duplicated regions at ARBITRARY length ≥ L — the
+    * exact-substring dedup ladder's top rung (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", whose
+    * published ExactSubstr tool emits per-document byte RANGES to
+    * excise). dd19 reports fixed-8-gram duplication counts; dd26 emits
+    * the regions themselves: per document, each maximal run of token
+    * positions where EVERY length-L window starting inside the run is
+    * verbatim duplicated in another document, with its start/end
+    * position and token length — duplicated passages of any length
+    * ≥ L, directly excisable.
+    *
+    * Equivalence to the suffix-array formulation: a duplicated
+    * substring of length m ≥ L is exactly a run of m−L+1 consecutive
+    * duplicated L-gram anchors, so merging consecutive duplicated
+    * anchors recovers every maximal duplicated region without
+    * materializing suffixes or a global suffix sort — the distributed
+    * trade Lee et al.'s own pipeline makes. (A region can merge two
+    * OVERLAPPING duplicated substrings with different partners; for
+    * excision that union is the deliverable.)
+    *
+    * Scale shape / candidate bound: one positional explode (Σ tokens
+    * rows — the cost every shingle op here pays), then all work is
+    * KEY-GROUPED: anchor → distinct-doc count (two-level partial agg),
+    * anchors ⋈ dup anchors on the span key (semi join), and the run
+    * merge is a per-document gaps-and-islands window (partitioned by
+    * doc_id, bounded by document length — never corpus-wide). Never
+    * all-pairs; candidate volume ≤ Σ tokens regardless of how
+    * duplicated the corpus is. */
+  def dd26DupRegions(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val spans = dd26PosSpans(s, dir, n)
+    val dup = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    spans.join(dup, Seq("span"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_anchors"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("start_pos") + col("n_anchors") + lit(n - 2)).as("end_pos"),
+        (col("n_anchors") + lit(n - 1)).as("region_len"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
   /** dd20: DIRECTED containment near-dup detection — "document A's
     * shingles are (mostly) inside document B's", the asymmetric
     * relation Jaccard dedup (dd3/dd5) misses by construction: a short
@@ -1870,6 +1934,163 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Trained unigram-LM tokenizer (ta22/ta23) ----
+
+  /** Unigram-LM piece length cap: pieces are 1..4 characters. */
+  private val UniMaxPiece = 4
+  /** Multi-char pieces kept at seed / after each EM prune round — the
+    * prune ladder 48 → 32 → 24 (singles are always kept: they
+    * guarantee every word segments). */
+  private val UniSeedMultis = 48
+  private val UniPruneCaps = Seq(32, 24)
+
+  /** The distinct-word frame the unigram trainer iterates on — shares
+    * ta20's memoized corpus scan ([[bpeBaseVocab]]): both tokenizer
+    * families train on the SAME weighted word vocabulary. */
+  private def uniWords(s: SparkSession, dir: String): DataFrame =
+    bpeBaseVocab(s, dir).select(col("word"), col("cnt"))
+
+  /** Seed piece table: every 1..4-char substring of every distinct
+    * word, usage = occurrence count weighted by word frequency.
+    * Vocabulary-sized (Σ|word|·4 over DISTINCT words). */
+  private def uniSeedUsage(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ta22seed") {
+      uniWords(s, dir)
+        .select(col("cnt"), explode(flatten(transform(
+          sequence(lit(1), length(col("word"))), i =>
+            transform(sequence(lit(1), lit(UniMaxPiece)), l =>
+              when(i + l - 1 <= length(col("word")),
+                col("word").substr(i, l)))))).as("piece"))
+        .filter(col("piece").isNotNull)
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+    }
+
+  /** Normalize a kept piece table (piece, usage) into scored form:
+    * prob = round(usage / Σusage, 9) — the 9-dp rounding is the gr1
+    * cross-engine parity contract (both engines compute the same IEEE
+    * division, then the same decimal rounding). The total is a 1-row
+    * broadcast (PlanAudit's aggregate-reduced-cartesian whitelist). */
+  private def uniScore(kept: DataFrame): DataFrame =
+    kept.crossJoin(broadcast(kept.agg(sum(col("usage")).as("tot"))))
+      .select(col("piece"), col("usage"),
+        round(col("usage").cast("double") / col("tot"), 9).as("prob"))
+
+  /** Viterbi columns over a `word` column given a LITERAL piece→prob
+    * map: (dp, pieces). dp maximizes the PRODUCT of piece
+    * probabilities (products, not log sums: IEEE multiplication is
+    * bit-deterministic in both engines, while ln() is not guaranteed
+    * correctly rounded in either); ties prefer the LONGER piece at the
+    * current position (struct(s, l) comparison — field order does the
+    * tie-break in Spark's greatest and DuckDB's alike). Single-char
+    * pieces are always in the vocabulary, so a path always exists.
+    * The DP accumulator is a per-word array (≤ |word|+1 entries) built
+    * by `aggregate` — whole-stage-codegen'd, no UDF. */
+  private def uniViterbiPieces(word: Column, probs: Map[String, Double]): Column = {
+    val m = typedLit(probs)
+    val n = length(word)
+    def cand(acc: Column, i: Column, l: Int): Column = {
+      val p = element_at(m, word.substr(i - (l - 1), lit(l)))
+      when(lit(l) <= i && p.isNotNull,
+        struct((element_at(acc, i - (l - 1))("s") * p).as("s"), lit(l).as("l")))
+        .otherwise(struct(lit(-1.0).as("s"), lit(0).as("l")))
+    }
+    val dp = aggregate(sequence(lit(1), n),
+      array(struct(lit(1.0).as("s"), lit(0).as("l"))),
+      (acc, i) => concat(acc, array(greatest(
+        cand(acc, i, 1), cand(acc, i, 2), cand(acc, i, 3), cand(acc, i, 4)))))
+    val ls = transform(dp, b => b("l"))
+    // backward walk: at position pos the chosen piece has length
+    // ls[pos+1]; n iterations upper-bound the path length (no-ops once
+    // pos reaches 0)
+    val walk = aggregate(sequence(lit(1), n),
+      struct(n.as("pos"), typedLit(Seq.empty[String]).as("pieces")),
+      (acc, _) => {
+        val pos = acc("pos")
+        val l = element_at(ls, pos + 1)
+        when(pos > lit(0), struct((pos - l).as("pos"),
+          concat(acc("pieces"), array(word.substr(pos - l + 1, l))).as("pieces")))
+          .otherwise(acc)
+      })
+    walk("pieces")
+  }
+
+  /** REAL trained unigram-LM tokenizer (ta22/ta23) — the SentencePiece
+    * unigram model's train/apply pair (Kudo 2018, public algorithm),
+    * deterministic and exactly SQL-replayable like ta20/ta21's BPE:
+    * seed the piece inventory with every 1..4-char substring of the
+    * distinct-word vocabulary (occurrence-weighted), then run UNROLLED
+    * EM-prune rounds — E-step segments every distinct word by Viterbi
+    * under the current piece probabilities (hard-EM: Viterbi counts,
+    * the standard deterministic instantiation), M-step re-estimates
+    * prob = round(usage/Σ, 9) with +1 smoothing on single chars (they
+    * are never pruned — coverage guarantee), pruning multi-char pieces
+    * to the 48 → 32 → 24 ladder by (usage, piece) order.
+    *
+    * Returns (final scored vocab frame, final piece→prob map). Per
+    * round the piece scores (≤ 24 singles + ≤ 48 multis ≈ 72 rows,
+    * vocabulary-bounded by the caps, never corpus-sized) are collected
+    * and baked into the next round's segmentation expression as a
+    * literal map — a BOUNDED driver collect (the PGR/median pattern),
+    * which also keeps lineage flat: every round's plan reads the
+    * memoized word vocabulary plus literals, so no checkpoint ladder.
+    *
+    * 100 TB shape: ONE corpus scan builds the weighted vocabulary
+    * (shared with ta20); every EM round is vocabulary-sized. */
+  private[graft] def unigramTrain(s: SparkSession, dir: String)
+      : (DataFrame, Map[String, Double]) = {
+    val seed = uniSeedUsage(s, dir)
+    val singles = seed.filter(length(col("piece")) === 1).select(col("piece"))
+    def collectProbs(scores: DataFrame): Map[String, Double] =
+      scores.select(col("piece"), col("prob")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val seedKept = seed.filter(length(col("piece")) === 1)
+      .unionByName(seed.filter(length(col("piece")) >= 2)
+        .orderBy(desc("usage"), col("piece")).limit(UniSeedMultis))
+    var scores = uniScore(seedKept)
+    var probs = collectProbs(scores)
+    for (cap <- UniPruneCaps) {
+      val used = uniWords(s, dir)
+        .select(col("cnt"),
+          explode(uniViterbiPieces(col("word"), probs)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
+      val kept = singles.join(used, Seq("piece"), "left")
+        .select(col("piece"), (coalesce(col("usage"), lit(0L)) + 1).as("usage"))
+        .unionByName(used.filter(length(col("piece")) >= 2)
+          .orderBy(desc("usage"), col("piece")).limit(cap))
+      scores = uniScore(kept)
+      probs = collectProbs(scores)
+    }
+    (scores, probs)
+  }
+
+  /** ta22: the trained unigram vocabulary — piece, its length, its
+    * E-step usage (post-smoothing) and its rounded probability. */
+  def ta22UnigramVocab(s: SparkSession, dir: String): DataFrame = {
+    val (scores, _) = unigramTrain(s, dir)
+    scores.select(col("piece"), length(col("piece")).cast("long").as("piece_len"),
+        col("usage").as("n_uses"), col("prob"))
+      .orderBy(col("piece"))
+  }
+
+  /** ta23: apply the trained model — per document, whitespace token
+    * count, summed word chars, and the Viterbi-segmented unigram token
+    * count (per-word path lengths via a broadcast vocabulary join,
+    * type-bounded like ta21's). */
+  def ta23UnigramApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, probs) = unigramTrain(s, dir)
+    val wtok = uniWords(s, dir).select(col("word"),
+      size(uniViterbiPieces(col("word"), probs)).as("wtok"))
+    documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wtok), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(length(col("word"))).as("n_word_chars"),
+        sum(col("wtok")).cast("long").as("n_unigram_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- PII redaction (cp10) ----
 
   /** One PII pattern: (name, regex, replacement token). Regexes are
@@ -2010,6 +2231,8 @@ object TextOps {
       ta20BpeMerges(s, dir)),
     "ta21_bpe_apply" -> ((s: SparkSession, dir: String) =>
       ta21BpeApply(s, dir)),
+    "ta22_unigram_vocab" -> (ta22UnigramVocab _),
+    "ta23_unigram_apply" -> (ta23UnigramApply _),
     "ta18_span_novelty" -> ((s: SparkSession, dir: String) =>
       ta18SpanNovelty(s, dir)),
     "dd23_softdedup_weights" -> (dd23SoftDedupWeights _),
@@ -2018,6 +2241,8 @@ object TextOps {
     "cp12_mixture_weights" -> (cp12MixtureWeights _),
     "dd19_span_dedup" -> ((s: SparkSession, dir: String) =>
       dd19SpanDedup(s, dir)),
+    "dd26_dup_regions" -> ((s: SparkSession, dir: String) =>
+      dd26DupRegions(s, dir)),
     "cp1_curation_pipeline" -> (cp1CurationPipeline _),
     "cp5_corpus_shard" -> ((s: SparkSession, dir: String) => cp5CorpusShard(s, dir)),
     "cp3_domain_cap" -> ((s: SparkSession, dir: String) => cp3DomainCap(s, dir)),
@@ -2097,6 +2322,126 @@ object TextOps {
            WHERE len(word) > 0 AND NOT contains(word, chr(31))
            GROUP BY word),
          """ + rounds.mkString(",\n         ")
+  }
+
+  /** Unigram-LM oracle CTE chain (ta22/ta23) — the verbatim SQL twin
+    * of [[unigramTrain]], generated for the same round/cap constants
+    * so operator and oracle can never unroll differently. Per round:
+    * pos/cand materialize the per-position piece probabilities as FOUR
+    * LEFT JOINS against the previous scores (NEVER correlated scalar
+    * subqueries — DuckDB re-executes those per row, which re-runs the
+    * whole upstream chain multiplicatively; measured 186 s vs 1 s on
+    * the sf0.01 corpus), dp is the recursive Viterbi carrying the
+    * best-product and chosen-length arrays in-row (plain recursion —
+    * each step only needs the previous row), walk extracts the chosen
+    * pieces backwards, use/kept/scores re-estimate and prune. The
+    * struct max is `list_sort([...])[4]` (DuckDB's greatest() rejects
+    * structs); field order (s, l) gives the same longer-piece
+    * tie-break as the Spark side's greatest(struct(s, l)). */
+  private def uniCandCtes(r: Int, prev: String): String = {
+    val joins = (1 to UniMaxPiece).map { l =>
+      val eq = s"s$l.piece = substring(p.word, CAST(p.i - ${l - 1} AS INT), $l)"
+      if (l == 1) s"LEFT JOIN $prev s$l ON $eq"
+      else s"LEFT JOIN $prev s$l ON p.i >= $l AND $eq"
+    }.mkString("\n           ")
+    s"""pos$r AS MATERIALIZED (
+           SELECT word, cnt, len(word) AS n,
+             unnest(range(1, len(word)+1)) AS i
+           FROM uwords),
+         cand$r AS MATERIALIZED (
+           SELECT p.word, p.i,
+             s1.prob AS p1, s2.prob AS p2, s3.prob AS p3, s4.prob AS p4
+           FROM pos$r p
+           $joins)"""
+  }
+
+  private def uniMaxStruct(which: String): String = {
+    val arms = (1 to UniMaxPiece).map { l =>
+      val valid =
+        if (l == 1) s"c.p$l IS NOT NULL"
+        else s"d.i >= ${l - 1} AND c.p$l IS NOT NULL"
+      s"CASE WHEN $valid THEN struct_pack(s := d.bests[d.i - ${l - 2}] * c.p$l, l := $l) " +
+        s"ELSE struct_pack(s := CAST(-1.0 AS DOUBLE), l := 0) END"
+    }.mkString(",\n             ")
+    s"struct_extract(list_sort([\n             $arms])[${UniMaxPiece}], '$which')"
+  }
+
+  private def uniDpCtes(r: Int): String =
+    s"""dp$r AS (
+           SELECT word, cnt, len(word) AS n, 0 AS i,
+                  [CAST(1.0 AS DOUBLE)] AS bests, [0] AS ls
+           FROM uwords
+           UNION ALL
+           SELECT d.word, d.cnt, d.n, d.i + 1,
+             list_append(d.bests, ${uniMaxStruct("s")}),
+             list_append(d.ls, ${uniMaxStruct("l")})
+           FROM dp$r d JOIN cand$r c ON c.word = d.word AND c.i = d.i + 1
+           WHERE d.i < d.n),
+         walk$r AS (
+           SELECT word, cnt, ls, n AS pos, CAST([] AS VARCHAR[]) AS pieces
+           FROM dp$r WHERE i = n
+           UNION ALL
+           SELECT word, cnt, ls, pos - ls[CAST(pos AS INT) + 1],
+             list_append(pieces, substring(word,
+               CAST(pos - ls[CAST(pos AS INT) + 1] + 1 AS INT),
+               CAST(ls[CAST(pos AS INT) + 1] AS INT)))
+           FROM walk$r WHERE pos > 0)"""
+
+  private def uniMStepCtes(r: Int, cap: Int): String =
+    s"""use$r AS MATERIALIZED (
+           SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage FROM (
+             SELECT cnt, unnest(pieces) AS piece FROM walk$r WHERE pos = 0)
+           GROUP BY piece),
+         kept$r AS MATERIALIZED (
+           SELECT s.piece, coalesce(u.usage, 0) + 1 AS usage
+           FROM singles s LEFT JOIN use$r u ON u.piece = s.piece
+           UNION ALL
+           (SELECT piece, usage FROM use$r WHERE len(piece) >= 2
+            ORDER BY usage DESC, piece LIMIT $cap)),
+         scores$r AS MATERIALIZED (
+           SELECT piece, usage,
+             round(CAST(usage AS DOUBLE) / (SELECT sum(usage) FROM kept$r), 9)
+               AS prob
+           FROM kept$r)"""
+
+  private val uniSeedCtes: String =
+    s"""uwords AS MATERIALIZED (
+           SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS word
+             FROM documents)
+           WHERE len(word) > 0 GROUP BY word),
+         seed1 AS (SELECT word, cnt, unnest(range(1, len(word)+1)) AS i
+                   FROM uwords),
+         seed2 AS (SELECT word, cnt, i,
+                     unnest([${(1 to UniMaxPiece).mkString(",")}]) AS L
+                   FROM seed1),
+         seedu AS MATERIALIZED (
+           SELECT substring(word, CAST(i AS INT), CAST(L AS INT)) AS piece,
+                  CAST(sum(cnt) AS BIGINT) AS usage
+           FROM seed2 WHERE i + L - 1 <= len(word) GROUP BY 1),
+         singles AS MATERIALIZED (
+           SELECT piece FROM seedu WHERE len(piece) = 1),
+         kept0 AS MATERIALIZED (
+           SELECT piece, usage FROM seedu WHERE len(piece) = 1
+           UNION ALL
+           (SELECT piece, usage FROM seedu WHERE len(piece) >= 2
+            ORDER BY usage DESC, piece LIMIT $UniSeedMultis)),
+         scores0 AS MATERIALIZED (
+           SELECT piece, usage,
+             round(CAST(usage AS DOUBLE) / (SELECT sum(usage) FROM kept0), 9)
+               AS prob
+           FROM kept0)"""
+
+  /** The full trained chain up to the final scores CTE (scores2 with
+    * the default two prune rounds). */
+  private val uniTrainCtes: String = {
+    val rounds = UniPruneCaps.zipWithIndex.map { case (cap, idx) =>
+      val r = idx + 1
+      Seq(uniCandCtes(r, s"scores${r - 1}"), uniDpCtes(r),
+        uniMStepCtes(r, cap)).mkString(",\n         ")
+    }
+    (uniSeedCtes +: rounds).mkString(",\n         ")
   }
 
   // cp1 curation CTEs (DuckDB) shared with the cp2 curate-then-pack
@@ -2584,6 +2929,35 @@ object TextOps {
            round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) + 0.0 AS dup_ratio
          FROM hits JOIN tot USING (doc_id)
          ORDER BY doc_id""",
+    // dd26: dd19's span CTE with positions (struct unnest), the dup
+    // anchor table, then gaps-and-islands (pos - row_number per doc)
+    // to merge consecutive duplicated anchors into maximal regions;
+    // end/len arithmetic hardcodes n=8 like the span slices do
+    "dd26_dup_regions" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         spans AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+             i -> struct_pack(pos := i,
+                    span := array_to_string(w[i:i+7], ' ')))) AS s
+           FROM words WHERE len(w) >= 8),
+         sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM spans),
+         dup AS (
+           SELECT span FROM sp GROUP BY span
+           HAVING count(DISTINCT doc_id) >= 2),
+         hits AS (
+           SELECT doc_id, pos FROM sp
+           WHERE span IN (SELECT span FROM dup)),
+         runs AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM hits)
+         SELECT doc_id, min(pos) AS start_pos,
+           min(pos) + count(*) + 6 AS end_pos,
+           count(*) + 7 AS region_len
+         FROM runs GROUP BY doc_id, grp
+         ORDER BY doc_id, start_pos""",
     "cp5_corpus_shard" ->
       """WITH t AS (
            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,
@@ -2792,6 +3166,30 @@ object TextOps {
          FROM toks t JOIN cnts c ON c.word = t.word
          WHERE len(t.word) > 0
          GROUP BY 1 ORDER BY 1""",
+    // ta22/ta23: the unigram-LM train (recursive-CTE Viterbi per EM
+    // round) and apply replayed verbatim — see uniTrainCtes
+    "ta22_unigram_vocab" ->
+      s"""WITH RECURSIVE $uniTrainCtes
+         SELECT piece, CAST(len(piece) AS BIGINT) AS piece_len,
+           CAST(usage AS BIGINT) AS n_uses, prob
+         FROM scores${UniPruneCaps.length} ORDER BY piece""",
+    "ta23_unigram_apply" ->
+      s"""WITH RECURSIVE $uniTrainCtes,
+         ${uniCandCtes(UniPruneCaps.length + 1, s"scores${UniPruneCaps.length}")},
+         ${uniDpCtes(UniPruneCaps.length + 1)},
+         wtok AS MATERIALIZED (
+           SELECT word, CAST(len(pieces) AS INT) AS wtok
+           FROM walk${UniPruneCaps.length + 1} WHERE pos = 0),
+         docw AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+           FROM documents)
+         SELECT d.doc_id, count(*) AS n_ws_tokens,
+           CAST(sum(len(d.word)) AS BIGINT) AS n_word_chars,
+           CAST(sum(w.wtok) AS BIGINT) AS n_unigram_tokens
+         FROM docw d JOIN wtok w ON w.word = d.word
+         WHERE len(d.word) > 0
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "dd1_exact_dedup" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY 1""",

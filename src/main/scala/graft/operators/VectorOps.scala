@@ -329,6 +329,90 @@ object VectorOps {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** ann17's edge list (src_id, nbr_id), session-memoized — the graph
+    * artifact ann21 serves from (built once, searched many times: the
+    * production contract of a graph index). */
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ann21edges") {
+      ann17KnnGraph(s, dir).select(col("src_id"), col("nbr_id"))
+    }
+
+  /** ann21: GRAPH-TRAVERSAL ANN SERVING — deterministic beam search
+    * over ann17's kNN graph (the HNSW/Vamana serving idea, public
+    * algorithms, instantiated as bounded synchronous rounds so the
+    * whole search replays as SQL): entries are the min-id member of
+    * each of the query's top-2 Lloyd cells (fixed, deterministic);
+    * each of the 3 unrolled hops expands the beam along the graph's
+    * out-edges, re-scores every candidate by exact cosine to the
+    * query, and keeps the top-8 by (sim, id) — the beam always
+    * contains its predecessor set, so best-so-far is monotone. The
+    * gated payload is recall@k against ann18's brute ground truth —
+    * index CONSTRUCTION (ann17) and index SERVING (ann21) sign-off
+    * rows side by side.
+    *
+    * 100 TB shape: per-round cost is |queries|·beam edge-key lookups
+    * plus a beam-sized window per query — the corpus is touched only
+    * through the prebuilt edge frame and the candidate-keyed vector
+    * join; nothing corpus-wide shuffles per query. The brute arm is
+    * the metric's definition (the ann18 argument: fixed query sample
+    * broadcast against one scan). */
+  /** The deterministic beam entries per query: min-id member of each
+    * of the query's top-2 Lloyd cells. Exposed package-side for the
+    * Ann21Spec single-hop contract. */
+  private[graft] def ann21Entries(s: SparkSession, dir: String,
+      qStride: Long = 50L): DataFrame = {
+    val emb = embVectors(s, dir)
+    val q = emb.filter(col("vec_id") % qStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val probed = q.crossJoin(broadcast(kmeansCodebook(s, dir, 3)))
+      .withColumn("csim", round(cosine(col("q_v"), col("c_v")), 9))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell").asc)))
+      .filter(col("crk") <= 2)
+      .select(col("q_id"), col("cell"))
+    val cellEntry = kmeansAssigned(s, dir)
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("cand"))
+    probed.join(cellEntry, "cell")
+      .select(col("q_id"), col("cand")).distinct()
+  }
+
+  /** The final scored candidate frame (q_id, cand, sim) after `hops`
+    * beam rounds — the loop body ann21BeamRecall ranks from. */
+  private[graft] def ann21Scored(s: SparkSession, dir: String,
+      beam: Int = 8, hops: Int = 3, qStride: Long = 50L): DataFrame = {
+    val emb = embVectors(s, dir)
+    val q = emb.filter(col("vec_id") % qStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val edges = knnGraphEdges(s, dir)
+    val corpus = emb.select(col("vec_id").as("cand"), col("v").as("cand_v"))
+    var beamSet = ann21Entries(s, dir, qStride)
+    var scored: DataFrame = null
+    for (_ <- 1 to hops) {
+      val expanded = beamSet.join(edges, beamSet("cand") === edges("src_id"))
+        .select(col("q_id"), col("nbr_id").as("cand"))
+      val cands = beamSet.unionByName(expanded).distinct()
+      scored = cands.join(q, "q_id").join(corpus, "cand")
+        .filter(col("cand") =!= col("q_id"))
+        .select(col("q_id"), col("cand"),
+          round(cosine(col("q_v"), col("cand_v")), 9).as("sim"))
+      beamSet = scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand").asc)))
+        .filter(col("rk") <= beam)
+        .select(col("q_id"), col("cand"))
+    }
+    scored
+  }
+
+  def ann21BeamRecall(s: SparkSession, dir: String, k: Int = 3,
+      beam: Int = 8, hops: Int = 3, qStride: Long = 50L): DataFrame = {
+    val beamTopK = ann21Scored(s, dir, beam, hops, qStride)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand").asc)))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cand").as("n_id"))
+    recallVsBrute(s, dir, k, qStride, beamTopK)
+  }
+
   /** ann18: RECALL@k evaluation of the IVF search as a driver-gated
     * fact — per query, how many of the exact brute-force top-k the
     * ann5 probe path actually returned. Quality metrics as data (the
@@ -344,14 +428,16 @@ object VectorOps {
     * corpus the query sample is fixed (here every 50th vector), so the
     * brute side is a broadcast of the sample against one corpus scan,
     * the ann1 whitelisted shape. */
-  def ann18RecallEval(s: SparkSession, dir: String, k: Int = 3,
-                      qStride: Long = 50L): DataFrame = {
-    val ivf = ann5IvfScaled(s, dir, k, qStride = qStride)
-      .select(col("q_id"), col("n_id")).withColumn("hit", lit(1))
+  /** Exact brute-force top-k ground truth per sampled query — the
+    * by-definition-exact arm every recall evaluation needs (ann18's
+    * brute construction, factored so ann21 cannot drift from it):
+    * fixed query sample broadcast against one corpus scan. */
+  private def bruteTopK(s: SparkSession, dir: String, k: Int,
+                        qStride: Long): DataFrame = {
     val emb = embVectors(s, dir)
     val q = emb.filter(col("vec_id") % qStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val brute = emb.crossJoin(broadcast(q))
+    emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(cosine(col("q_v"), col("v")), 9).as("sim"))
@@ -359,13 +445,25 @@ object VectorOps {
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"))
-    brute.join(ivf, Seq("q_id", "n_id"), "left")
+  }
+
+  /** recall@k of a (q_id, n_id) result set against the brute ground
+    * truth — the pr11-style quality payload shared by ann18/ann21. */
+  private def recallVsBrute(s: SparkSession, dir: String, k: Int,
+                            qStride: Long, result: DataFrame): DataFrame =
+    bruteTopK(s, dir, k, qStride)
+      .join(result.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
       .select(col("q_id"), lit(k).as("k"), col("n_hits"),
         (col("n_hits") / lit(k)).as("recall"))
       .orderBy(col("q_id"))
-  }
+
+  def ann18RecallEval(s: SparkSession, dir: String, k: Int = 3,
+                      qStride: Long = 50L): DataFrame =
+    recallVsBrute(s, dir, k, qStride,
+      ann5IvfScaled(s, dir, k, qStride = qStride)
+        .select(col("q_id"), col("n_id")))
 
   /** dd7: embedding-cosine near-duplicates — vector pairs whose cosine
     * exceeds a data-calibrated threshold (this synthetic corpus tops
@@ -966,6 +1064,8 @@ object VectorOps {
       ann20SqFidelity(s, dir)),
     "ann18_recall_eval" -> ((s: SparkSession, dir: String) =>
       ann18RecallEval(s, dir)),
+    "ann21_beam_search" -> ((s: SparkSession, dir: String) =>
+      ann21BeamRecall(s, dir)),
     "ann6_sq_topk" -> ((s: SparkSession, dir: String) => ann6ScalarQuantTopK(s, dir)),
     "dd7_embedding_dups" -> (dd7EmbeddingDups _),
     "dd8_lsh_embedding_dups" -> ((s: SparkSession, dir: String) =>
@@ -1224,6 +1324,49 @@ object VectorOps {
            SELECT q_id, n_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
            FROM sims)"""
+
+  // Brute-force top-3 ground truth over the %50 query sample, ending
+  // at `brute (q_id, n_id)` — the SQL twin of bruteTopK, shared by the
+  // ann18 and ann21 recall oracles.
+  private val bruteTopKCtes: String =
+    """bsims AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             round(list_dot_product(q.v, e.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+           FROM emb q, emb e
+           WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id),
+         branked AS (
+           SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, n_id ASC) AS rank
+           FROM bsims),
+         brute AS (SELECT q_id, n_id FROM branked WHERE rank <= 3)"""
+
+  /** One unrolled beam round (ann21): expand along out-edges, union
+    * the previous beam, dedup, exact-rescore, keep top-8 by (sim, id)
+    * — the SQL twin of the ann21BeamRecall loop body. */
+  private def ann21RoundCtes(r: Int): String =
+    s"""exp$r AS (
+           SELECT b.q_id, e.nbr_id AS cand
+           FROM beam${r - 1} b JOIN edges e ON e.src_id = b.cand),
+         cands$r AS (
+           SELECT DISTINCT q_id, cand FROM (
+             SELECT q_id, cand FROM beam${r - 1}
+             UNION ALL SELECT q_id, cand FROM exp$r)),
+         scored$r AS (
+           SELECT c.q_id, c.cand,
+             round(list_dot_product(q.q_v, e.v) /
+               (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
+           FROM cands$r c JOIN q ON q.q_id = c.q_id
+           JOIN emb e ON e.vec_id = c.cand
+           WHERE c.cand <> c.q_id),
+         beam$r AS (
+           SELECT q_id, cand FROM (
+             SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, cand ASC) AS rk
+             FROM scored$r) WHERE rk <= 8)"""
 
   // The PQ training + encoding chain (8×16 codebooks via deterministic
   // seeds + one Lloyd step, then per-(vector, subspace) code
@@ -1738,23 +1881,61 @@ object VectorOps {
     "ann18_recall_eval" ->
       s"""WITH $ann5RankedCtes,
          ivf AS (SELECT q_id, n_id FROM ranked WHERE rank <= 3),
-         bsims AS (
-           SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-             round(list_dot_product(q.v, e.v) /
-               (sqrt(list_dot_product(q.v, q.v)) *
-                sqrt(list_dot_product(e.v, e.v))), 9) AS sim
-           FROM emb q, emb e
-           WHERE q.vec_id % 50 = 0 AND e.vec_id <> q.vec_id),
-         branked AS (
-           SELECT q_id, n_id,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY sim DESC, n_id ASC) AS rank
-           FROM bsims),
-         brute AS (SELECT q_id, n_id FROM branked WHERE rank <= 3),
+         $bruteTopKCtes,
          hits AS (
            SELECT b.q_id, count(ivf.n_id) AS n_hits
            FROM brute b LEFT JOIN ivf
              ON ivf.q_id = b.q_id AND ivf.n_id = b.n_id
+           GROUP BY 1)
+         SELECT q_id, 3 AS k, n_hits, n_hits / 3 AS recall
+         FROM hits ORDER BY q_id""",
+    // ann21: the ann17 graph CTE + unrolled beam rounds + the shared
+    // brute ground-truth CTE — construction and serving on one chain
+    "ann21_beam_search" ->
+      s"""WITH $lloydChainCtes,
+         cells AS (
+           SELECT a.vec_id, e.v, a.cell
+           FROM asgnF a JOIN emb e USING (vec_id) WHERE a.crk = 1),
+         gsims AS (
+           SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 9) AS sim
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         edges AS (
+           SELECT src_id, nbr_id FROM (
+             SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
+               ORDER BY sim DESC, nbr_id ASC) AS rank
+             FROM gsims) WHERE rank <= 3),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id % 50 = 0),
+         probe AS (
+           SELECT q.q_id, c.cell,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_dot_product(q.q_v, c.c_v) /
+                 (sqrt(list_dot_product(q.q_v, q.q_v)) *
+                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
+               c.cell ASC) AS crk
+           FROM q, cv3 c),
+         centry AS (
+           SELECT cell, min(vec_id) AS cand FROM asgnF
+           WHERE crk = 1 GROUP BY cell),
+         beam0 AS (
+           SELECT DISTINCT p.q_id, ce.cand
+           FROM probe p JOIN centry ce USING (cell) WHERE p.crk <= 2),
+         ${ann21RoundCtes(1)},
+         ${ann21RoundCtes(2)},
+         ${ann21RoundCtes(3)},
+         btopk AS (
+           SELECT q_id, cand AS n_id FROM (
+             SELECT q_id, cand, row_number() OVER (PARTITION BY q_id
+               ORDER BY sim DESC, cand ASC) AS rk
+             FROM scored3) WHERE rk <= 3),
+         $bruteTopKCtes,
+         hits AS (
+           SELECT b.q_id, count(t.n_id) AS n_hits
+           FROM brute b LEFT JOIN btopk t
+             ON t.q_id = b.q_id AND t.n_id = b.n_id
            GROUP BY 1)
          SELECT q_id, 3 AS k, n_hits, n_hits / 3 AS recall
          FROM hits ORDER BY q_id""",
