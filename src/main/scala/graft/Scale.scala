@@ -242,10 +242,9 @@ object Scale {
                     // round-13: dd26 rides the positional span explode
                     // (dd19's shape + one per-doc gaps-and-islands
                     // window); ta22/ta23 are vocabulary-sized EM rounds
-                    // over the ta20-shared corpus scan; ann21 serves
-                    // the memoized ann17 graph with beam-sized rounds
+                    // over the ta20-shared corpus scan
                     "dd26_dup_regions", "ta22_unigram_vocab",
-                    "ta23_unigram_apply", "ann21_beam_search"))
+                    "ta23_unigram_apply"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while
@@ -256,6 +255,13 @@ object Scale {
       // at the deployment contract (documented in SCALING.md r11).
       run("ann18_recall_eval", 2) {
         graft.operators.VectorOps.ann18RecallEval(spark, dataDir,
+          qStride = 50L * n).count() }
+      // ann21 at the same deployment contract as ann18: fixed-size
+      // query sample (stride 50·n), so the brute ground-truth arm is a
+      // constant broadcast sample × one scan — the beam serving itself
+      // is candidate-bounded (≤ 4·beam rows per query per hop)
+      run("ann21_beam_search", 2) {
+        graft.operators.VectorOps.ann21BeamRecall(spark, dataDir,
           qStride = 50L * n).count() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier

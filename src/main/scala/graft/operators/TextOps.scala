@@ -1268,11 +1268,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** Memoized POSITIONAL (doc_id, pos, span) token-n-gram frame for
-    * the suffix-family exact-substring ops (dd26) — dd19's span frame
-    * plus the 1-based start position (the region arithmetic needs it;
-    * dd19/ta18 stay on the narrower frame their oracles pin). ONE
-    * definition, shared by the gate and the scale row. */
+  /** Memoized POSITIONAL (doc_id, pos, h) token-n-gram ANCHOR frame
+    * for the suffix-family exact-substring ops (dd26) — dd19's span
+    * frame plus the 1-based start position, with the span string
+    * REPLACED by its 60-bit md5-prefix key (the cp5/wordHash recipe,
+    * SQL-expressible in DuckDB as CAST('0x'||substr(md5(span),1,15) AS
+    * BIGINT), so the oracle groups on the identical key including any
+    * hypothetical collision). Two reasons the string never leaves the
+    * explode: (1) dd26's OUTPUT carries no span text — the key is a
+    * pure join/group intermediate; (2) the narrow 24 B/row frame is
+    * ~3× smaller cached and shuffled than ~60-char span strings —
+    * the round-13 lesson was that one extra corpus-token-sized STRING
+    * memo (2.2 GB at 100×) evicted the persisted graph frames and
+    * blew the iterative kernels 10× in the shared Scale session. */
   private def dd26PosSpans(s: SparkSession, dir: String, n: Int): DataFrame = {
     import graft.functions.GeomFunctions.barrier
     graft.spark.DfCache.memo(s, s"$dir#dd26posspans#$n") {
@@ -1283,7 +1291,7 @@ object TextOps {
           sequence(lit(1), size(col("w")) - (n - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(n))))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("span"))
+          conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("h"))
     }
   }
 
@@ -1317,12 +1325,12 @@ object TextOps {
     * duplicated the corpus is. */
   def dd26DupRegions(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val spans = dd26PosSpans(s, dir, n)
-    val dup = spans.groupBy(col("span"))
+    val dup = spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
-      .select(col("span"))
+      .select(col("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    spans.join(dup, Seq("span"), "left_semi")
+    spans.join(dup, Seq("h"), "left_semi")
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("start_pos"), count(lit(1)).as("n_anchors"))
@@ -2929,7 +2937,9 @@ object TextOps {
            round(CAST(n_dup_spans AS DOUBLE) / n_spans, 4) + 0.0 AS dup_ratio
          FROM hits JOIN tot USING (doc_id)
          ORDER BY doc_id""",
-    // dd26: dd19's span CTE with positions (struct unnest), the dup
+    // dd26: dd19's span CTE with positions (struct unnest), anchors
+    // keyed by the 60-bit md5-prefix (the cp5 recipe — identical
+    // grouping to the Spark side, collisions included), the dup
     // anchor table, then gaps-and-islands (pos - row_number per doc)
     // to merge consecutive duplicated anchors into maximal regions;
     // end/len arithmetic hardcodes n=8 like the span slices do
@@ -2942,13 +2952,16 @@ object TextOps {
              i -> struct_pack(pos := i,
                     span := array_to_string(w[i:i+7], ' ')))) AS s
            FROM words WHERE len(w) >= 8),
-         sp AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM spans),
+         sp AS (
+           SELECT doc_id, s.pos AS pos,
+             CAST('0x' || substr(md5(s.span), 1, 15) AS BIGINT) AS h
+           FROM spans),
          dup AS (
-           SELECT span FROM sp GROUP BY span
+           SELECT h FROM sp GROUP BY h
            HAVING count(DISTINCT doc_id) >= 2),
          hits AS (
            SELECT doc_id, pos FROM sp
-           WHERE span IN (SELECT span FROM dup)),
+           WHERE h IN (SELECT h FROM dup)),
          runs AS (
            SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp

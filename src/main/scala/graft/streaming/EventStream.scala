@@ -1500,7 +1500,16 @@ object EventStream {
   def fullOuterFileStats(spark: SparkSession, dir: String,
       stateProvider: Option[String] = None): (Double, Long, Long) = {
     val sess = gateSession(spark, partitions = "8")
-    runFileSinkStats(sess, "graft_foj_scale", stateProvider) {
+    // RocksDB state partitions 16 (round-13 sweep at 100×, 162k-row
+    // two-buffer join store, quiet box: 8 → 30.7/38.0 s = 1.24×,
+    // 16 → 32.7/36.4 s = 1.11×) — the full-outer join keeps BOTH
+    // buffers with eviction-driven emission, so like st8/st10 it sits
+    // on the scan-parallelism side of the partition-count tradeoff.
+    // The r12-recorded 1.53× was host contamination: the same code at
+    // 8 partitions measures 1.24× in a quiet window (the round-13
+    // drift-detection lesson applied to the scale artifact).
+    runFileSinkStats(sess, "graft_foj_scale", stateProvider,
+      rocksOverrides = Map("spark.sql.shuffle.partitions" -> "16")) {
       val src = readEvents(sess, dir, maxFilesPerTrigger = Some(1))
       intervalJoinFullOuter(
         src.filter(col("event_type") === "error"),
