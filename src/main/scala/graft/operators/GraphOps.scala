@@ -94,19 +94,24 @@ object GraphOps {
     * and both intermediates are unpersisted before returning — no
     * cached frames outlive the call.
     *
-    * Per-round exchange plan (round 12, decided with data —
-    * GraphTune on the 100× interaction graph, 1.6M nodes / 3 iters):
-    * the DEFAULT stays the shuffle form, because the dst aggregation
-    * is a SUM with map-side partial aggregation — the per-round
-    * exchange is already node-sized after combine, so broadcasting
-    * the rank frame buys nothing and pays the per-round broadcast
-    * build (measured: shuffle 17.5 s vs broadcast 21.0 s warm).
-    * `broadcastRanksMax` > 0 enables the zero-shuffle plan (edge
-    * frame persisted DST-partitioned once, node-sized rank frame
-    * broadcast into the src join, every agg/join exchange-free) for
-    * callers whose aggregation doesn't combine — see
-    * [[labelPropagation]], where the same plan measured 26.6 s vs
-    * 35.1 s BECAUSE its (dst, lbl) keys defeat the partial agg. */
+    * Per-round exchange plan (re-measured round 13 — the round-12
+    * GraphTune pair had both arms on the shuffle plan, so its
+    * "shuffle 17.5 vs broadcast 21.0" could not be reproduced; with
+    * the broadcast arm actually broadcasting, the 100× interaction
+    * graph (1.6M nodes / 3 iters) measures broadcast 13.7/14.6 s vs
+    * shuffle 17.9/17.9 s across two interleaved pairs — broadcast is
+    * ~1.25× faster at THIS single-box scale). The DEFAULT still stays
+    * the shuffle form, now for the honest reason: per-round broadcast
+    * traffic is O(nodes × executors) while the combined shuffle
+    * exchange is O(nodes) — at the 1000-executor / billion-node scale
+    * this library targets, broadcasting the rank frame every round is
+    * infeasible, and the dst SUM's map-side combine already makes the
+    * shuffle exchange node-sized. Mid-scale callers (graph fits a
+    * broadcast, executor count small) opt in via `broadcastRanksMax`
+    * > 0 (edge frame persisted DST-partitioned once, node-sized rank
+    * frame broadcast into the src join, every agg/join exchange-free)
+    * — and [[labelPropagation]] DEFAULTS to that plan because its
+    * (dst, lbl) keys defeat the partial agg (26.6 vs 35.1 s). */
   def pagerankWeighted(edges: DataFrame, restart: DataFrame,
                        iters: Int = 3,
                        checkpointDir: Option[String] = None,
