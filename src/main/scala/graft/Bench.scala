@@ -76,8 +76,32 @@ object Bench {
     * the cleanest measurement this host can produce — it arbitrates
     * "code got slower" vs "host was busy for the whole run", which the
     * intra-run spread rule cannot (uniform sustained contention slows
-    * every sample equally). */
-  def isolatedHeadline(gate: String, sfDir: String, cpus: String): Option[Double] =
+    * every sample equally).
+    *
+    * nRuns=8 (round 14): a fresh JVM's first 2-3 warm runs are still
+    * JIT-COMPILING the session machinery, so a 3-run child reads
+    * systematically 1.5-2.5x above the full-session steady state for
+    * sub-second gates and can "confirm" a regression that does not
+    * exist — measured on dd11: 3-run child min 0.94 s, the same child
+    * at 10 runs decays 1.72/1.41/0.74/0.98/0.57/0.51/0.54/... and
+    * converges to ~0.51 s vs the full-session prior 0.39 s. That JIT
+    * bias is exactly how r13 mislabeled dd11/dd12 as code regressions
+    * (VERDICT r13 item 1: the r12 tree itself, re-measured by a 3-run
+    * child, reads 0.76 s against its own 0.39 s committed prior). */
+  def isolatedHeadline(gate: String, sfDir: String, cpus: String,
+                       nRuns: Int = 8): Option[Double] =
+    forkMain(Seq("graft.BenchOne", gate, sfDir, cpus, nRuns.toString),
+        timeoutSec = 600)(l => if (l.startsWith("BENCHONE ")) Some(l) else None)
+      .flatMap(l => l.split("\\s+").lift(2).flatMap(_.toDoubleOption))
+
+  /** Fork a main from this JVM's classpath with the same module opens /
+    * -D flags / heap, scan its stdout with `pick` (last match wins),
+    * and return the picked line. None on timeout or spawn failure.
+    * Shared by Bench's per-gate arbitration ([[BenchOne]] children) and
+    * Scale's per-experiment arbitration (filtered [[Scale]] children). */
+  def forkMain(mainArgs: Seq[String], timeoutSec: Long = 600,
+               extraEnv: Map[String, String] = Map.empty)
+              (pick: String => Option[String]): Option[String] =
     try {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -85,9 +109,9 @@ object Bench {
         .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
           a.startsWith("-Xmx") || a.startsWith("-D"))
       val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", System.getProperty("java.class.path"),
-          "graft.BenchOne", gate, sfDir, cpus)
+        Seq("-cp", System.getProperty("java.class.path")) ++ mainArgs
       val pb = new ProcessBuilder(cmd: _*)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.redirectErrorStream(false)
       val p = pb.start()
       val outReader = new Thread {
@@ -97,7 +121,7 @@ object Bench {
             new java.io.InputStreamReader(p.getInputStream))
           var l = br.readLine()
           while (l != null) {
-            if (l.startsWith("BENCHONE ")) line = Some(l)
+            pick(l).foreach(m => line = Some(m))
             l = br.readLine()
           }
         }
@@ -108,10 +132,10 @@ object Bench {
         val in = p.getErrorStream; val buf = new Array[Byte](8192)
         while (in.read(buf) >= 0) {}
       } }.start()
-      val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { p.destroyForcibly(); return None }
       outReader.join(5000)
-      outReader.line.map(_.split("\\s+")(2).toDouble)
+      outReader.line
     } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
@@ -247,6 +271,15 @@ object Bench {
       val contended = probeMax > probeBase * SpreadBound
       (name, headline, err, runs, spread(), contended)
     }
+    // Quiesce the parent session BEFORE spawning arbitration children
+    // (round 14): in r13 the children ran beside a live local[32]
+    // session holding 185 gates of persisted frames and accumulated GC
+    // load, so the "isolated" dd11 measurement (2.15 s) was itself
+    // contaminated — the same child on a quiet host reads 0.51 s. All
+    // measurements above are done; arbitration needs only headline
+    // numbers and fresh child JVMs.
+    graft.spark.DfCache.release(spark)
+    spark.stop()
     // Cross-run drift pass (round-13 item 1): any gate whose headline
     // moved >1.5x AND >0.75s vs the last persisted run gets ONE
     // isolated fresh-JVM re-measurement. If isolation lands back within
@@ -343,7 +376,6 @@ object Bench {
       line.dropRight(1) + s""","runs":$rawRuns}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist BENCH_local.json: $e") }
-    graft.spark.DfCache.release(spark)
-    spark.stop()
+    // session already stopped before the drift-arbitration pass
   }
 }

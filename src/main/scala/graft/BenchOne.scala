@@ -36,14 +36,18 @@ object BenchOne {
     catch { case _: Throwable => }
     val fn = SparkEntry.queries(gate)
     val isStream = gate.startsWith("st")
-    val nRuns = if (isStream) 4 else 3
+    val nRuns = args.lift(3).map(_.toInt)
+      .getOrElse(if (isStream) 4 else 3)
     val runs = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // batch: min of the warm runs (with the arbitration default of 8
+    // runs the min sits past the fresh-JVM JIT ramp — see
+    // Bench.isolatedHeadline); st: median of the warm runs
     val headline =
-      if (isStream) { val s = runs.tail.sorted; s(1) }
+      if (isStream) { val s = runs.tail.sorted; s((s.length - 1) / 2) }
       else runs.tail.min
     println(f"BENCHONE $gate $headline%.3f runs=${runs.map(t => f"$t%.3f").mkString("/")}")
     graft.spark.DfCache.release(spark)

@@ -309,10 +309,16 @@ object Multimodal {
     * `[doc_id: i64][len: i32][payload bytes]` (big-endian), one shard
     * set per format (`media_<ext>_<shard>.gpk`) so a single-format scan
     * never pays read amplification for the other formats. Written
-    * EXECUTOR-SIDE (one pass over documents, one shard per task —
-    * deterministic file name per partition id, so a task retry
-    * truncates and rewrites rather than duplicating) and memoized
-    * behind a `_done` marker like the per-file lake. */
+    * EXECUTOR-SIDE (one pass over documents, one shard per task). Each
+    * attempt writes to an ATTEMPT-UNIQUE temp file and atomically
+    * renames onto the deterministic shard name: a plain
+    * TRUNCATE_EXISTING write is safe for a sequential retry but not
+    * for concurrent attempts (speculative execution, or a zombie
+    * original attempt overlapping its retry) — two writers
+    * interleaving on one .gpk would silently corrupt the shard and the
+    * `_done` marker would then pin the corruption. With
+    * rename-into-place the winner is whichever COMPLETE file lands
+    * last. Memoized behind a `_done` marker like the per-file lake. */
   def ensurePackedMediaDir(s: SparkSession, dir: String): String = {
     import s.implicits._
     val out = new java.io.File(
@@ -329,25 +335,45 @@ object Multimodal {
         .repartition(PackedShards, col("doc_id"))
         .as[(Long, Array[Byte], Seq[Array[Byte]])]
         .foreachPartition { it: Iterator[(Long, Array[Byte], Seq[Array[Byte]])] =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val attempt = tc.taskAttemptId()
+          def tmpOf(ext: String) = java.nio.file.Paths.get(outPath,
+            f"media_${ext}_$pid%04d.gpk.tmp_$attempt")
+          def dstOf(ext: String) = java.nio.file.Paths.get(outPath,
+            f"media_${ext}_$pid%04d.gpk")
           def open(ext: String) = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(outPath, f"media_${ext}_$pid%04d.gpk"),
+              tmpOf(ext),
               java.nio.file.StandardOpenOption.CREATE,
               java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
               java.nio.file.StandardOpenOption.WRITE), 1 << 20))
-          val outs = Seq("wav", "bmp", "png", "avi").map(e => e -> open(e)).toMap
+          val exts = Seq("wav", "bmp", "png", "avi")
+          val outs = exts.map(e => e -> open(e)).toMap
           def rec(ext: String, id: Long, bytes: Array[Byte]): Unit = {
             val o = outs(ext)
             o.writeLong(id); o.writeInt(bytes.length); o.write(bytes)
           }
-          try it.foreach { case (id, p, fpl) =>
-            rec("wav", id, wavBytes(p))
-            rec("bmp", id, bmpBytes(p))
-            rec("png", id, pngBytes(p))
-            rec("avi", id, aviBytes(fpl.map(fp =>
-              Jpeg.encodeGray(blockUpscale(fp, 4, 4), 32, 32)), 32, 32))
-          } finally outs.values.foreach(_.close())
+          var ok = false
+          try {
+            it.foreach { case (id, p, fpl) =>
+              rec("wav", id, wavBytes(p))
+              rec("bmp", id, bmpBytes(p))
+              rec("png", id, pngBytes(p))
+              rec("avi", id, aviBytes(fpl.map(fp =>
+                Jpeg.encodeGray(blockUpscale(fp, 4, 4), 32, 32)), 32, 32))
+            }
+            ok = true
+          } finally {
+            outs.values.foreach(_.close())
+            if (ok) exts.foreach { e =>
+              java.nio.file.Files.move(tmpOf(e), dstOf(e),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+            else exts.foreach(e =>
+              java.nio.file.Files.deleteIfExists(tmpOf(e)))
+          }
         }
       done.createNewFile()
     }
@@ -377,18 +403,38 @@ object Multimodal {
         val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
           java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
           1 << 20))
+        // the stream must close even when the iterator is not fully
+        // consumed (downstream limit/take, task kill) — tie it to task
+        // completion, not just to reaching EOF
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try in.close() catch { case _: java.io.IOException => () }
+        }
         new Iterator[(Long, Array[Byte])] {
           private var nextRec: (Long, Array[Byte]) = _
           private var eof = false
           private def advance(): Unit =
             if (!eof && nextRec == null) {
+              // clean EOF is only legal at a record boundary (before
+              // readLong); EOF inside the header or payload means a
+              // truncated shard — a HARD parse error, never a silent
+              // short read (a corrupt lake must fail the job, not
+              // quietly drop clips)
               val id = try in.readLong()
                 catch { case _: java.io.EOFException => in.close(); eof = true; 0L }
               if (!eof) {
-                val len = in.readInt()
-                val buf = new Array[Byte](len)
-                in.readFully(buf)
-                nextRec = (id, buf)
+                try {
+                  val len = in.readInt()
+                  if (len < 0) throw new java.io.IOException(
+                    s"negative record length $len in packed media shard $path")
+                  val buf = new Array[Byte](len)
+                  in.readFully(buf)
+                  nextRec = (id, buf)
+                } catch { case e: java.io.EOFException =>
+                  in.close()
+                  throw new java.io.IOException(
+                    s"truncated record (doc_id=$id) in packed media shard $path", e)
+                }
               }
             }
           def hasNext: Boolean = { advance(); !eof }
@@ -609,21 +655,24 @@ object Multimodal {
           // a corrupt container can declare any 32-bit size: a negative
           // sz would walk backwards (loop forever), and a near-2^31 sz
           // would allocate gigabytes below (OutOfMemoryError escapes
-          // NonFatal, breaking the never-throws contract) — clamp both
-          // to the remaining bytes and skip the malformed chunk
+          // NonFatal, breaking the never-throws contract). All bounds
+          // arithmetic is done in LONG: `pos + sz` overflows Int for sz
+          // near 2^31, making a "<= end" guard pass and the allocation
+          // still happen — clamp in 64-bit, then cast.
+          val posL = bb.position().toLong
           val next = if (sz < 0) end
-                     else math.min(bb.position() + sz + (sz & 1), end)
+                     else math.min(posL + sz + (sz & 1), end.toLong).toInt
           id match {
             case "LIST" =>
               val lt = tag4()
-              if (lt == "hdrl" || lt == "strl" || lt == "movi")
-                walk(bb.position() + sz - 4)
+              if ((lt == "hdrl" || lt == "strl" || lt == "movi") && sz >= 4)
+                walk(math.min(bb.position().toLong + sz - 4, end.toLong).toInt)
             case "avih" =>
               val base = bb.position()
               declared = bb.getInt(base + 16)
               w = bb.getInt(base + 32); h = bb.getInt(base + 36)
             case c if (c == "00dc" || c == "00db") &&
-                sz >= 0 && bb.position() + sz <= end =>
+                sz >= 0 && posL + sz <= end =>
               val f = new Array[Byte](sz); bb.get(f); frames += f
             case _ => () // skip unknown/oversized chunk (idx1, JUNK, ...)
           }

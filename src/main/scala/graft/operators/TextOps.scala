@@ -1281,6 +1281,12 @@ object TextOps {
     * the round-13 lesson was that one extra corpus-token-sized STRING
     * memo (2.2 GB at 100×) evicted the persisted graph frames and
     * blew the iterative kernels 10× in the shared Scale session. */
+  /** Anchor length shared by the dd26 gate AND its generated oracle
+    * SQL — the single source of truth for every n-derived constant on
+    * both sides (round-13 advisory: a hardcoded-n oracle next to a
+    * parameterized operator silently breaks parity for any other n). */
+  val Dd26N: Int = 8
+
   private def dd26PosSpans(s: SparkSession, dir: String, n: Int): DataFrame = {
     import graft.functions.GeomFunctions.barrier
     graft.spark.DfCache.memo(s, s"$dir#dd26posspans#$n") {
@@ -1323,7 +1329,7 @@ object TextOps {
     * doc_id, bounded by document length — never corpus-wide). Never
     * all-pairs; candidate volume ≤ Σ tokens regardless of how
     * duplicated the corpus is. */
-  def dd26DupRegions(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def dd26DupRegions(s: SparkSession, dir: String, n: Int = Dd26N): DataFrame = {
     val spans = dd26PosSpans(s, dir, n)
     val dup = spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -2942,16 +2948,18 @@ object TextOps {
     // grouping to the Spark side, collisions included), the dup
     // anchor table, then gaps-and-islands (pos - row_number per doc)
     // to merge consecutive duplicated anchors into maximal regions;
-    // end/len arithmetic hardcodes n=8 like the span slices do
+    // every n-derived constant is interpolated from the SAME Dd26N the
+    // Spark gate runs with (the uniTrainCtes recipe), so changing the
+    // anchor length cannot silently break Spark/oracle parity
     "dd26_dup_regions" ->
-      """WITH words AS (
-           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      s"""WITH words AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
            FROM documents),
          spans AS (
-           SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+           SELECT doc_id, unnest(list_transform(range(1, len(w) - ${Dd26N - 2}),
              i -> struct_pack(pos := i,
-                    span := array_to_string(w[i:i+7], ' ')))) AS s
-           FROM words WHERE len(w) >= 8),
+                    span := array_to_string(w[i:i+${Dd26N - 1}], ' ')))) AS s
+           FROM words WHERE len(w) >= $Dd26N),
          sp AS (
            SELECT doc_id, s.pos AS pos,
              CAST('0x' || substr(md5(s.span), 1, 15) AS BIGINT) AS h
@@ -2967,8 +2975,8 @@ object TextOps {
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
            FROM hits)
          SELECT doc_id, min(pos) AS start_pos,
-           min(pos) + count(*) + 6 AS end_pos,
-           count(*) + 7 AS region_len
+           min(pos) + count(*) + ${Dd26N - 2} AS end_pos,
+           count(*) + ${Dd26N - 1} AS region_len
          FROM runs GROUP BY doc_id, grp
          ORDER BY doc_id, start_pos""",
     "cp5_corpus_shard" ->

@@ -91,6 +91,28 @@ class AviSpec extends AnyFunSuite {
     assert(Multimodal.parseAvi(gut).isEmpty)
   }
 
+  test("a corrupt chunk size near Int.MaxValue is skipped, not " +
+       "allocated: bounds arithmetic must not overflow Int (r13 ADVICE)") {
+    // valid container, then smash one frame chunk's declared size to
+    // 0x7FFFFFF0: pos + sz overflows Int, so a 32-bit `<= end` guard
+    // would pass and attempt a ~2 GB allocation; the long-arithmetic
+    // guard must skip the chunk and keep the header fields instead
+    val frames = (0 until 2).map(f => Jpeg.encodeGray(flat(f), 32, 32))
+    val avi = Multimodal.aviBytes(frames, 32, 32)
+    val gut = avi.clone()
+    val dcAt = gut.indexOfSlice("00dc".getBytes("US-ASCII"))
+    assert(dcAt > 0)
+    val bb = java.nio.ByteBuffer.wrap(gut)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(dcAt + 4, 0x7FFFFFF0)
+    val res = Multimodal.parseAvi(gut)
+    // never throws/OOMs; header survives, the corrupt frame is dropped
+    assert(res.isDefined)
+    val Some((w, h, declared, got)) = res
+    assert((w, h, declared) === ((32, 32, 2)))
+    assert(got.length < 2)
+  }
+
   test("the media lake materializes parseable .avi files whose frames " +
        "decode 32x32") {
     val spark = org.apache.spark.sql.SparkSession.builder()

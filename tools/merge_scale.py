@@ -43,6 +43,16 @@ def main():
                          "cc_rounds", "cc_alt_rounds", "events")}
                 base["corpus"], base["sec"], base["rows"], base["a6"] = \
                     {}, {}, {}, {"parts": 0}
+                base["drifted"], base["host_drift"], base["isolated"] = \
+                    [], [], {}
+                base["loadavg"] = []
+            # drift-arbitration evidence (round 14): union across the
+            # per-family runs; loadavg kept per input line
+            base["drifted"] += d.get("drifted", [])
+            base["host_drift"] += d.get("host_drift", [])
+            base["isolated"].update(d.get("isolated", {}))
+            if "loadavg" in d:
+                base["loadavg"].append(d["loadavg"])
             for k in ("corpus", "sec", "rows"):
                 dup = set(base[k]) & set(d.get(k, {}))
                 # corpus counts are shared facts (same corpora), not
