@@ -332,18 +332,22 @@ object VectorOps {
   /** ann17's edge list (src_id, nbr_id), session-memoized — the graph
     * artifact ann21 serves from (built once, searched many times: the
     * production contract of a graph index). */
-  private[graft] def knnGraphEdges(s: SparkSession, dir: String): DataFrame =
-    graft.spark.DfCache.memo(s, s"$dir#ann21edges") {
-      ann17KnnGraph(s, dir).select(col("src_id"), col("nbr_id"))
+  private[graft] def knnGraphEdges(s: SparkSession, dir: String,
+                                   degree: Int = 8): DataFrame =
+    graft.spark.DfCache.memo(s, s"$dir#ann21edges#$degree") {
+      ann17KnnGraph(s, dir, k = degree).select(col("src_id"), col("nbr_id"))
     }
 
   /** ann21: GRAPH-TRAVERSAL ANN SERVING — deterministic beam search
     * over ann17's kNN graph (the HNSW/Vamana serving idea, public
     * algorithms, instantiated as bounded synchronous rounds so the
-    * whole search replays as SQL): entries are the min-id member of
-    * each of the query's top-2 Lloyd cells (fixed, deterministic);
-    * each of the 3 unrolled hops expands the beam along the graph's
-    * out-edges, re-scores every candidate by exact cosine to the
+    * whole search replays as SQL): entries are the learned-codebook
+    * IVF probe's top-3 for the query (see [[ann21Entries]] — the
+    * coarse-quantizer entry every production graph index uses, and
+    * what makes beam recall ≥ IVF recall by construction); each of
+    * the 3 unrolled hops expands the beam along the graph's out-edges
+    * (degree 8 — the r13 k=3 serving graph was too sparse to beat the
+    * probe path), re-scores every candidate by exact cosine to the
     * query, and keeps the top-8 by (sim, id) — the beam always
     * contains its predecessor set, so best-so-far is monotone. The
     * gated payload is recall@k against ann18's brute ground truth —
@@ -356,34 +360,35 @@ object VectorOps {
     * join; nothing corpus-wide shuffles per query. The brute arm is
     * the metric's definition (the ann18 argument: fixed query sample
     * broadcast against one scan). */
-  /** The deterministic beam entries per query: min-id member of each
-    * of the query's top-2 Lloyd cells. Exposed package-side for the
-    * Ann21Spec single-hop contract. */
+  /** The deterministic beam entries per query: the ann5 IVF probe's
+    * own top-3 at the query stride — the standard HNSW/Vamana trick of
+    * entering the graph from a coarse quantizer's result, and the
+    * round-14 fix for the r13 sign-off gap: min-id members of the
+    * top-2 cells entered the graph at arbitrary (low-sim) vectors, and
+    * because ann17's edges never leave their Lloyd cell the beam could
+    * not recover — recall@3 0.233/0.300 (degree 3/8) vs the IVF
+    * probe's 0.400. Entering AT the top-k of the SAME IVF ann18 signs
+    * off makes the beam's final exact-cosine candidate set a superset
+    * of ann18's result, so beam recall ≥ IVF recall BY CONSTRUCTION at
+    * every scale (a ground-truth hit in the candidate set outranks
+    * every non-hit by definition of ground truth, under the shared
+    * (sim desc, id asc) tiebreak), and the graph hops then add in-cell
+    * neighbors the probe's rank cutoff missed.
+    * Exposed package-side for the Round13Spec single-hop contract. */
   private[graft] def ann21Entries(s: SparkSession, dir: String,
-      qStride: Long = 50L): DataFrame = {
-    val emb = embVectors(s, dir)
-    val q = emb.filter(col("vec_id") % qStride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val probed = q.crossJoin(broadcast(kmeansCodebook(s, dir, 3)))
-      .withColumn("csim", round(cosine(col("q_v"), col("c_v")), 9))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cell").asc)))
-      .filter(col("crk") <= 2)
-      .select(col("q_id"), col("cell"))
-    val cellEntry = kmeansAssigned(s, dir)
-      .groupBy(col("cell")).agg(min(col("vec_id")).as("cand"))
-    probed.join(cellEntry, "cell")
-      .select(col("q_id"), col("cand")).distinct()
-  }
+      qStride: Long = 50L): DataFrame =
+    ann5IvfScaled(s, dir, k = 3, qStride = qStride)
+      .select(col("q_id"), col("n_id").as("cand"))
 
   /** The final scored candidate frame (q_id, cand, sim) after `hops`
     * beam rounds — the loop body ann21BeamRecall ranks from. */
   private[graft] def ann21Scored(s: SparkSession, dir: String,
-      beam: Int = 8, hops: Int = 3, qStride: Long = 50L): DataFrame = {
+      beam: Int = 8, hops: Int = 3, qStride: Long = 50L,
+      degree: Int = 8): DataFrame = {
     val emb = embVectors(s, dir)
     val q = emb.filter(col("vec_id") % qStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
-    val edges = knnGraphEdges(s, dir)
+    val edges = knnGraphEdges(s, dir, degree)
     val corpus = emb.select(col("vec_id").as("cand"), col("v").as("cand_v"))
     var beamSet = ann21Entries(s, dir, qStride)
     var scored: DataFrame = null
@@ -404,8 +409,9 @@ object VectorOps {
   }
 
   def ann21BeamRecall(s: SparkSession, dir: String, k: Int = 3,
-      beam: Int = 8, hops: Int = 3, qStride: Long = 50L): DataFrame = {
-    val beamTopK = ann21Scored(s, dir, beam, hops, qStride)
+      beam: Int = 8, hops: Int = 3, qStride: Long = 50L,
+      degree: Int = 8): DataFrame = {
+    val beamTopK = ann21Scored(s, dir, beam, hops, qStride, degree)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand").asc)))
       .filter(col("rk") <= k)
@@ -1264,10 +1270,13 @@ object VectorOps {
            FROM emb e, cv3 c)"""
 
   // The full ann5 one-step-IVF oracle chain (seeds -> one Lloyd
-  // step -> cells -> probe -> exact rerank), ending at `ranked` --
-  // shared by the ann5 gate and the ann18 recall evaluation.
-  private val ann5RankedCtes: String =
-    """emb AS (
+  // step -> cells -> probe -> exact rerank), ending at `<p>ranked` --
+  // shared by the ann5 gate, the ann18 recall evaluation, and (with a
+  // name prefix, emb/params assumed present) the ann21 entry seeding,
+  // so the three oracles replay ONE chain and cannot drift.
+  private def ann5RankedCtesP(p: String, withBase: Boolean): String = {
+    val base = if (!withBase) "" else
+      """emb AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          params AS (
            SELECT greatest(CAST(1 AS BIGINT),
@@ -1275,55 +1284,59 @@ object VectorOps {
                greatest(CAST(2 AS BIGINT),
                  CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
            FROM emb),
-         seeds AS (
+         """
+    s"""$base${p}seeds AS (
            SELECT vec_id AS cell, v AS c_v FROM emb, params
            WHERE vec_id % step = 0),
-         asgn0 AS (
+         ${p}asgn0 AS (
            SELECT e.vec_id, e.v, s.cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                round(list_dot_product(e.v, s.c_v) /
                  (sqrt(list_dot_product(e.v, e.v)) *
                   sqrt(list_dot_product(s.c_v, s.c_v))), 9) DESC,
                s.cell ASC) AS crk
-           FROM emb e, seeds s),
-         members AS (SELECT vec_id, v, cell FROM asgn0 WHERE crk = 1),
-         cent AS (
+           FROM emb e, ${p}seeds s),
+         ${p}members AS (SELECT vec_id, v, cell FROM ${p}asgn0 WHERE crk = 1),
+         ${p}cent AS (
            SELECT cell, dim, avg(val) AS m
            FROM (SELECT cell, unnest(v) AS val,
-                   generate_subscripts(v, 1) - 1 AS dim FROM members)
+                   generate_subscripts(v, 1) - 1 AS dim FROM ${p}members)
            GROUP BY 1, 2),
-         cvec AS (
+         ${p}cvec AS (
            SELECT cell, list(round(m, 9) ORDER BY dim) AS c_v
-           FROM cent GROUP BY cell),
-         asgn AS (
+           FROM ${p}cent GROUP BY cell),
+         ${p}asgn AS (
            SELECT e.vec_id, e.v, c.cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                round(list_dot_product(e.v, c.c_v) /
                  (sqrt(list_dot_product(e.v, e.v)) *
                   sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
                c.cell ASC) AS crk
-           FROM emb e, cvec c),
-         cells AS (SELECT vec_id, v, cell FROM asgn WHERE crk = 1),
-         probe AS (
+           FROM emb e, ${p}cvec c),
+         ${p}cells AS (SELECT vec_id, v, cell FROM ${p}asgn WHERE crk = 1),
+         ${p}probe AS (
            SELECT e.vec_id AS q_id, e.v AS q_v, c.cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
                round(list_dot_product(e.v, c.c_v) /
                  (sqrt(list_dot_product(e.v, e.v)) *
                   sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
                c.cell ASC) AS crk
-           FROM emb e, cvec c WHERE e.vec_id % 50 = 0),
-         probed AS (SELECT q_id, q_v, cell FROM probe WHERE crk <= 4),
-         sims AS (
+           FROM emb e, ${p}cvec c WHERE e.vec_id % 50 = 0),
+         ${p}probed AS (SELECT q_id, q_v, cell FROM ${p}probe WHERE crk <= 4),
+         ${p}sims AS (
            SELECT p.q_id, m.vec_id AS n_id,
              round(list_dot_product(p.q_v, m.v) /
                (sqrt(list_dot_product(p.q_v, p.q_v)) *
                 sqrt(list_dot_product(m.v, m.v))), 9) AS sim
-           FROM probed p JOIN cells m
+           FROM ${p}probed p JOIN ${p}cells m
              ON p.cell = m.cell AND m.vec_id <> p.q_id),
-         ranked AS (
+         ${p}ranked AS (
            SELECT q_id, n_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rank
-           FROM sims)"""
+           FROM ${p}sims)"""
+  }
+
+  private val ann5RankedCtes: String = ann5RankedCtesP("", withBase = true)
 
   // Brute-force top-3 ground truth over the %50 query sample, ending
   // at `brute (q_id, n_id)` — the SQL twin of bruteTopK, shared by the
@@ -1907,22 +1920,11 @@ object VectorOps {
            SELECT src_id, nbr_id FROM (
              SELECT src_id, nbr_id, row_number() OVER (PARTITION BY src_id
                ORDER BY sim DESC, nbr_id ASC) AS rank
-             FROM gsims) WHERE rank <= 3),
+             FROM gsims) WHERE rank <= 8),
          q AS (SELECT vec_id AS q_id, v AS q_v FROM emb WHERE vec_id % 50 = 0),
-         probe AS (
-           SELECT q.q_id, c.cell,
-             row_number() OVER (PARTITION BY q.q_id ORDER BY
-               round(list_dot_product(q.q_v, c.c_v) /
-                 (sqrt(list_dot_product(q.q_v, q.q_v)) *
-                  sqrt(list_dot_product(c.c_v, c.c_v))), 9) DESC,
-               c.cell ASC) AS crk
-           FROM q, cv3 c),
-         centry AS (
-           SELECT cell, min(vec_id) AS cand FROM asgnF
-           WHERE crk = 1 GROUP BY cell),
+         ${ann5RankedCtesP("e_", withBase = false)},
          beam0 AS (
-           SELECT DISTINCT p.q_id, ce.cand
-           FROM probe p JOIN centry ce USING (cell) WHERE p.crk <= 2),
+           SELECT q_id, n_id AS cand FROM e_ranked WHERE rank <= 3),
          ${ann21RoundCtes(1)},
          ${ann21RoundCtes(2)},
          ${ann21RoundCtes(3)},
