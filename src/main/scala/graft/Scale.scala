@@ -312,7 +312,11 @@ object Scale {
                     // window); ta22/ta23 are vocabulary-sized EM rounds
                     // over the ta20-shared corpus scan
                     "dd26_dup_regions", "ta22_unigram_vocab",
-                    "ta23_unigram_apply"))
+                    "ta23_unigram_apply",
+                    // round-14: NB classifier (one token explode + a
+                    // 4136-row broadcast model + per-doc rollup — must
+                    // be scan-linear) and its mixture composition
+                    "ta24_quality_classifier", "cp14_classifier_filter"))
         if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while
@@ -445,6 +449,14 @@ object Scale {
       run("mm13_video_frames", 2) {
         graft.operators.Multimodal.inlineVideoFrames(spark,
           Tables.documents(spark, dataDir)).toDF().count()
+      }
+      // round-14: cp13 WRITE throughput — force=true so BOTH timed
+      // runs rewrite the partitioned clustered lake (the row measures
+      // write + verify-read, not the memo hit; min-of-2 is the warm
+      // steady-state of the writer)
+      run("cp13_layout_write", 2) {
+        graft.operators.TextOps.cp13LayoutWrite(spark, dataDir,
+          force = true).count()
       }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)
