@@ -91,7 +91,11 @@ object Scale {
     Bench.forkMain(
         Seq("graft.Scale", baseDir, n.toString, outBase, key),
         timeoutSec = 1800,
-        extraEnv = Map("GRAFT_SCALE_CHILD" -> "1", "GRAFT_SCALE_RUNS" -> "4"))(
+        // 8 child runs: the min of 3 fresh-JVM runs still sits on the
+        // JIT ramp and reads 1.5-2.5x high on small rows — the exact
+        // bias that manufactured the r13 dd11 "confirmation" (NOTES
+        // r14); by run ~6 the decay flattens
+        extraEnv = Map("GRAFT_SCALE_CHILD" -> "1", "GRAFT_SCALE_RUNS" -> "8"))(
         l => if (l.startsWith("{\"scale\":") && l.contains("\"kind\":\"batch\""))
           Some(l) else None)
       .flatMap { line =>
@@ -561,9 +565,20 @@ object Scale {
         var budget = 5
         // quiesce before forking (children need the host, not our cache)
         graft.spark.DfCache.release(spark)
-        results.toSeq.foreach { case (k, (sec, rows)) =>
-          prior.get((n, k)).foreach { pv =>
-            if (pv > 0 && sec > pv * 1.5 && sec - pv > 1.0 && budget > 0) {
+        // spend the budget LARGEST-DELTA-FIRST: the heavy canonical
+        // rows (ta13/gr6/dd20-class) are the ones a reader needs
+        // arbitrated; registry order would burn the budget on
+        // sub-second rows that drift first alphabetically
+        val candidates = results.toSeq
+          .flatMap { case (k, (sec, rows)) =>
+            prior.get((n, k)).collect {
+              case pv if pv > 0 && sec > pv * 1.5 && sec - pv > 1.0 =>
+                (k, sec, rows, pv)
+            }
+          }
+          .sortBy { case (_, sec, _, pv) => -(sec - pv) }
+        candidates.foreach { case (k, sec, rows, pv) =>
+            if (budget > 0) {
               budget -= 1
               isolatedScaleSec(baseDir, n, outBase, k) match {
                 case Some(iso) =>
@@ -584,7 +599,6 @@ object Scale {
                     "failed; flagging drifted (unarbitrated)")
               }
             }
-          }
         }
       }
       def jq(s: String) = "\"" + s + "\""
