@@ -44,6 +44,24 @@ object Bench {
     dt
   }
 
+  /** The measurement action for every gate headline (round 14):
+    * execute the FULL physical plan and count its materialized rows.
+    * `df.count()` plants an Aggregate over the gate plan and lets the
+    * optimizer specialize it — Spark 4's distinct-keys elimination
+    * drops outer joins against unique-keyed aggregates, and column
+    * pruning drops windows/value expressions whose results don't
+    * affect cardinality — so the headline measured a plan the gate
+    * never runs for a real consumer (PlanAudit's round-14 sweep found
+    * 16 such gates; ta24's Scale row read 0.16 s at 100× where the
+    * materialized chain costs ~1.3-2.8 s). `toRdd.count()` runs the
+    * plan EXACTLY as a row consumer sees it — every join, window,
+    * value column, and the final sort — and counting InternalRows
+    * adds no measurable overhead. Spec-pinned by an accumulator probe
+    * in HarnessSpec (count() skips the eliminated side's work;
+    * materializedCount performs it). */
+  def materializedCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def loadavg(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split("\\s+")(0).toDouble
@@ -227,7 +245,7 @@ object Bench {
       // never become the min/median anyway.
       def timedRun(recordErr: Boolean): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { materializedCount(fn(spark, sfDir)) }
         catch { case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           if (recordErr) err = Some(msg)

@@ -40,7 +40,7 @@ object BenchOne {
       .getOrElse(if (isStream) 4 else 3)
     val runs = (1 to nRuns).map { _ =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      Bench.materializedCount(fn(spark, sfDir))
       (System.nanoTime() - t0) / 1e9
     }
     // batch: min of the warm runs (with the arbitration default of 8

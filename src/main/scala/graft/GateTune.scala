@@ -33,10 +33,10 @@ object GateTune {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.startsWith(prefix))
       .foreach { case (name, fn) =>
-        fn(spark, dir).count() // discarded warm-up
+        Bench.materializedCount(fn(spark, dir)) // discarded warm-up
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          Bench.materializedCount(fn(spark, dir))
           (System.nanoTime() - t0) / 1e9
         }.sorted
         total += ts(1)

@@ -258,6 +258,44 @@ object PlanAudit {
     w.children.exists(search(_, filterSeen = false))
   }
 
+  /** Count-plan elision probe (round 14): joins/windows counted in the
+    * gate's optimized ROW plan vs its optimized COUNT plan. Under a
+    * count-only consumer, Spark 4's distinct-keys join elimination
+    * drops outer joins against unique-keyed aggregates, and column
+    * pruning drops windows/value expressions whose results don't
+    * affect cardinality — a `.count()`-driven benchmark then measures
+    * a plan the gate never runs for real consumers. A sweep of this
+    * probe over all 188 gates found 16 such cases (ann21's count plan
+    * eliminates 54 joins; ta24's Scale row read 0.16 s at 100× where
+    * the materialized chain costs ~1.3 s), which is why every
+    * measurement main drives gates through [[Bench.materializedCount]]
+    * (full toRdd materialization — nothing elidable) instead of
+    * count(). Exposed for the HarnessSpec contract tests; not a plan
+    * VIOLATION, because gate plans are allowed to be elidable — the
+    * harness just must not hand the optimizer the chance. */
+  private[graft] def countElision(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def counts(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): (Int, Int) = {
+      var j = 0; var w = 0
+      p.foreach {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => j += 1
+        case _: org.apache.spark.sql.catalyst.plans.logical.Window => w += 1
+        case _ => ()
+      }
+      (j, w)
+    }
+    val (rowJoins, rowWindows) = counts(df.queryExecution.optimizedPlan)
+    val (cntJoins, cntWindows) =
+      counts(df.groupBy().count().queryExecution.optimizedPlan)
+    (if (cntJoins < rowJoins)
+      Seq(s"count() plan eliminates ${rowJoins - cntJoins} join(s)")
+    else Seq.empty) ++
+    (if (cntWindows < rowWindows)
+      Seq(s"count() plan eliminates ${rowWindows - cntWindows} window(s)")
+    else Seq.empty)
+  }
+
   /** Audit one executed DataFrame (the plan must be finalized by an
     * action first); returns the rule violations. Exposed so specs can
     * audit plans outside the gate registry (e.g. the partitioned-scan

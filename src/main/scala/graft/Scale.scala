@@ -27,6 +27,17 @@ import graft.sources.ScaleCorpus
   */
 object Scale {
 
+  /** Every experiment body materializes through
+    * [[Bench.materializedCount]] (round 14): a bare `df.count()` lets
+    * the optimizer specialize the plan for cardinality-only consumers
+    * (outer-join elimination on unique keys, value/window pruning), so
+    * a timed count could measure a plan the operator never runs for
+    * real output — ta24's first rows read 0.16 s at 100× where the
+    * materialized chain costs ~1.3 s. */
+  private implicit class MCount(df: DataFrame) {
+    def mcount(): Long = Bench.materializedCount(df)
+  }
+
   private def timed(runs: Int)(body: => Long): (Double, Long) = {
     val rs = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
@@ -82,7 +93,7 @@ object Scale {
     * (the Bench.isolatedHeadline pattern applied to Scale): the child
     * runs `graft.Scale baseDir n outBase <exactName>` with
     * GRAFT_SCALE_CHILD=1 (no recursive arbitration) and
-    * GRAFT_SCALE_RUNS=4 (two extra timed runs so the fresh JVM's JIT
+    * GRAFT_SCALE_RUNS=8 (extra timed runs so the fresh JVM's JIT
     * ramp cannot masquerade as a confirmed regression — the dd11
     * lesson, Bench.isolatedHeadline), and its one batch JSON line is
     * parsed for the experiment's seconds. */
@@ -176,30 +187,30 @@ object Scale {
         if (want(name))
           results(name) = timed(runsOverride.fold(runs)(math.max(_, runs)))(body)
       run("sp3_relation_counts", 2) {
-        SpatialJoin.relationCounts(partS, suppS).count() }
+        SpatialJoin.relationCounts(partS, suppS).mcount() }
       run("sp12_balanced_im", 2) {
-        SkewBalancing.balancedDe9im(triS, suppS, zThreshold = 0.0).count() }
+        SkewBalancing.balancedDe9im(triS, suppS, zThreshold = 0.0).mcount() }
       run("pr1_progressive_mbro", 2) {
         Progressive.progressiveVerify(partS, suppS, "w_mbro",
-          budget = 200 * n, relation = "contains").count() }
+          budget = 200 * n, relation = "contains").mcount() }
       run("pr10_early_stopping", 2) {
         ProgressiveTyped.earlyStopping(partS, suppS, "w_js",
           relation = "contains", batchSize = 100,
-          precisionLevel = 0.0, maxViolations = 1).toDF().count() }
+          precisionLevel = 0.0, maxViolations = 1).toDF().mcount() }
       // J8 early-exit decision: forced-segmented adaptive IM (the sp10
       // shape), exact union form vs RANK early-exit, same corpus
       run("seg_exact", 2) {
-        SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4).count() }
+        SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4).mcount() }
       run("seg_earlyexit", 2) {
         SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4,
-          earlyExit = true).count() }
+          earlyExit = true).mcount() }
       val segDiff = if (!want("seg")) -1L else
         SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4)
           .select(col("s_id"), col("t_id"), col("intersects"))
           .exceptAll(SpatialJoin.de9imAdaptive(triS, suppS, minPoints = 4,
             earlyExit = true)
             .select(col("s_id"), col("t_id"), col("intersects")))
-          .count()
+          .mcount()
       // sp15's kNN at scale: supplier-box centroids probing the part
       // corpus (100k queries vs 2M targets at 100x) — the measured
       // curve for the grid+certificate+residual operator whose
@@ -210,7 +221,7 @@ object Scale {
         ((col("miny") + col("maxy")) / 2).as("y"))
       run("sp15_knn_join", 2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"),
-          centroids(partS, "tgt_id"), k = 3).count() }
+          centroids(partS, "tgt_id"), k = 3).mcount() }
       // sp15 on a HEAVILY CLUSTERED corpus: 95 % of targets squeezed
       // into 1 % of the domain area (coords/10), sources spread across
       // the full extent. The round-8 single-shot residual (uncertified
@@ -225,13 +236,13 @@ object Scale {
         .withColumn("y", when(spreadTgt, col("y")).otherwise(col("y") / 10))
       run("sp15_knn_clustered", 2) {
         KnnJoin.knnJoin(centroids(suppS, "src_id"), tgtClustered, k = 3)
-          .count() }
+          .mcount() }
       // sp16's ε-distance join on the same corpora: the g≥ε grid keeps
       // candidates ~ n·(targets/cells-touched) — the curve should track
       // output growth (pair density × corpus²), not the raw product
       run("sp16_distance_join", 2) {
         DistanceJoin.distanceJoin(centroids(suppS, "src_id"),
-          centroids(partS, "tgt_id"), radius = 5.0).count() }
+          centroids(partS, "tgt_id"), radius = 5.0).mcount() }
       // dd15 includes the dd9 pointer-jumping CC over the dd5 pair
       // graph — the iterative-DataFrame scale shape, measured here for
       // the first time (r7); ann11 is ann8 + the bounded exact rerank.
@@ -321,7 +332,7 @@ object Scale {
                     // 4136-row broadcast model + per-doc rollup — must
                     // be scan-linear) and its mixture composition
                     "ta24_quality_classifier", "cp14_classifier_filter"))
-        if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).count() }
+        if (want(q)) results(q) = timed(2) { SparkEntry.queries(q)(spark, dataDir).mcount() }
       // ann18 at scale runs the PRODUCTION query shape: a FIXED-size
       // query sample (stride 50·n keeps |Q| at the sf-base ~count while
       // the corpus grows n×), so the by-definition-exact brute
@@ -331,14 +342,14 @@ object Scale {
       // at the deployment contract (documented in SCALING.md r11).
       run("ann18_recall_eval", 2) {
         graft.operators.VectorOps.ann18RecallEval(spark, dataDir,
-          qStride = 50L * n).count() }
+          qStride = 50L * n).mcount() }
       // ann21 at the same deployment contract as ann18: fixed-size
       // query sample (stride 50·n), so the brute ground-truth arm is a
       // constant broadcast sample × one scan — the beam serving itself
       // is candidate-bounded (≤ 4·beam rows per query per hop)
       run("ann21_beam_search", 2) {
         graft.operators.VectorOps.ann21BeamRecall(spark, dataDir,
-          qStride = 50L * n).count() }
+          qStride = 50L * n).mcount() }
       // round-10: 3-iteration PageRank over the N× interaction graph
       // (disjoint shifted copies of the sf-base customer–supplier
       // edges — the scaled dirs carry no TPC-H tables). Per-iteration
@@ -353,17 +364,17 @@ object Scale {
         val gn = ge.select(col("src").as("id")).distinct()
         val gc = gn.count()
         graft.operators.GraphOps.pagerank(ge,
-          gn.select(col("id"), lit(1.0 / gc.toDouble).as("w"))).count()
+          gn.select(col("id"), lit(1.0 / gc.toDouble).as("w"))).mcount()
       }
       // round-10 wave 2 graph rows over the same scaled edge frame:
       // k-core rounds are a per-copy structural property (disjoint
       // shifted copies of one base graph), so the curve isolates
       // edge-volume cost; label propagation is 3 edge-sized joins.
       run("gr6_kcore", 2) {
-        graft.operators.GraphOps.kcore(ge, k = 30, maxRounds = 8).count()
+        graft.operators.GraphOps.kcore(ge, k = 30, maxRounds = 8).mcount()
       }
       run("gr7_label_prop", 2) {
-        graft.operators.GraphOps.labelPropagation(ge, rounds = 3).count()
+        graft.operators.GraphOps.labelPropagation(ge, rounds = 3).mcount()
       }
       // round-11: multi-source BFS over the same scaled edge frame —
       // 1 % of nodes seeded (hash-picked, deterministic); per-round
@@ -372,7 +383,7 @@ object Scale {
       run("gr8_bfs_reach", 2) {
         val seeds = ge.select(col("src").as("id")).distinct()
           .filter(pmod(xxhash64(col("id")), lit(100)) === 0)
-        graft.operators.GraphOps.bfsHops(ge, seeds, maxHops = 4).count()
+        graft.operators.GraphOps.bfsHops(ge, seeds, maxHops = 4).mcount()
       }
       // round-11: weighted min-plus over the same scaled edges with a
       // deterministic hash weight (the workload shape — edge join +
@@ -382,7 +393,7 @@ object Scale {
           pmod(xxhash64(col("src"), col("dst")), lit(7)) + 1)
         val seeds = ge.select(col("src").as("id")).distinct()
           .filter(pmod(xxhash64(col("id")), lit(100)) === 0)
-        graft.operators.GraphOps.minPlusSssp(we, seeds, rounds = 4).count()
+        graft.operators.GraphOps.minPlusSssp(we, seeds, rounds = 4).mcount()
       }
       // round-11: the mm8 compute path (encode → PNG decode → dHash →
       // two key-grouped aggs) over in-flight bytes — the codec cost
@@ -392,7 +403,7 @@ object Scale {
       run("mm8_image_profile", 2) {
         graft.operators.Multimodal.imageDedupProfile(
           graft.operators.Multimodal.inlineImageHashes(spark,
-            Tables.documents(spark, dataDir)).toDF()).count()
+            Tables.documents(spark, dataDir)).toDF()).mcount()
       }
       // round-11: framed audio features over in-flight WAV bytes —
       // synth + decode + frame are constant per doc, so the curve
@@ -400,7 +411,7 @@ object Scale {
       // gate's one-file-per-clip lake applies unchanged)
       run("mm9_audio_frames", 2) {
         graft.operators.Multimodal.inlineAudioFrames(spark,
-          Tables.documents(spark, dataDir)).toDF().count()
+          Tables.documents(spark, dataDir)).toDF().mcount()
       }
       // round-11: neighborhood Jaccard over the dd5 near-dup pair
       // graph (the cc section's corpus — doc-scaled and SPARSE, the
@@ -412,7 +423,7 @@ object Scale {
         // the pair frame is the INPUT (shared gr9Pairs memo), so
         // min-of-2 isolates the wedge join + pair agg
         graft.operators.GraphOps.neighborhoodJaccard(
-          gr9Pairs(), minCommon = 1L, maxHubDeg = 64).count()
+          gr9Pairs(), minCommon = 1L, maxHubDeg = 64).mcount()
       }
       // round-11 wave 4: triangle counts + local clustering coefficient
       // over the SAME dd5 near-dup pair graph as gr9 (sparse similarity
@@ -420,7 +431,7 @@ object Scale {
       run("gr11_clustering", 2) {
         // the GATE's own plan (shared helper), different corpus — a
         // change to the gated operator is what this row measures
-        graft.operators.GraphOps.clusteringCoeff(gr9Pairs()).count()
+        graft.operators.GraphOps.clusteringCoeff(gr9Pairs()).mcount()
       }
       // modularity over the same pair graph: 3 LP rounds + two label
       // joins + community aggregation (the LP cost dominates; gr7's
@@ -431,28 +442,28 @@ object Scale {
           .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
         graft.operators.GraphOps.modularity(pairs,
           graft.operators.GraphOps.labelPropagation(edges, rounds = 3))
-          .count()
+          .mcount()
       }
       // round-11 wave 4: decimation over in-flight WAV bytes (synth +
       // decode + box mean are constant per clip — doc-linear, the mm9
       // exclusion argument for the gate's file lake applies unchanged)
       run("mm11_audio_resample", 2) {
         graft.operators.Multimodal.inlineAudioResample(spark,
-          Tables.documents(spark, dataDir)).toDF().count()
+          Tables.documents(spark, dataDir)).toDF().mcount()
       }
       // round-11 wave 5: full transcode chain over in-flight bytes
       // (BMP decode + PNG deflate encode + PNG inflate decode per doc —
       // constant per clip, so the curve should be doc-linear)
       run("mm12_transcode", 2) {
         graft.operators.Multimodal.inlineTranscode(spark,
-          Tables.documents(spark, dataDir)).toDF().count()
+          Tables.documents(spark, dataDir)).toDF().mcount()
       }
       // round-12: AVI synth + RIFF walk + 3 JPEG frame decodes per doc
       // (constant per clip — doc-linear, the mm9/mm12 exclusion
       // argument for the gate's one-file-per-clip lake applies)
       run("mm13_video_frames", 2) {
         graft.operators.Multimodal.inlineVideoFrames(spark,
-          Tables.documents(spark, dataDir)).toDF().count()
+          Tables.documents(spark, dataDir)).toDF().mcount()
       }
       // round-14: cp13 WRITE throughput — force=true so BOTH timed
       // runs rewrite the partitioned clustered lake (the row measures
@@ -460,12 +471,12 @@ object Scale {
       // steady-state of the writer)
       run("cp13_layout_write", 2) {
         graft.operators.TextOps.cp13LayoutWrite(spark, dataDir,
-          force = true).count()
+          force = true).mcount()
       }
       // sp19 overlay measure over the scaled jittered boxes (double
       // areas — the integer-exact contract is gate-corpus-only)
       run("sp19_overlay_area", 2) {
-        SpatialJoin.overlayArea(partS, suppS).count()
+        SpatialJoin.overlayArea(partS, suppS).mcount()
       }
       // sp20 tile-occupancy histogram over the scaled part corpus —
       // the join's own explode + key agg, measured standalone (the
@@ -476,7 +487,7 @@ object Scale {
         partS.select(explode(tile_cover(col("minx"), col("miny"),
             col("maxx"), col("maxy"), 10.0, 10.0)).as("tile"))
           .groupBy(col("tile")).agg(count(lit(1)).as("n_geoms"))
-          .count()
+          .mcount()
       }
       // dd9/dd15's iterative-CC convergence curve: rounds should grow
       // ~log(max cluster diameter), not with corpus size — measured for
@@ -500,7 +511,7 @@ object Scale {
       val dd5Perms = if (docs <= 100000) 16 else 24
       run(s"dd5_wide_signature_$dd5Perms", 2) {
         graft.operators.TextOps.dd5LshPairs(spark, dataDir,
-          perms = dd5Perms, numBands = 4).count() }
+          perms = dd5Perms, numBands = 4).mcount() }
       // dd8 gate width (8 planes / 4 bands = 2 bits/band, 4 bucket
       // values) is oracle-friendly but collides ~everything as n grows
       // (quadratic candidates, measured 48 s at 10×) — capped at 10×,
@@ -508,7 +519,7 @@ object Scale {
       val vecs = corpus("vecs")
       if (vecs <= 50000)
         run("dd8_lsh_embedding_dups", 2) {
-          SparkEntry.queries("dd8_lsh_embedding_dups")(spark, dataDir).count() }
+          SparkEntry.queries("dd8_lsh_embedding_dups")(spark, dataDir).mcount() }
       else println(s"[scale] skipping dd8_lsh_embedding_dups at n=$vecs: " +
         "gate-width signature (4 buckets/band) is quadratic past ~50k vectors")
       // dd8 at production signature width: since round 8 this IS the
@@ -517,7 +528,7 @@ object Scale {
       // the curve below is the hash-gated form's curve, not a
       // harness-only variant.
       run("dd8_scaled_dups", 2) {
-        SparkEntry.queries("dd8_scaled_dups")(spark, dataDir).count() }
+        SparkEntry.queries("dd8_scaled_dups")(spark, dataDir).mcount() }
 
       // Streaming state-scale moved to [[ScaleStream]] (round 11): the
       // streaming curves were measured in the SAME JVM as ~40 batch
@@ -534,7 +545,7 @@ object Scale {
         if (want("a6")) SpatialJoin.de9imWithStats(partS, suppS)
         else (spark.emptyDataFrame,
           Map.empty[Int, SpatialJoin.PartitionStats])
-      if (want("a6")) counted.count()
+      if (want("a6")) counted.mcount()
       val verifs = stats.values.map(_.verifications.toDouble).toSeq
       val a6 =
         if (verifs.isEmpty) """"parts":0"""

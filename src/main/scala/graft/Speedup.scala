@@ -51,7 +51,7 @@ object Speedup {
         val fn = SparkEntry.queries(name)
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          Bench.materializedCount(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
         name -> runs.tail.min

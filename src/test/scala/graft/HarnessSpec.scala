@@ -65,6 +65,38 @@ class HarnessSpec extends AnyFunSuite {
       new java.io.File(d, "nope.json").getAbsolutePath).isEmpty)
   }
 
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[2]").config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+
+  test("materializedCount executes work that count() elides: an outer " +
+       "join against a unique-keyed aggregate (the ta24 trap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("probe")
+    val bump = udf { (x: Long) => acc.add(1); x }
+    val left = (1L to 100L).toDF("k")
+    val right = (1L to 100L).toDF("k")
+      .groupBy($"k").agg(max(bump($"k")).as("v")) // unique key + probed value
+    val joined = left.join(right, Seq("k"), "left")
+    // count(): Spark 4 eliminates the outer join (right side unique,
+    // only cardinality consumed) — the probe must NOT fire
+    acc.reset()
+    assert(joined.count() === 100)
+    val elidedBumps = acc.value
+    assert(PlanAudit.countElision(joined).nonEmpty,
+      "probe setup no longer elidable — rewrite the fixture")
+    // materializedCount: full plan — the probe MUST fire
+    acc.reset()
+    assert(Bench.materializedCount(joined) === 100)
+    assert(acc.value > 0,
+      "materializedCount skipped the joined side's computation")
+    assert(elidedBumps === 0,
+      s"count() unexpectedly computed the elidable side ($elidedBumps bumps) " +
+        "— if Spark stopped eliminating this, the harness rationale doc " +
+        "should be refreshed (behavior is still correct)")
+  }
+
   test("forkMain round-trips a child JVM and picks the matching " +
        "stdout line") {
     // java -version writes to stderr; use -help? Simplest real child:
