@@ -366,13 +366,21 @@ object TextOps {
     * with fewer than 3 tokens have no 3-grams → ratio 0. */
   def ta7RepetitionRatio(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.GeomFunctions.barrier
-    val tk = tokens(col("text"))
-    // shinglesOf's sequence(0, n-3) runs BACKWARDS for n < 3 — guard
-    // short docs to an empty shingle list instead
-    val sh = barrier(when(size(tk) >= 3, shinglesOf(tk))
-      .otherwise(typedLit(Seq.empty[String])))
+    // barrier ONLY the token split (the docShingles recipe), keeping
+    // the shingle transform + array_distinct inside whole-stage
+    // codegen: ExprBarrier is CodegenFallback, and the original form
+    // (barrier around the whole when/shingles tree) ran the entire
+    // per-doc array pipeline interpreted — 17 s vs 1.8 s at sf0.1,
+    // exposed the moment the bench switched to materialized row counts
+    // (count() had been eliding the value work entirely). The when()
+    // still guards shinglesOf's backwards sequence(0, n-3) for short
+    // docs; the barrier still pins the split's evaluation point.
+    val w = barrier(tokens(col("text")))
     documents(s, dir)
-      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3, shinglesOf(col("w")))
+          .otherwise(typedLit(Seq.empty[String])).as("sh"))
       .select(col("doc_id"),
         greatest(size(col("sh")), lit(0)).as("n_shingles"),
         greatest(size(array_distinct(col("sh"))), lit(0)).as("n_distinct"))
