@@ -155,7 +155,13 @@ object PlanAudit {
       }
       x +: kids.flatMap(all)
     }
-    all(p).exists(isAggregate)
+    all(p).exists {
+      // a lineage-cut memo frame (DfCache round 15) erases its build
+      // plan — the aggregate proof lives in the recorded provenance
+      case r: org.apache.spark.sql.execution.RDDScanExec =>
+        graft.spark.DfCache.isAggregateReduced(r.rdd.id)
+      case other => isAggregate(other)
+    }
   }
 
   private def isReducedBroadcastProduct(b: BroadcastNestedLoopJoinExec): Boolean = {
@@ -223,13 +229,16 @@ object PlanAudit {
     * domain (time-retention-bounded), not a data-proportional row set. */
   private val allowedLowNdvWindows = Set("q16_hourly_anomaly")
 
-  private def windowPartitionNames(w: WindowExec): Set[String] =
-    w.partitionSpec.flatMap {
+  private def partitionNames(spec: Seq[Expression]): Set[String] =
+    spec.flatMap {
       case a: Attribute => Seq(a.name.toLowerCase(java.util.Locale.ROOT))
       // computed partition keys (md5 shards etc.) project to fresh
       // attrs (_w0...) — never in the low-NDV list, so not flagged
       case e => e.references.map(_ => "__computed__").toSeq.take(1)
     }.toSet
+
+  private def windowPartitionNames(w: WindowExec): Set[String] =
+    partitionNames(w.partitionSpec)
 
   /** True when `w` is the GLOBAL stage of the proven shard-local →
     * global decomposition: some descendant WindowExec partitions by a
@@ -242,13 +251,23 @@ object PlanAudit {
     // stages (the rank cap that bounds the global stage's input at
     // shards × k rows per key) — a superset-key window alone, with the
     // global window running over the full un-filtered row set, is
-    // exactly the funnel this rule exists to flag
+    // exactly the funnel this rule exists to flag.
+    // Spark 4's InferWindowGroupLimit can REWRITE the local stage: when
+    // the rank column itself is pruned (a column-pruned duplicate arm of
+    // a diamond), Window+Filter collapses into a bare WindowGroupLimitExec
+    // in Final mode — itself the cap (≤ limit rows per key emitted), so
+    // it satisfies the exemption with no separate Filter.
     def search(p: SparkPlan, filterSeen: Boolean): Boolean = p match {
       // unwrap AQE wrappers (children = Nil on a QueryStageExec) the
       // same way walk() does, or the search dies at a stage boundary
       case a: AdaptiveSparkPlanExec => search(a.executedPlan, filterSeen)
       case q: QueryStageExec => search(q.plan, filterSeen)
+      case r: ReusedExchangeExec => search(r.child, filterSeen)
       case f: FilterExec => f.children.exists(search(_, true))
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        val theirs = partitionNames(g.partitionSpec)
+        (mine.subsetOf(theirs) && theirs.size > mine.size) ||
+          g.children.exists(search(_, filterSeen))
       case inner: WindowExec =>
         val theirs = windowPartitionNames(inner)
         (filterSeen && mine.subsetOf(theirs) && theirs.size > mine.size) ||

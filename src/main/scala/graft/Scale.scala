@@ -76,7 +76,10 @@ object Scale {
           val close = line.indexOf('}', secIdx)
           if (close > secIdx) {
             val body = line.substring(secIdx + 6, close)
-            "\"([A-Za-z0-9_]+)\":\\s*(-?[0-9.Ee+]+)".r.findAllMatchIn(body)
+            // '-' inside the class so scientific notation with a
+            // negative exponent (5e-3) parses instead of silently
+            // disabling arbitration for the key (round-15 ADVICE)
+            "\"([A-Za-z0-9_]+)\":\\s*(-?[0-9.Ee+-]+)".r.findAllMatchIn(body)
               .foreach { m =>
                 m.group(2).toDoubleOption.foreach { v =>
                   val k = (scale.get, m.group(1))
@@ -98,15 +101,25 @@ object Scale {
     * lesson, Bench.isolatedHeadline), and its one batch JSON line is
     * parsed for the experiment's seconds. */
   def isolatedScaleSec(baseDir: String, n: Int, outBase: String,
-                       key: String): Option[Double] =
+                       key: String, measuredSec: Double = -1.0): Option[Double] = {
+    // 8 child runs by default: the min of 3 fresh-JVM runs still sits
+    // on the JIT ramp and reads 1.5-2.5x high on small rows — the
+    // exact bias that manufactured the r13 dd11 "confirmation" (NOTES
+    // r14); by run ~6 the decay flattens. For HEAVY rows, 8 runs can
+    // exceed the child timeout — exactly the largest-delta candidates
+    // the budget probes first would then be permanently mislabeled
+    // "drifted (unarbitrated)" (round-15 ADVICE) — so when the
+    // in-session cost is known, the run count adapts:
+    // runs = clamp(3..8, 60% of the timeout / per-run cost).
+    val timeoutSec = 1800L
+    val runs =
+      if (measuredSec <= 0) 8
+      else math.max(3, math.min(8, (timeoutSec * 0.6 / measuredSec).toInt))
     Bench.forkMain(
         Seq("graft.Scale", baseDir, n.toString, outBase, key),
-        timeoutSec = 1800,
-        // 8 child runs: the min of 3 fresh-JVM runs still sits on the
-        // JIT ramp and reads 1.5-2.5x high on small rows — the exact
-        // bias that manufactured the r13 dd11 "confirmation" (NOTES
-        // r14); by run ~6 the decay flattens
-        extraEnv = Map("GRAFT_SCALE_CHILD" -> "1", "GRAFT_SCALE_RUNS" -> "8"))(
+        timeoutSec = timeoutSec,
+        extraEnv = Map("GRAFT_SCALE_CHILD" -> "1",
+          "GRAFT_SCALE_RUNS" -> runs.toString))(
         l => if (l.startsWith("{\"scale\":") && l.contains("\"kind\":\"batch\""))
           Some(l) else None)
       .flatMap { line =>
@@ -114,6 +127,7 @@ object Scale {
           .findFirstMatchIn(line.substring(math.max(line.indexOf("\"sec\":"), 0)))
           .flatMap(_.group(1).toDoubleOption)
       }
+  }
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -571,11 +585,40 @@ object Scale {
       val drifted = scala.collection.mutable.ArrayBuffer.empty[String]
       val hostDrift = scala.collection.mutable.ArrayBuffer.empty[String]
       val isolated = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      // Iterative-family rows run in CHILD JVMs by default (round-15,
+      // r14 verdict item 1): by the time these rows execute, ~70
+      // memoized frames have churned the heap and the in-session
+      // numbers read up to 14x the fresh-JVM cost (gr1 277 s in-session
+      // vs 19.2 s isolated at 100x in SCALING_r14) — the canonical line
+      // then publishes known-wrong values and the correction is a
+      // manual re-sample convention. The MAIN line now carries the
+      // child measurement; the in-session value is preserved under
+      // `insession` so the contamination stays visible. A failed child
+      // keeps the in-session value (never silently missing).
+      val iterativeFamily = Seq("gr1_pagerank", "gr6_kcore",
+        "gr7_label_prop", "gr8_bfs_reach", "gr10_weighted_sssp",
+        "sp15_knn_clustered")
+      val insession = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      if (!sys.env.contains("GRAFT_SCALE_CHILD")) {
+        // quiesce before forking (children need the host, not our cache)
+        graft.spark.DfCache.release(spark)
+        iterativeFamily.filter(results.contains).foreach { k =>
+          val (sec, rows) = results(k)
+          isolatedScaleSec(baseDir, n, outBase, k, measuredSec = sec) match {
+            case Some(iso) =>
+              insession(k) = sec
+              results(k) = (iso, rows)
+              System.err.println(f"[scale] $k@${n}x: family child $iso%.2fs " +
+                f"replaces in-session $sec%.2fs (canonical-line hygiene)")
+            case None =>
+              System.err.println(s"[scale] $k@${n}x: family child failed; " +
+                "keeping in-session value")
+          }
+        }
+      }
       if (!sys.env.contains("GRAFT_SCALE_CHILD")) {
         val prior = priorScaleSec()
         var budget = 5
-        // quiesce before forking (children need the host, not our cache)
-        graft.spark.DfCache.release(spark)
         // spend the budget LARGEST-DELTA-FIRST: the heavy canonical
         // rows (ta13/gr6/dd20-class) are the ones a reader needs
         // arbitrated; registry order would burn the budget on
@@ -583,7 +626,10 @@ object Scale {
         val candidates = results.toSeq
           .flatMap { case (k, (sec, rows)) =>
             prior.get((n, k)).collect {
-              case pv if pv > 0 && sec > pv * 1.5 && sec - pv > 1.0 =>
+              // family keys already carry a fresh-JVM child value —
+              // a second probe would re-measure the same thing
+              case pv if pv > 0 && sec > pv * 1.5 && sec - pv > 1.0 &&
+                  !iterativeFamily.contains(k) =>
                 (k, sec, rows, pv)
             }
           }
@@ -591,7 +637,7 @@ object Scale {
         candidates.foreach { case (k, sec, rows, pv) =>
             if (budget > 0) {
               budget -= 1
-              isolatedScaleSec(baseDir, n, outBase, k) match {
+              isolatedScaleSec(baseDir, n, outBase, k, measuredSec = sec) match {
                 case Some(iso) =>
                   isolated(k) = iso
                   if (iso <= pv * 1.5) {
@@ -616,6 +662,8 @@ object Scale {
       val driftJson = s""""drifted":${drifted.map(jq).mkString("[", ",", "]")},""" +
         s""""host_drift":${hostDrift.map(jq).mkString("[", ",", "]")},""" +
         s""""isolated":${isolated.map { case (k, v) => f"${jq(k)}:$v%.3f" }
+          .mkString("{", ",", "}")},""" +
+        s""""insession":${insession.map { case (k, v) => f"${jq(k)}:$v%.3f" }
           .mkString("{", ",", "}")},"""
       val qjson = results.map { case (k, (s, _)) => f""""$k":$s%.3f""" }.mkString(",")
       val rjson = results.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")

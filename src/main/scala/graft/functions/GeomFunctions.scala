@@ -443,12 +443,28 @@ case class StReducePrecision(left: Expression, right: Expression)
   * loader — without it, inferred not-null constraints from downstream
   * joins get pushed into the scan filter and inline the full parse
   * expression once per referenced column (~9 redundant parses/row).
+  *
+  * Codegen PASSES THROUGH to the child (round 15; the built-in
+  * TaggingExpression pattern): the barrier's job is optimizer-level
+  * only, but its former CodegenFallback forced the ENTIRE wrapped
+  * subtree into interpreted per-row eval — ta7's shingle pipeline
+  * measured 26x slower that way (17 s vs 0.65 s at sf0.1 after the
+  * leaf-only workaround), and the dd3/dd5/dd18 jaccard verifies, the
+  * ta15 k-gram build and every barrier'd token split were paying the
+  * same hidden tax. Wrapped subtrees that are themselves
+  * CodegenFallback (JTS geometry exprs, higher-order functions)
+  * generate their own fallback call exactly as before.
   */
-case class ExprBarrier(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ExprBarrier(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
   override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    child.genCode(ctx)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 

@@ -1686,8 +1686,17 @@ object TextOps {
     val alpha = when(length(col("text")) > 0,
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
         length(col("text")).cast("double")).otherwise(lit(0.0))
-    val base = graft.spark.DfCache.memo(s, s"$dir#ta24base") {
-      documents(s, dir)
+    // Memoize the NARROW hashed event frame, not the tokenized corpus
+    // (round-15 ADVICE): the previous `ta24base` memo held the full
+    // array<string> token column for the rest of the session — the
+    // exact corpus-token-sized STRING memo class that evicted persisted
+    // graph frames at 100× — and every one of the three event consumers
+    // (train counts, train totals, scoring) re-ran the explode +
+    // per-token md5 on top of it each run. The event frame is 5 longs
+    // per token (~3× smaller than the strings), and the explode + hash
+    // now run ONCE at memo build instead of 3× per run.
+    val events = graft.spark.DfCache.memo(s, s"$dir#ta24events") {
+      val d = documents(s, dir)
         .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
         .withColumn("label", col("n_tokens") >= 15 && alpha >= 0.80)
         .withColumn("bucket",
@@ -1696,20 +1705,24 @@ object TextOps {
         .withColumn("len_b",
           least(floor(col("n_tokens") / 5).cast("long"), lit(19L)))
         .withColumn("alpha_b", floor(alpha * 20).cast("long"))
+      val unigrams = d
         .select(col("doc_id"), col("label"), col("bucket"),
-          col("len_b"), col("alpha_b"), barrier(tokens(col("text"))).as("w"))
+          explode(barrier(tokens(col("text")))).as("word"))
+        .select(col("doc_id"), col("label"), col("bucket"),
+          (wordHash(col("word")) % 4096L).as("h"), lit(1L).as("wt"))
+      val structural = d
+        .select(col("doc_id"), col("label"), col("bucket"),
+          (col("len_b") + 4096L).as("h"), lit(64L).as("wt"))
+        .unionByName(d.select(col("doc_id"), col("label"), col("bucket"),
+          (col("alpha_b") + 4116L).as("h"), lit(64L).as("wt")))
+      unigrams.unionByName(structural)
     }
-    val unigrams = base
-      .select(col("doc_id"), col("label"), col("bucket"),
-        explode(col("w")).as("word"))
-      .select(col("doc_id"), col("label"), col("bucket"),
-        (wordHash(col("word")) % 4096L).as("h"), lit(1L).as("wt"))
-    val structural = base
-      .select(col("doc_id"), col("label"), col("bucket"),
-        (col("len_b") + 4096L).as("h"), lit(64L).as("wt"))
-      .unionByName(base.select(col("doc_id"), col("label"), col("bucket"),
-        (col("alpha_b") + 4116L).as("h"), lit(64L).as("wt")))
-    val events = unigrams.unionByName(structural)
+    // node-sized (doc_id, label) projection for the final join — every
+    // doc emits >= 3 events all carrying its label, so max(label) per
+    // doc_id IS the label (no extra corpus scan)
+    val base = graft.spark.DfCache.memo(s, s"$dir#ta24docs") {
+      events.groupBy(col("doc_id")).agg(max(col("label")).as("label"))
+    }
     val train = events.filter(col("bucket") < 50)
     val counts = train.groupBy(col("h")).agg(
       sum(when(col("label"), col("wt")).otherwise(0L)).as("p"),

