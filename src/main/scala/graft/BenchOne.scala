@@ -22,7 +22,7 @@ object BenchOne {
     val gate = args(0)
     val sfDir = args(1)
     val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    val spark = SparkSession.builder()
+    val spark = graft.spark.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

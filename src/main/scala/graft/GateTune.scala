@@ -21,7 +21,7 @@ object GateTune {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val prefix = args.lift(1).getOrElse("st")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.spark.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

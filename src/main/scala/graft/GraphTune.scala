@@ -21,7 +21,7 @@ object GraphTune {
     val outBase = args.lift(2).getOrElse("/root/repo/scale")
     val kernels = args.lift(3).getOrElse("pr,lp").split(",").toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.spark.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

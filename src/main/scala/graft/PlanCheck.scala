@@ -10,7 +10,7 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq else Seq("sp2_box_intersects")
-    val spark = SparkSession.builder()
+    val spark = graft.spark.SessionTuning(SparkSession.builder())
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

@@ -40,7 +40,7 @@ object Speedup {
     val queryList = args.lift(2).map(_.split(",").map(_.trim).toSeq)
       .getOrElse(flagships)
     for (n <- cores) {
-      val spark = SparkSession.builder()
+      val spark = graft.spark.SessionTuning(SparkSession.builder())
         .master(s"local[$n]")
         .config("spark.sql.shuffle.partitions", n)
         .config("spark.sql.session.timeZone", "UTC")

@@ -9,6 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * be object-store prefixes; nothing here assumes local FS.
   */
 object Tables {
+  // NOTE (round 15): a blanket repartition-after-read was measured here
+  // and REVERTED — it wins only where per-row map work dominates the
+  // scan (dd7's brute cosine arm: 2.43 s → 0.71 s) and loses where the
+  // first operation is an aggregation (q1: 0.46 s → 1.02 s — the
+  // round-robin exchange costs more than the serial partial agg it
+  // parallelizes). The spread is applied site-selectively instead
+  // ([[graft.spark.Spread]]): the brute-force vector arms and the
+  // spatial verification path, never agg-first scans.
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -464,8 +464,29 @@ case class ExprBarrier(child: Expression) extends UnaryExpression {
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    child.genCode(ctx)
+    if (ExprBarrier.codegen) child.genCode(ctx)
+    // interpreted escape hatch (A/B measurements): the pre-round-15
+    // CodegenFallback behavior via a fallback twin
+    else ExprBarrierInterp(child).genCode(ctx)
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Interpreted twin of [[ExprBarrier]] — only instantiated inside the
+  * generated code path when `GRAFT_BARRIER_CODEGEN=0`. */
+case class ExprBarrierInterp(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object ExprBarrier {
+  /** `GRAFT_BARRIER_CODEGEN=0` restores the interpreted barrier for
+    * A/B measurements. */
+  val codegen: Boolean =
+    sys.env.getOrElse("GRAFT_BARRIER_CODEGEN", "1") != "0"
 }
 
 /** Column-API wrappers. */

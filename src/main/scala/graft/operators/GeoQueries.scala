@@ -98,30 +98,24 @@ object GeoQueries {
                   (build: => DataFrame): DataFrame =
     graft.spark.DfCache.memo(s, s"$dir#$key")(build)
 
-  /** Spread an UNSPLITTABLE small scan across the session's cores
-    * before the WKT parse (round 15, guide §2.5's repartition-after-
-    * read fix): the gate-scale tables are single-row-group parquet
-    * files, so the scan is 1 partition no matter what
-    * `files.minPartitionNum` asks for — and because the spatial joins
-    * broadcast their small sides, NOTHING downstream ever re-shuffled:
-    * the entire parse → tile join → DE-9IM verification pipeline
-    * inherited parallelism 1 (sp10 measured as 8 single-task stages,
-    * 4.7 s of serial JTS on a 32-core session). The exchange moves the
-    * raw (id, wkt) projection once — trivially small here, and a no-op
-    * at production scale where scans already exceed defaultParallelism
-    * (the guard), so nothing is tuned to local mode. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
-    val p = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
-  }
+  // NOTE (round 15): corpus-level spreading (repartition the parsed
+  // entities across cores) was measured here and REVERTED — it fixed
+  // the serialized DE-9IM verification (sp10 3.6 s -> 1.4 s) but made
+  // every per-partition-machinery consumer of the same memos SLOWER
+  // (TypedGiant/Progressive/SkewBalancing build per-partition
+  // indexes/budgets: sp13 0.66 -> 1.09 s, pr11 1.39 -> 2.58 s, sp12
+  // 1.32 -> 2.67 s fresh-JVM A/B). The verification parallelism fix
+  // lives where the cost is -- SpatialJoin.candidatePairs spreads the
+  // NARROW pair frame before the blob joins -- and the corpora keep
+  // their natural scan partitioning.
 
   private[graft] def partBoxes(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "partBoxes") {
-      SpatialJoin.entities(spread(s, partBoxWkt(part(s, dir))), col("id"), col("wkt"))
+      SpatialJoin.entities(partBoxWkt(part(s, dir)), col("id"), col("wkt"))
     }
   private[graft] def supplierBoxes(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "supplierBoxes") {
-      SpatialJoin.entities(spread(s, supplierBoxWkt(supplier(s, dir))), col("id"), col("wkt"))
+      SpatialJoin.entities(supplierBoxWkt(supplier(s, dir)), col("id"), col("wkt"))
     }
 
   /** Deterministic per-entity dates for the spatio-temporal join. */
@@ -129,24 +123,24 @@ object GeoQueries {
     date_add(to_date(lit("1995-06-01")), (key % 10).cast("int"))
   private def partBoxesTemporal(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(
-      spread(s, partBoxWkt(part(s, dir)).withColumn("ts", derivedDate(col("id")))),
+      partBoxWkt(part(s, dir)).withColumn("ts", derivedDate(col("id"))),
       col("id"), col("wkt"), "ts" -> col("ts"))
   private def supplierBoxesTemporal(s: SparkSession, dir: String): DataFrame =
     SpatialJoin.entities(
-      spread(s, supplierBoxWkt(supplier(s, dir)).withColumn("ts", derivedDate(col("id")))),
+      supplierBoxWkt(supplier(s, dir)).withColumn("ts", derivedDate(col("id"))),
       col("id"), col("wkt"), "ts" -> col("ts"))
   private[graft] def customerPoints(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "customerPoints") {
-      SpatialJoin.entities(spread(s, customerPointWkt(customer(s, dir))), col("id"), col("wkt"))
+      SpatialJoin.entities(customerPointWkt(customer(s, dir)), col("id"), col("wkt"))
     }
   private[graft] def customerTriangles(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "customerTriangles") {
-      SpatialJoin.entities(spread(s, customerTriangleWkt(customer(s, dir))), col("id"), col("wkt"))
+      SpatialJoin.entities(customerTriangleWkt(customer(s, dir)), col("id"), col("wkt"))
     }
 
   private[graft] def orderSegments(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "orderSegments") {
-      SpatialJoin.entities(spread(s, orderSegmentWkt(orders(s, dir))), col("id"), col("wkt"))
+      SpatialJoin.entities(orderSegmentWkt(orders(s, dir)), col("id"), col("wkt"))
     }
 
   /** Mixed-shape corpus (boxes ∪ triangles) with ids prefixed for the

@@ -207,9 +207,21 @@ object SpatialJoin {
   /** Candidate pairs after tile join + MBR filter + reference-point
     * dedup. Output: s_* and t_* columns, one row per qualifying pair.
     * Entity ids must be unique per side (the engine-wide contract,
-    * like the reference's originalID). */
+    * like the reference's originalID).
+    *
+    * The NARROW pair frame is spread on s_id before the blob joins
+    * (round 15): at gate scale the corpora are 1-partition scans and
+    * both blob joins broadcast, so the downstream JTS verification —
+    * ~ms per pair — inherited parallelism 1 (sp10 measured as 8
+    * single-task stages, 3.6 s serial vs 1.4 s spread, fresh-JVM A/B).
+    * The exchange carries ~50 B/pair; at production scale the first
+    * blob join is a sort-merge on s_id whose exchange this simply
+    * makes explicit — not an extra shuffle — and AQE may still
+    * coalesce it (REPARTITION_BY_COL is coalescable) subject to the
+    * [[graft.spark.SessionTuning]] floor. */
   def candidatePairs(source: DataFrame, target: DataFrame, theta: Theta): DataFrame =
     candidatePairsNarrow(source, target, theta)
+      .repartition(col("s_id"))
       .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
 

@@ -31,7 +31,7 @@ object VectorOps {
     * uses the similarity rounded to 9 decimals so order is stable
     * across engines' last-ulp differences, with vec_id as tie-break. */
   def ann1CosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir)
+    val emb = graft.spark.Spread(embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -103,7 +103,13 @@ object VectorOps {
     * probe); the exactness property (nprobe = k recovers brute force)
     * is additionally spec-verified. */
   private def embVectors(s: SparkSession, dir: String): DataFrame =
-    embeddings(s, dir)
+    // spread before the double-cast projection (round 15): the
+    // embeddings table is a single-row-group scan (1 partition), and
+    // every brute/assignment arm below does per-row cosine work with
+    // no exchange underneath — serial on a 32-core session without
+    // this (dd7's twin measured 2.43 s -> 0.71 s). No-op on scans
+    // that already carry >= defaultParallelism partitions.
+    graft.spark.Spread(embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
   /** Argmin cell assignment against a broadcast centroid table.
@@ -490,7 +496,7 @@ object VectorOps {
     * for cross-engine stability). Exact quadratic form here; the
     * LSH-bucketed scale path is ann4. */
   def dd7EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
-    val emb = embeddings(s, dir)
+    val emb = graft.spark.Spread(embeddings(s, dir))
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val a = emb.select(col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("v").as("v_b"))

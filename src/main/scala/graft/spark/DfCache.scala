@@ -48,6 +48,18 @@ object DfCache {
 
   def isAggregateReduced(rddId: Int): Boolean = aggReducedRdds.contains(rddId)
 
+  /** Columnar re-cache on top of the lineage cut (default on): a bare
+    * checkpointed RDD scan deserializes FULL rows for every consumer,
+    * while several wide memos (dd20's shingle-set frame, the signature
+    * frames) have consumers that each read one narrow column slice —
+    * the round-14 IMR cache gave them columnar pruning. Persisting the
+    * CUT frame restores pruning while task binaries still carry only
+    * the checkpointed-RDD reference instead of the build DAG. Costs
+    * one extra copy of the memo in storage; `GRAFT_MEMO_COLUMNAR=0`
+    * for A/B experiments. */
+  private def columnar: Boolean =
+    sys.env.getOrElse("GRAFT_MEMO_COLUMNAR", "1") != "0"
+
   /** Build once, materialize, cut lineage, and memoize per
     * (session, key). `localCheckpoint(eager = true)` both materializes
     * the frame and truncates its plan to the stored blocks. */
@@ -58,12 +70,20 @@ object DfCache {
         case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
         case _ => false
       }
-      val out = df.localCheckpoint(eager = true)
-      if (aggReduced) out.queryExecution.analyzed.foreach {
+      val cut = df.localCheckpoint(eager = true)
+      if (aggReduced) cut.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           aggReducedRdds.add(lr.rdd.id); ()
         case _ => ()
       }
+      val out =
+        if (!columnar) cut
+        else {
+          val c = cut.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c.count()
+          c
+        }
       out
     })
 
