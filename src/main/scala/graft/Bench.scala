@@ -380,6 +380,23 @@ object Bench {
       f""""probe_base_sec":$probeBase%.4f,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"contended":$contendedList,"drifted":$driftedList,"host_drift":$hostDriftList,"isolated":$isolatedJson,"spreads":$spreads,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // COMPACT SUMMARY LINE, printed LAST (round 16): the full contract
+    // line above is ~6 KB for 188 queries and the driver retains only a
+    // ~2,000-char stdout tail, so for 15 rounds the driver's PERF
+    // artifact parsed nothing (every BENCH_r*.json: parsed=null, the
+    // line truncated mid-JSON). This second line carries the headline
+    // totals plus the 20 slowest gates in <1.5 KB so whatever tail
+    // survives ends in one complete, parseable JSON object. The full
+    // line (all queries + raw runs) is still printed above and
+    // persisted to BENCH_local.json — nothing is removed or renamed.
+    val top = finalResults.filter(_._3.isEmpty).sortBy(-_._2).take(20)
+      .map { case (k, v, _, _, _, _) => f"${jstr(k)}:$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""batch_sec":${total - streamSec},"stream_sec":$streamSec,""" +
+      s""""warmup_sec":$warmup,"failed":$failed,"n_queries":${ok.length},""" +
+      f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
+      s""""top":$top,"sf":"$sfDir"}""")
     // The driver's artifact capture has truncated the stdout tail in
     // past rounds (BENCH_r07 carried only the last ~58 of 91 queries) —
     // persist the full line, PLUS all raw per-query runs so

@@ -391,19 +391,22 @@ object Analytics {
     * doubles), and weights/cumulative sums are integers — the whole
     * gate is bit-exact by construction with no rounding anywhere. */
   def q21WeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    // session-memoized (round 15): the tie-collapsed (flag, price)
-    // weight table is a diamond — the Ranks range exchange reads it AND
-    // the per-flag totals collect reads it, and column pruning
-    // specializes each arm into its own full lineitem aggregation (the
-    // standard DfCache diamond; ~40 % of the gate's time was the
-    // second aggregation)
-    val grouped = graft.spark.DfCache.memo(s, s"$dir#q21grouped") {
+    // WITHIN-RUN materialization (round 16; was a session memo in r15):
+    // the tie-collapsed (flag, price) weight table is a diamond — the
+    // Ranks range exchange reads it AND the per-flag totals collect
+    // reads it, and column pruning specializes each arm into its own
+    // full lineitem aggregation. A session memo moved the build into
+    // the bench's discarded run 1, flattering the headline (r15 verdict
+    // item 3); an eager per-call cut keeps the diamond dedup (build
+    // once, both arms read blocks) while every timed run pays the
+    // aggregation honestly.
+    val grouped = graft.spark.Checkpoints.cut(
       lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice").as("price"),
           col("l_quantity").cast("long").as("w"))
         .groupBy(col("l_returnflag"), col("price"))
-        .agg(sum(col("w")).as("w"))
-    }
+        .agg(sum(col("w")).as("w")),
+      None)
     val ranked = Ranks.runningTotals(grouped,
       Seq(col("l_returnflag"), col("price")), Seq(col("w")), Seq("gcum")).df
     val totals = grouped.groupBy(col("l_returnflag"))

@@ -1686,16 +1686,18 @@ object TextOps {
     val alpha = when(length(col("text")) > 0,
       length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
         length(col("text")).cast("double")).otherwise(lit(0.0))
-    // Memoize the NARROW hashed event frame, not the tokenized corpus
-    // (round-15 ADVICE): the previous `ta24base` memo held the full
-    // array<string> token column for the rest of the session — the
-    // exact corpus-token-sized STRING memo class that evicted persisted
-    // graph frames at 100× — and every one of the three event consumers
-    // (train counts, train totals, scoring) re-ran the explode +
-    // per-token md5 on top of it each run. The event frame is 5 longs
-    // per token (~3× smaller than the strings), and the explode + hash
-    // now run ONCE at memo build instead of 3× per run.
-    val events = graft.spark.DfCache.memo(s, s"$dir#ta24events") {
+    // The NARROW hashed event frame (round 15): 5 longs per token,
+    // ~3× smaller than the tokenized corpus it replaced, and the
+    // explode + per-token md5 run once per materialization instead of
+    // 3× (once per consumer).
+    // WITHIN-RUN materialization (round 16; was a session memo in r15):
+    // the event frame is read by three consumers (train counts, train
+    // totals, scoring), so it must materialize once per call — but a
+    // session memo moved the explode+hash build into the bench's
+    // discarded run 1 entirely (r15 verdict item 3, accounting
+    // inflation). An eager per-call cut keeps the 3-consumers-1-build
+    // plan while every timed run pays the corpus pass honestly.
+    val events = graft.spark.Checkpoints.cut({
       val d = documents(s, dir)
         .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
         .withColumn("label", col("n_tokens") >= 15 && alpha >= 0.80)
@@ -1716,13 +1718,12 @@ object TextOps {
         .unionByName(d.select(col("doc_id"), col("label"), col("bucket"),
           (col("alpha_b") + 4116L).as("h"), lit(64L).as("wt")))
       unigrams.unionByName(structural)
-    }
+    }, None)
     // node-sized (doc_id, label) projection for the final join — every
     // doc emits >= 3 events all carrying its label, so max(label) per
-    // doc_id IS the label (no extra corpus scan)
-    val base = graft.spark.DfCache.memo(s, s"$dir#ta24docs") {
-      events.groupBy(col("doc_id")).agg(max(col("label")).as("label"))
-    }
+    // doc_id IS the label (no extra corpus scan; derives from the cut
+    // event frame, so it costs one node-sized agg per run)
+    val base = events.groupBy(col("doc_id")).agg(max(col("label")).as("label"))
     val train = events.filter(col("bucket") < 50)
     val counts = train.groupBy(col("h")).agg(
       sum(when(col("label"), col("wt")).otherwise(0L)).as("p"),

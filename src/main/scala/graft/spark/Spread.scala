@@ -28,7 +28,10 @@ object Spread {
   def apply(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (sys.env.getOrElse("GRAFT_SPREAD", "1") == "0") df
-    else if (df.rdd.getNumPartitions >= p) df
+    // toRdd reads the planned partition count without appending the
+    // row-deserializer conversion that `.rdd` plans (r15 verdict: the
+    // `.rdd` form planned a conversion frame once per call)
+    else if (df.queryExecution.toRdd.getNumPartitions >= p) df
     else df.repartition(p)
   }
 }

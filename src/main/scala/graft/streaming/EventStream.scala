@@ -280,13 +280,31 @@ object EventStream {
     * claims are measured numbers, not scaladoc assertions. */
   final class ReplayStats { var maxStateRows: Long = -1L }
 
-  private def recordState(q: StreamingQuery, stats: Option[ReplayStats]): Unit =
+  private def recordState(q: StreamingQuery, stats: Option[ReplayStats]): Unit = {
     stats.foreach { st =>
       val m = q.recentProgress.iterator
         .flatMap(_.stateOperators.map(_.numRowsTotal))
         .foldLeft(-1L)(math.max)
       st.maxStateRows = math.max(st.maxStateRows, m)
     }
+    // Dev-only breakdown (GRAFT_STREAM_DEBUG=1): summed micro-batch
+    // durationMs components across the run, so gate-level tuning can
+    // see machinery (trigger/commit/state) vs data (addBatch) cost.
+    if (sys.env.get("GRAFT_STREAM_DEBUG").contains("1")) {
+      val ps = q.recentProgress
+      val keys = ps.flatMap(_.durationMs.keySet.toArray.map(_.toString)).distinct
+      val tot = keys.map { k =>
+        k -> ps.map(p => Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
+      }
+      System.err.println(s"[streamdbg] ${q.name} batches=${ps.length} " +
+        tot.sortBy(-_._2).map { case (k, v) => s"$k=${v}ms" }.mkString(" "))
+      val so = ps.flatMap(_.stateOperators)
+      if (so.nonEmpty) System.err.println(s"[streamdbg-state] ${q.name} " +
+        s"updates=${so.map(_.allUpdatesTimeMs).sum}ms " +
+        s"removals=${so.map(_.allRemovalsTimeMs).sum}ms " +
+        s"commit=${so.map(_.commitTimeMs).sum}ms rows=${so.map(_.numRowsTotal).max}")
+    }
+  }
 
   /** Default state partitions for the REPLAY gates (gate-scale state):
     * 4 is the measured sweet spot at sf0.1 via graft.GateTune (twice,
@@ -354,6 +372,18 @@ object EventStream {
     gateCkptBase.foreach { base =>
       sess.conf.set("spark.sql.streaming.checkpointLocation",
         s"$base/s${gateRuns.incrementAndGet()}")
+      // Raw local FS for the ephemeral gate checkpoints (round 16,
+      // GRAFT_GATE_RAWFS=0 to disable): Hadoop's default local FS is
+      // ChecksumFileSystem — every tiny state delta / offset / commit
+      // file gets CRC computation plus a second `.crc` file create —
+      // pure overhead for run-to-completion tmpfs checkpoints that are
+      // deleted on exit. POSIX rename stays atomic, which is all the
+      // rename-based checkpoint file manager needs. Session-scoped:
+      // Scale's durability-bearing on-disk checkpoints keep the
+      // checksummed default.
+      if (sys.env.getOrElse("GRAFT_GATE_RAWFS", "1") != "0")
+        sess.conf.set("spark.hadoop.fs.file.impl",
+          "org.apache.hadoop.fs.RawLocalFileSystem")
     }
     sess
   }
@@ -412,8 +442,17 @@ object EventStream {
     // a stateful stream commits one state-store per shuffle partition
     // per micro-batch; at the gate's data size 32 partitions is pure
     // overhead (5 batches × 32 commits) — narrowed in the gate's own
-    // session, never the caller's
-    val sess = gateSession(spark, partitions = "8")
+    // session, never the caller's.
+    // noDataBatches=false (round 16): the engine otherwise appends one
+    // empty watermark micro-batch after EVERY data batch (measured: 7
+    // batches per run instead of 4, each no-data batch paying the full
+    // state-commit machinery). The event-time timeout flush that used
+    // to ride the automatic no-data batch now rides a SECOND sentinel
+    // delivery (the st9/st10 two-sentinel pattern): sentinel 1 advances
+    // the watermark at its batch's end past every open session's
+    // timeout, sentinel 2's batch processes the fired timeouts — same
+    // rows, 3 fewer micro-batch commits.
+    val sess = gateSession(spark, partitions = "8", noDataBatches = false)
     if (rocksDb) {
       sess.conf.set("spark.sql.streaming.stateStore.providerClass",
         RocksDbProvider)
@@ -433,12 +472,17 @@ object EventStream {
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
       }
-      // sentinel: a user id no real row carries, far enough ahead that
-      // the eviction watermark (max ts - lateness) passes every open
-      // session's timeout (last + gap)
+      // two sentinel deliveries (user id no real row carries): the
+      // first advances the eviction watermark (max ts - lateness) past
+      // every open session's timeout (last + gap) at its batch's END;
+      // the second triggers the batch in which those timeouts fire and
+      // the finalized sessions emit (no-data batches are disabled)
       val flushUs = rows.map(_._3).max + (4L * 3600L + 1800L + 60L) * 1000000L
-      mem.addData((-1L, -1L, flushUs))
-      q.processAllAvailable()
+      val day = 24L * 3600L * 1000000L
+      for (i <- 0 to 1) {
+        mem.addData((-1L, -1L - i, flushUs + i * day))
+        q.processAllAvailable()
+      }
       recordState(q, stats)
     } finally q.stop()
     sess.table(name)
@@ -811,7 +855,11 @@ object EventStream {
         .orderBy(col("us"), col("event_id"))
         .as[(Long, Long, String, Long)].collect()
     }
-    val sess = gateSession(spark)
+    // noDataBatches=false + two sentinels (round 16, the st9/st10
+    // pattern — see sessionGateWith): the buffered-prefix drain that
+    // used to ride the automatic no-data batches now fires via the
+    // real users' event-time timeouts in the second sentinel's batch.
+    val sess = gateSession(spark, noDataBatches = false)
     implicit val ctx: org.apache.spark.sql.SQLContext = sess.sqlContext
     val mem = MemoryStream[(Long, Long, String, Long)]
     val name = s"st11_gate_${gateRuns.incrementAndGet()}"
@@ -826,11 +874,17 @@ object EventStream {
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
       }
-      // watermark after the sentinel = flushUs - lateness, which must
-      // clear every real purchase ts: maxUs + 2h + 1m does
+      // two sentinel views: watermark after the first = flushUs -
+      // lateness, which must clear every real purchase ts (maxUs + 2h
+      // + 1m does); the second triggers the batch whose timeout firing
+      // drains every user's finalized buffer (no-data batches are
+      // disabled)
       val flushUs = rows.iterator.map(_._4).max + (2L * 3600L + 60L) * 1000000L
-      mem.addData((-1L, -1L, "view", flushUs))
-      q.processAllAvailable()
+      val day = 24L * 3600L * 1000000L
+      for (i <- 0 to 1) {
+        mem.addData((-1L, -1L - i, "view", flushUs + i * day))
+        q.processAllAvailable()
+      }
       recordState(q, stats)
     } finally q.stop()
     sess.table(name)
