@@ -47,6 +47,20 @@ object GraphOps {
   private val RestartMass = lit(0.15)
   private val Damping     = lit(0.85)
 
+  /** Node cap under which the pagerank gates opt in to the broadcast
+    * per-round plan (round 16): a (long, double) rank row builds to
+    * ~48 B in a broadcast hash relation, so 4M nodes ≈ 200 MB — the
+    * "few hundred MB is fine" broadcast band (guide §3.1) on any
+    * executor sizing this engine targets. Below the cap every
+    * propagation round is exchange-free (edge frame persisted
+    * dst-partitioned once, node-sized rank frame broadcast into the
+    * src join, dst agg partition-local) — measured 1.25× over the
+    * shuffle plan at 100× (round 13). Above the cap the shuffle plan
+    * stays the default: per-round broadcast traffic is
+    * O(nodes × executors), infeasible at billion-node scale (the
+    * scaladoc trade on [[pagerankWeighted]]). */
+  private[graft] val BroadcastRanksCap = 4000000L
+
   /** Symmetric customer–supplier interaction edges (unweighted view of
     * [[weightedInteractionEdges]] — see there for the build). */
   def interactionEdges(s: SparkSession, dir: String): DataFrame =
@@ -68,13 +82,15 @@ object GraphOps {
     * The symmetric-graph precondition means every node has out-degree
     * ≥ 1, so no dangling-mass correction term is needed — total mass
     * stays 1 up to rounding (spec-asserted). */
-  def pagerank(edges: DataFrame, restart: DataFrame, iters: Int = 3): DataFrame =
+  def pagerank(edges: DataFrame, restart: DataFrame, iters: Int = 3,
+               broadcastRanksMax: Long = 0L): DataFrame =
     // exact reduction, not an approximation: wsum = Σ1 = outdeg (same
     // BIGINT) and (pr · 1) / outdeg ≡ pr / outdeg bit-for-bit (×1 is
     // an IEEE identity) — so the unweighted DuckDB oracles (pr/outdeg
     // form) stay exact twins of this delegated path. GraphOpsSpec pins
     // the equivalence against an independent pr/deg implementation.
-    pagerankWeighted(edges.withColumn("w", lit(1L)), restart, iters)
+    pagerankWeighted(edges.withColumn("w", lit(1L)), restart, iters,
+      broadcastRanksMax = broadcastRanksMax)
 
   /** Weighted propagation core: the edge frame carries an integer
     * weight `w` (symmetric: both directions of an undirected edge hold
@@ -167,7 +183,7 @@ object GraphOps {
     val n = nodes.count()
     val uniform = nodes.select(col("id"), lit(1.0 / n.toDouble).as("w"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    pagerank(edges, uniform)
+    pagerank(edges, uniform, broadcastRanksMax = BroadcastRanksCap)
       .join(deg.withColumnRenamed("src", "id"), "id")
       .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
         col("outdeg").as("degree"), col("pr").as("pagerank"))
@@ -210,7 +226,7 @@ object GraphOps {
     val nodes = edges.select(col("src").as("id")).distinct()
     val n = nodes.count()
     val uniform = nodes.select(col("id"), lit(1.0 / n.toDouble).as("w"))
-    pagerankWeighted(edges, uniform)
+    pagerankWeighted(edges, uniform, broadcastRanksMax = BroadcastRanksCap)
       .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
         col("pr").as("wrank"))
       .orderBy(col("node_id"))
@@ -236,7 +252,7 @@ object GraphOps {
       .join(seedKeys, Seq("id"), "left_semi")
     val k = seeds.count()
     val rst = seeds.select(col("id"), lit(1.0 / k.toDouble).as("w"))
-    pagerank(edges, rst)
+    pagerank(edges, rst, broadcastRanksMax = BroadcastRanksCap)
       .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
         col("pr").as("ppr"))
       .orderBy(col("node_id"))
@@ -635,10 +651,19 @@ object GraphOps {
     * persisted src-partitioned once so every round's join reuses the
     * same exchange. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-              checkpointDir: Option[String] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              checkpointDir: Option[String] = None,
+              prepped: Boolean = false): DataFrame = {
+    // prepped=true (round 16): the caller's edge frame is already
+    // resident (DfCache memo: partitioned, materialized, columnar) —
+    // re-repartitioning + re-persisting it per call paid one full
+    // edge shuffle and a duplicate cache copy per invocation (~0.3 s
+    // per warm run at sf0.1) for a partitioning the loop never uses:
+    // every round's frontier join is a broadcast probe over e.
+    val e =
+      if (prepped) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // round 0 is cut too, so every later round's frontier/reached
     // derives from a checkpoint — O(1) lineage per round, and nothing
     // persisted outlives the call
@@ -656,7 +681,7 @@ object GraphOps {
       reached.unpersist(blocking = false)
       reached = merged
     }
-    e.unpersist(blocking = false)
+    if (!prepped) e.unpersist(blocking = false)
     reached
   }
 
@@ -672,7 +697,7 @@ object GraphOps {
     val seeds = graft.Tables.supplier(s, dir)
       .filter(col("s_nationkey") === 0)
       .select((col("s_suppkey").cast("long") * 2 + 1).as("id"))
-    bfsHops(interactionEdges(s, dir), seeds, maxHops = 4)
+    bfsHops(interactionEdges(s, dir), seeds, maxHops = 4, prepped = true)
       .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
         col("dist"))
       .orderBy(col("node_id"))
@@ -694,10 +719,16 @@ object GraphOps {
     * lineage-cut ([[graft.spark.Checkpoints]]), integer arithmetic
     * end to end. */
   def minPlusSssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
-                  checkpointDir: Option[String] = None): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  checkpointDir: Option[String] = None,
+                  prepped: Boolean = false): DataFrame = {
+    // prepped: see [[bfsHops]] — the memoized gate edge frames are
+    // already resident, and the relax join broadcasts the node-sized
+    // dist frame, so the per-call repartition+persist is pure cost.
+    val e =
+      if (prepped) edges.select(col("src"), col("dst"), col("w"))
+      else edges.select(col("src"), col("dst"), col("w"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = graft.spark.Checkpoints.cut(
       seeds.select(col("id")).distinct().withColumn("dist", lit(0L)),
       checkpointDir)
@@ -712,7 +743,7 @@ object GraphOps {
       dist.unpersist(blocking = false)
       dist = merged
     }
-    e.unpersist(blocking = false)
+    if (!prepped) e.unpersist(blocking = false)
     dist
   }
 
@@ -729,7 +760,8 @@ object GraphOps {
     val seeds = graft.Tables.supplier(s, dir)
       .filter(col("s_suppkey") % 5 === 0)
       .select((col("s_suppkey").cast("long") * 2 + 1).as("id"))
-    minPlusSssp(weightedInteractionEdges(s, dir), seeds, rounds = 4)
+    minPlusSssp(weightedInteractionEdges(s, dir), seeds, rounds = 4,
+      prepped = true)
       .select(col("id").as("node_id"), kindCol(col("id")).as("kind"),
         col("dist"))
       .orderBy(col("node_id"))

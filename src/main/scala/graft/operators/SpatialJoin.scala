@@ -209,21 +209,37 @@ object SpatialJoin {
     * Entity ids must be unique per side (the engine-wide contract,
     * like the reference's originalID).
     *
-    * The NARROW pair frame is spread on s_id before the blob joins
-    * (round 15): at gate scale the corpora are 1-partition scans and
-    * both blob joins broadcast, so the downstream JTS verification —
-    * ~ms per pair — inherited parallelism 1 (sp10 measured as 8
-    * single-task stages, 3.6 s serial vs 1.4 s spread, fresh-JVM A/B).
-    * The exchange carries ~50 B/pair; at production scale the first
-    * blob join is a sort-merge on s_id whose exchange this simply
-    * makes explicit — not an extra shuffle — and AQE may still
-    * coalesce it (REPARTITION_BY_COL is coalescable) subject to the
-    * [[graft.spark.SessionTuning]] floor. */
-  def candidatePairs(source: DataFrame, target: DataFrame, theta: Theta): DataFrame =
-    candidatePairsNarrow(source, target, theta)
-      .repartition(col("s_id"))
+    * `spreadVerify` (round 16, replacing r15's unconditional count-less
+    * repartition): when the caller's downstream verification is
+    * compute-dense (~ms of JTS per pair — the forced segmented-IM
+    * path), the NARROW pair frame is hash-spread on s_id over an
+    * EXPLICIT defaultParallelism partition count before the blob
+    * joins. Explicit because the r15 count-less form was
+    * REPARTITION_BY_COL, which AQE coalesces by BYTES — ~50 B/pair
+    * kept the whole exchange under one 64 KiB floor partition, so the
+    * committed r15 bench still ran sp10's verification serially
+    * (executed plan: `AQEShuffleRead coalesced` to 1, 9 single-task
+    * stages, 4.3 s; 1.0 s spread). A user-specified count is exempt
+    * from AQE coalescing by contract, and it derives from cluster
+    * cores, not a constant: rows are narrow, so even billions of pairs
+    * over total-cores partitions stay ~100 MB-sized, and a production
+    * sort-merge blob join REUSES the s_id hash partitioning. Default
+    * OFF because cheap-verification consumers measurably pay for the
+    * extra exchange + task count (paired A/B at sf0.1: sp11 1.26 →
+    * 1.61, sp12 1.39 → 1.84, sp4 0.36 → 0.63 with the spread forced
+    * on them, while sp10 goes 3.75 → 1.04 with it). */
+  def candidatePairs(source: DataFrame, target: DataFrame, theta: Theta,
+                     spreadVerify: Boolean = false): DataFrame = {
+    val narrow = candidatePairsNarrow(source, target, theta)
+    val spread =
+      if (spreadVerify)
+        narrow.repartition(
+          source.sparkSession.sparkContext.defaultParallelism, col("s_id"))
+      else narrow
+    spread
       .join(source.select(col("id").as("s_id"), col("geom").as("s_geom")), "s_id")
       .join(target.select(col("id").as("t_id"), col("geom").as("t_geom")), "t_id")
+  }
 
   /** Holistic DE-9IM: verify every candidate pair once; emit ids, the
     * DE-9IM string, and the ten relation booleans. Matches GIA.nt
@@ -260,9 +276,10 @@ object SpatialJoin {
     * the exact union form stays the default. */
   def de9imAdaptive(source: DataFrame, target: DataFrame,
                     minPoints: Int = 64,
-                    earlyExit: Boolean = false): DataFrame = {
+                    earlyExit: Boolean = false,
+                    spreadVerify: Boolean = false): DataFrame = {
     val theta = computeTheta(source)
-    candidatePairs(source, target, theta)
+    candidatePairs(source, target, theta, spreadVerify = spreadVerify)
       .withColumn("im", st_im_adaptive(col("s_geom"), col("t_geom"),
         theta.x, theta.y, minPoints, earlyExit))
       .select(col("s_id"), col("t_id"), col("im.*"))
