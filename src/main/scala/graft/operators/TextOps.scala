@@ -1994,7 +1994,15 @@ object TextOps {
           (a, b) => (a * 31 + b) % P),
         slice(col("hs"), lit(3), n - 2),
         (ab, c) => (ab * 31 + c) % P)
-      documents(s, dir)
+      // Spread before the memo materializes (round 16): the documents
+      // scan is one unsplittable partition, and ta15's per-run window
+      // selection (O(m·w) struct mins per doc + array_distinct) sits
+      // directly on this memo with no exchange below it — it was
+      // running as ONE task per run (StageProbe: 2.4 s wall, ~2.5 s
+      // task time). The k-gram build itself is also per-row heavy
+      // (md5 per token), so the one-off shuffle of the raw rows pays
+      // for both.
+      graft.spark.Spread(documents(s, dir))
         .select(col("doc_id"), barrier(hs).as("hs"))
         .select(col("doc_id"), barrier(
           when(n >= 3, kgExpr).otherwise(array().cast("array<bigint>"))).as("kg"))
@@ -2086,22 +2094,34 @@ object TextOps {
           (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("cnt")).as("n"))
-      val best = graft.spark.Checkpoints.cut(
-        pc.orderBy(desc("n"), col("x"), col("y")).limit(1), None)
-      bests += best.select(lit(k).as("rank"), col("x"), col("y"), col("n"))
-      // left-join-on-true instead of a cross join: a degenerate corpus
-      // (no pair anywhere) leaves the vocabulary UNCHANGED instead of
-      // wiping it
-      vocab = graft.spark.Checkpoints.cut(
-        vocab.join(broadcast(best.select(
-            col("x").as("_bx"), col("y").as("_by"))), lit(true), "left")
-          .select(col("word"), col("cnt"),
-            when(col("_bx").isNull, col("w")).otherwise(replace(col("w"),
-              concat(lit(BpeSep), col("_bx"), lit(BpeSep + BpeSep),
-                col("_by"), lit(BpeSep)),
-              concat(lit(BpeSep), col("_bx"), col("_by"), lit(BpeSep))))
-              .as("w")),
-        None)
+      // The argmax is ONE row — collect it and bake the merged pair
+      // into the next round's replace as literals (round 16; the
+      // bounded driver collect of the PGR/median doctrine, 1 row per
+      // round at ANY corpus scale). The r15 form checkpointed the
+      // 1-row frame and broadcast-joined it into the vocabulary —
+      // 2 eager jobs + a broadcast stage per round of pure machinery
+      // (ta20 measured 35 AQE jobs carrying 0.26 s of total task
+      // time). With literal pairs the per-round replace is a NARROW
+      // projection, so the vocabulary chain needs no per-round
+      // lineage cut either: each round adds one Project over the
+      // memoized base (the sort/tie-break still runs IN Spark, so
+      // cross-engine string ordering is untouched).
+      val top = pc.orderBy(desc("n"), col("x"), col("y")).limit(1).collect()
+      top.headOption match {
+        case Some(r) =>
+          val (bx, by, bn) = (r.getString(0), r.getString(1), r.getLong(2))
+          bests += s.range(1).select(lit(k).as("rank"), lit(bx).as("x"),
+            lit(by).as("y"), lit(bn).as("n"))
+          vocab = vocab.select(col("word"), col("cnt"),
+            replace(col("w"),
+              lit(BpeSep + bx + BpeSep + BpeSep + by + BpeSep),
+              lit(BpeSep + bx + by + BpeSep)).as("w"))
+        case None =>
+          // degenerate corpus (no pair anywhere): no merge row for this
+          // rank, vocabulary unchanged — the r15 left-join semantics
+          bests += s.range(0).select(lit(k).as("rank"),
+            lit("").as("x"), lit("").as("y"), lit(0L).as("n"))
+      }
     }
     (bests.result(), vocab)
   }
@@ -2164,16 +2184,6 @@ object TextOps {
         .filter(col("piece").isNotNull)
         .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
     }
-
-  /** Normalize a kept piece table (piece, usage) into scored form:
-    * prob = round(usage / Σusage, 9) — the 9-dp rounding is the gr1
-    * cross-engine parity contract (both engines compute the same IEEE
-    * division, then the same decimal rounding). The total is a 1-row
-    * broadcast (PlanAudit's aggregate-reduced-cartesian whitelist). */
-  private def uniScore(kept: DataFrame): DataFrame =
-    kept.crossJoin(broadcast(kept.agg(sum(col("usage")).as("tot"))))
-      .select(col("piece"), col("usage"),
-        round(col("usage").cast("double") / col("tot"), 9).as("prob"))
 
   /** Viterbi columns over a `word` column given a LITERAL piece→prob
     * map: (dp, pieces). dp maximizes the PRODUCT of piece
@@ -2239,27 +2249,63 @@ object TextOps {
   private[graft] def unigramTrain(s: SparkSession, dir: String)
       : (DataFrame, Map[String, Double]) = {
     val seed = uniSeedUsage(s, dir)
-    val singles = seed.filter(length(col("piece")) === 1).select(col("piece"))
-    def collectProbs(scores: DataFrame): Map[String, Double] =
-      scores.select(col("piece"), col("prob")).collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val seedKept = seed.filter(length(col("piece")) === 1)
-      .unionByName(seed.filter(length(col("piece")) >= 2)
-        .orderBy(desc("usage"), col("piece")).limit(UniSeedMultis))
-    var scores = uniScore(seedKept)
-    var probs = collectProbs(scores)
+    def score(rows: Seq[(String, Long)]): Map[String, Double] = {
+      val total = rows.iterator.map(_._2).sum
+      // java.math.BigDecimal.valueOf = Spark's own Round codegen path
+      // for doubles (shortest-decimal representation, then HALF_UP) —
+      // the bit-identical twin of uniScore's round(usage/Σ, 9)
+      rows.map { case (p, u) =>
+        p -> java.math.BigDecimal.valueOf(u.toDouble / total.toDouble)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }.toMap
+    }
+    // singles are fixed for the whole train (every 1-char piece of the
+    // seed — alphabet-bounded) — collected once with their seed usage
+    val singleRows = seed.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("usage")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val singlesList = singleRows.map(_._1)
+    // round-0 inventory: singles at raw seed usage + the top-48 multis;
+    // the (usage desc, piece) prune ranking runs IN Spark (sorted
+    // limit + collect), the scoring is the driver-side twin of
+    // uniScore on ≤ |alphabet| + 48 rows
+    val seedMultis = seed.filter(length(col("piece")) >= 2)
+      .orderBy(desc("usage"), col("piece")).limit(UniSeedMultis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+    var probs = score(singleRows ++ seedMultis)
+    // Round-16 M-step: the E-step output `used` is bounded by the
+    // CURRENT piece inventory (≤ |singles| + 48 rows at any corpus
+    // scale — pieces not in `probs` can never appear in a Viterbi
+    // path), so the prune + re-score runs driver-side on the collected
+    // rows instead of a join + union + limit + broadcast-total
+    // cascade of tiny AQE stages (ta22 measured 32 jobs carrying
+    // 0.35 s of task time). The ORDER-SENSITIVE part — the
+    // (usage desc, piece) prune ranking — still runs IN Spark
+    // (collect of the sorted frame), so cross-engine string ordering
+    // semantics are untouched; the driver only takes a prefix and
+    // does exact long sums + the same round(·, 9) the uniScore frame
+    // computed (java.math HALF_UP on the identical IEEE division).
+    var keptRows: Seq[(String, Long)] = Seq.empty
     for (cap <- UniPruneCaps) {
       val used = uniWords(s, dir)
         .select(col("cnt"),
           explode(uniViterbiPieces(col("word"), probs)).as("piece"))
         .groupBy(col("piece")).agg(sum(col("cnt")).as("usage"))
-      val kept = singles.join(used, Seq("piece"), "left")
-        .select(col("piece"), (coalesce(col("usage"), lit(0L)) + 1).as("usage"))
-        .unionByName(used.filter(length(col("piece")) >= 2)
-          .orderBy(desc("usage"), col("piece")).limit(cap))
-      scores = uniScore(kept)
-      probs = collectProbs(scores)
+      val usedRows = used
+        .select(col("piece"), col("usage"), length(col("piece")).as("len"))
+        .orderBy(desc("usage"), col("piece")).collect()
+      val usedMap = usedRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val multis = usedRows.iterator.filter(_.getInt(2) >= 2)
+        .take(cap).map(r => (r.getString(0), r.getLong(1))).toVector
+      keptRows = singlesList.map(p => (p, usedMap.getOrElse(p, 0L) + 1L)) ++
+        multis
+      probs = score(keptRows)
     }
+    // the final scored vocabulary as a LOCAL frame (≤ ~72 rows) — the
+    // values are exactly the driver-computed kept/prob pairs above
+    import s.implicits._
+    val scores = keptRows.map { case (p, u) => (p, u, probs(p)) }
+      .toDF("piece", "usage", "prob")
     (scores, probs)
   }
 
