@@ -277,18 +277,28 @@ object GraphOps {
     * driver-side state; the wedge→closure step is one more equi-join
     * on the (x, y) key. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("a").as("id"))
-      .unionByName(pairs.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // deg is referenced three times (both withDeg arms + the final
+    // left join) and oriented three times (both wedge arms + the
+    // closing-edge probe) — column pruning specializes every
+    // reference into its own rebuild, so the uncut form re-ran the
+    // degree aggregation and the orientation joins once per arm
+    // (gr4's executed plan: 48 AQE stage-jobs for a one-query gate).
+    // Both frames are edge/node-sized; eager WITHIN-RUN cuts build
+    // each once per call (round 16).
+    val deg = graft.spark.Checkpoints.cut(
+      pairs.select(col("a").as("id"))
+        .unionByName(pairs.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree")),
+      None)
     val withDeg = pairs
       .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
     val fwd = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = withDeg.select(
+    val oriented = graft.spark.Checkpoints.cut(withDeg.select(
       when(fwd, col("a")).otherwise(col("b")).as("lo"),
       when(fwd, col("b")).otherwise(col("a")).as("hi"),
-      when(fwd, col("db")).otherwise(col("da")).as("hid"))
+      when(fwd, col("db")).otherwise(col("da")).as("hid")), None)
     // wedges at the low endpoint, canonicalized in orientation order
     // so each closing edge is probed in its stored direction
     val e1 = oriented.select(col("lo").as("u"), col("hi").as("x"),
@@ -344,11 +354,17 @@ object GraphOps {
     * truncation. */
   def cooccurrencePairs(links: DataFrame, minShared: Long,
                         maxPerKey: Int): DataFrame = {
-    val keep = links.groupBy(col("k"))
+    // links is referenced THREE times (the degree guard + both wedge
+    // arms) and column pruning specializes each reference into its own
+    // full build — gr5's executed plan carried three separate 600k-row
+    // distinct exchanges per run. One eager within-run cut builds it
+    // once; every timed run still pays that build (round 16).
+    val l = graft.spark.Checkpoints.cut(links, None)
+    val keep = l.groupBy(col("k"))
       .agg(count(lit(1)).as("kdeg"))
       .filter(col("kdeg") <= maxPerKey)
       .select(col("k"))
-    val kept = links.join(keep, "k")
+    val kept = graft.spark.Checkpoints.cut(l.join(keep, "k"), None)
     kept.select(col("k"), col("v").as("va"))
       .join(kept.select(col("k"), col("v").as("vb")), "k")
       .filter(col("va") < col("vb"))
