@@ -989,10 +989,14 @@ object TextOps {
     // stage 3 — cp4 token budget (rides the `source` partitioning)
     val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budgeted = capped
+    // within-run cut (round 16): budgeted feeds BOTH the cp6 language
+    // counts and the mixed filter — uncut, column pruning re-ran the
+    // whole dedup+cap+budget window cascade once per arm
+    val budgeted = graft.spark.Checkpoints.cut(capped
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wb))
       .filter(col("cum_tokens") <= budget)
-      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens")),
+      None)
     // stage 4 — cp6 temperature mix over the SURVIVOR distribution
     val counts = budgeted.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
     val nMin = counts.agg(min(col("n_d")).as("n_min"))
