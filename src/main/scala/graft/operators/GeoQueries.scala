@@ -326,7 +326,11 @@ object GeoQueries {
     * the line-dimension `touches`/`within`/`coveredby` semantics are
     * hash-checked (every prior gate relation was areal or 0-D). */
   def sp8LineBoxDe9im(s: SparkSession, dir: String): DataFrame =
-    SpatialJoin.de9im(orderSegments(s, dir), supplierBoxes(s, dir))
+    // spreadVerify: the segment corpus is orders-sized, so the pair
+    // volume times per-pair interval IM is the gate's cost center
+    // (mid-r16 bench: 0.44 s with a spread exchange vs 1.50 without)
+    SpatialJoin.de9im(orderSegments(s, dir), supplierBoxes(s, dir),
+      spreadVerify = true)
       .select(col("s_id"), col("t_id"), col("intersects"), col("crosses"),
         col("touches"), col("within"), col("coveredby"))
       .orderBy(col("s_id"), col("t_id"))
@@ -360,7 +364,10 @@ object GeoQueries {
     * the verification are both hash-checked without modelling the slab
     * clipping in SQL. */
   def sp11FineGrainedIm(s: SparkSession, dir: String): DataFrame =
-    SpatialJoin.de9imFineGrained(customerTriangles(s, dir), supplierBoxes(s, dir))
+    // spreadVerify: per-pair cost = the sub-envelope exists() filter
+    // plus JTS st_im on survivors (measured 1.10 s spread / 1.69 not)
+    SpatialJoin.de9imFineGrained(customerTriangles(s, dir), supplierBoxes(s, dir),
+      spreadVerify = true)
       .filter(col("intersects"))
       .select(col("s_id"), col("t_id"), col("contains"), col("within"),
         col("touches"), col("overlaps"))

@@ -250,14 +250,19 @@ object SpatialJoin {
     * asserted): analytic interval IM for rectangle pairs, exact
     * segmented IM above the point cutoff, plain JTS relate otherwise —
     * rectangle-heavy workloads skip JTS entirely. */
-  def de9im(source: DataFrame, target: DataFrame, theta: Theta): DataFrame =
-    candidatePairs(source, target, theta)
+  def de9im(source: DataFrame, target: DataFrame, theta: Theta,
+            spreadVerify: Boolean = false): DataFrame =
+    candidatePairs(source, target, theta, spreadVerify = spreadVerify)
       .withColumn("im", st_im_adaptive(col("s_geom"), col("t_geom"),
         theta.x, theta.y))
       .select(col("s_id"), col("t_id"), col("im.*"))
 
   def de9im(source: DataFrame, target: DataFrame): DataFrame =
     de9im(source, target, computeTheta(source))
+
+  def de9im(source: DataFrame, target: DataFrame,
+            spreadVerify: Boolean): DataFrame =
+    de9im(source, target, computeTheta(source), spreadVerify = spreadVerify)
 
   def de9im(source: DataFrame, target: DataFrame,
             granularity: String): DataFrame =
@@ -333,7 +338,8 @@ object SpatialJoin {
     * preserved (sub-envelopes cover the geometry). */
   def de9imFineGrained(source: DataFrame, target: DataFrame,
                        maxEnvs: Int = 16,
-                       granularity: String = "avg"): DataFrame = {
+                       granularity: String = "avg",
+                       spreadVerify: Boolean = false): DataFrame = {
     val theta = computeTheta(source, granularity)
     val s = source.withColumn("envs",
       barrier(st_fine_envelopes(col("geom"), theta.x, maxEnvs)))
@@ -345,7 +351,7 @@ object SpatialJoin {
         se.getField("maxx") >= te.getField("minx") &&
         se.getField("miny") <= te.getField("maxy") &&
         se.getField("maxy") >= te.getField("miny")))
-    candidatePairs(s, t, theta)
+    candidatePairs(s, t, theta, spreadVerify = spreadVerify)
       .filter(anySubEnvIntersects)
       .withColumn("im", st_im(col("s_geom"), col("t_geom")))
       .select(col("s_id"), col("t_id"), col("im.*"))
