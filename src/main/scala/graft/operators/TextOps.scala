@@ -1702,18 +1702,25 @@ object TextOps {
     // inflation). An eager per-call cut keeps the 3-consumers-1-build
     // plan while every timed run pays the corpus pass honestly.
     val events = graft.spark.Checkpoints.cut({
+      // barrier the two expensive per-row leaves ONCE (round 16):
+      // CollapseProject otherwise inlines tokens(text) into every
+      // derived column (n_tokens, label, len_b, the explode) and the
+      // alpha regex into label + alpha_b — re-tokenizing /
+      // re-regexing each document up to 3× per union arm
       val d = documents(s, dir)
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-        .withColumn("label", col("n_tokens") >= 15 && alpha >= 0.80)
+        .select(col("doc_id"), barrier(tokens(col("text"))).as("toks"),
+          barrier(alpha).as("al"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("label", col("n_tokens") >= 15 && col("al") >= 0.80)
         .withColumn("bucket",
           conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
             .cast("long") % 100)
         .withColumn("len_b",
           least(floor(col("n_tokens") / 5).cast("long"), lit(19L)))
-        .withColumn("alpha_b", floor(alpha * 20).cast("long"))
+        .withColumn("alpha_b", floor(col("al") * 20).cast("long"))
       val unigrams = d
         .select(col("doc_id"), col("label"), col("bucket"),
-          explode(barrier(tokens(col("text")))).as("word"))
+          explode(col("toks")).as("word"))
         .select(col("doc_id"), col("label"), col("bucket"),
           (wordHash(col("word")) % 4096L).as("h"), lit(1L).as("wt"))
       val structural = d
