@@ -354,17 +354,18 @@ object GraphOps {
     * truncation. */
   def cooccurrencePairs(links: DataFrame, minShared: Long,
                         maxPerKey: Int): DataFrame = {
-    // links is referenced THREE times (the degree guard + both wedge
-    // arms) and column pruning specializes each reference into its own
-    // full build — gr5's executed plan carried three separate 600k-row
-    // distinct exchanges per run. One eager within-run cut builds it
-    // once; every timed run still pays that build (round 16).
-    val l = graft.spark.Checkpoints.cut(links, None)
-    val keep = l.groupBy(col("k"))
+    // NOTE (round 16): within-run cuts of `links` and `kept` were
+    // measured here and REVERTED — isolated StageProbe loved them
+    // (wall 3.7 → 2.4 s, task time 72 → 25 s), but two full-bench runs
+    // both read gr5 ~0.35 s SLOWER with the cuts (1.76 → 2.08/2.18):
+    // in the bench session the three pruned rebuilds pipeline behind
+    // warm page cache while the eager cuts serialize two extra jobs.
+    // The uncut diamond stays; revisit only with in-bench evidence.
+    val keep = links.groupBy(col("k"))
       .agg(count(lit(1)).as("kdeg"))
       .filter(col("kdeg") <= maxPerKey)
       .select(col("k"))
-    val kept = graft.spark.Checkpoints.cut(l.join(keep, "k"), None)
+    val kept = links.join(keep, "k")
     kept.select(col("k"), col("v").as("va"))
       .join(kept.select(col("k"), col("v").as("vb")), "k")
       .filter(col("va") < col("vb"))
